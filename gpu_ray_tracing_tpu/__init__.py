@@ -1,0 +1,63 @@
+"""gpu_ray_tracing_tpu — a TPU-native ray-tracing framework.
+
+A from-scratch JAX/XLA/Pallas/pjit rebuild of the capabilities of the
+reference project Sur091/GPU-Ray-Tracing (Rust/Bevy/WGSL "Ray Tracing in One
+Weekend" progressive path tracer).  The public surface is a pure, jittable,
+vmappable, differentiable rendering API instead of the reference's windowed
+app (`gpu_ray_tracing::run()`, lib.rs:28).
+
+Quick start:
+
+    import jax
+    from gpu_ray_tracing_tpu import (
+        CameraSettings, RenderConfig, one_weekend_scene, render
+    )
+
+    scene = one_weekend_scene(jax.random.key(0))
+    cfg = RenderConfig(width=1280, height=720, spp=16, max_depth=30)
+    img = render(scene, CameraSettings.default(), cfg, key=jax.random.key(1))
+"""
+
+from gpu_ray_tracing_tpu.api import (
+    progressive_step,
+    render,
+    render_animation,
+    render_progressive,
+    stack_camera_track,
+)
+from gpu_ray_tracing_tpu.models.camera import Camera, CameraSettings, derive_camera
+from gpu_ray_tracing_tpu.models.spheres import (
+    DIELECTRIC,
+    LAMBERTIAN,
+    METAL,
+    Spheres,
+    base_scene,
+    make_spheres,
+    one_weekend_scene,
+)
+from gpu_ray_tracing_tpu.ops.accumulate import AccumState, init_accum
+from gpu_ray_tracing_tpu.utils.config import REFERENCE_CONFIG, RenderConfig
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AccumState",
+    "Camera",
+    "CameraSettings",
+    "DIELECTRIC",
+    "LAMBERTIAN",
+    "METAL",
+    "REFERENCE_CONFIG",
+    "RenderConfig",
+    "Spheres",
+    "base_scene",
+    "derive_camera",
+    "init_accum",
+    "make_spheres",
+    "one_weekend_scene",
+    "progressive_step",
+    "render",
+    "render_animation",
+    "render_progressive",
+    "stack_camera_track",
+]

@@ -1,0 +1,69 @@
+"""Progressive accumulation: the resumable render state.
+
+Reference mapping (compute_shader.wgsl `update`, wgsl:333-364):
+  - rgb  = running mean color      <- the texel's rgb (wgsl:339-341)
+  - count = samples accumulated    <- the texel's alpha channel (wgsl:341)
+  - reset-on-camera-move           <- camera_has_moved flag (wgsl:345-350);
+                                      here reset is an explicit argument, not
+                                      a hidden flag smuggled through a uniform
+  - freeze at the spp target       <- `samples < samples_per_pixel` gate
+                                      (wgsl:352)
+  - incremental mean               <- c += (x - c) / (n + 1) (wgsl:356)
+
+The state is a plain pytree, so it is trivially serializable (np.save/orbax)
+— a 1024-spp progressive render is checkpoint/resumable for free, which the
+reference only gets within a single process lifetime (SURVEY §5).
+
+The sample count is a scalar: the reference stores it per-pixel in alpha, but
+resets are global and every pixel always holds the same count, so a scalar is
+the same state without the redundant (H, W) plane.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["rgb", "count"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class AccumState:
+    """Progressive accumulation state: rgb = running mean, count = samples."""
+
+    rgb: Array  # (H, W, 3) f32 running mean in linear space
+    count: Array  # () i32 samples accumulated so far
+
+
+def init_accum(height: int, width: int) -> AccumState:
+    """Zero state — the `init` kernel entry point (wgsl:65-70)."""
+    return AccumState(
+        rgb=jnp.zeros((height, width, 3), jnp.float32),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def fold_sample(state: AccumState, sample_rgb: Array, spp_target: int, reset) -> AccumState:
+    """Fold one 1-spp render into the running mean (wgsl:345-358).
+
+    reset: traced bool — clears the state first (camera moved).
+    The update freezes once count reaches spp_target (wgsl:352).
+    """
+    reset = jnp.asarray(reset, bool)
+    rgb = jnp.where(reset, 0.0, state.rgb)
+    count = jnp.where(reset, 0, state.count)
+
+    converged = count >= spp_target
+    new_rgb = rgb + (sample_rgb - rgb) / jnp.float32(count + 1)
+    return AccumState(
+        rgb=jnp.where(converged, rgb, new_rgb),
+        count=jnp.where(converged, count, count + 1),
+    )

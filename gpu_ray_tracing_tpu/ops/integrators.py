@@ -1,0 +1,143 @@
+"""Integrators: iterative path tracer and normal-shading debug integrator.
+
+Reference mapping (compute_shader.wgsl):
+  - `sky_color`     <- the miss shader's vertical gradient (wgsl:293-296)
+  - `trace_path`    <- ray_color (wgsl:261-297): iterative stackless bounce
+                       loop to max_depth with multiplicative throughput;
+                       absorbed scatter returns black (wgsl:274,278,282);
+                       miss breaks to the sky gradient.
+  - `shade_normals` <- not in the reference; the BASELINE config-1 debug
+                       integrator from the same "One Weekend" lineage
+                       (0.5 * (normal + 1) on hit, sky on miss).
+
+The reference quirk at wgsl:293-296 — a ray that exhausts all bounces without
+missing still receives sky * throughput instead of black — is reproduced only
+when parity=True.
+
+Control-flow note: on TPU every lane runs the full max_depth trip count; dead
+rays (missed / absorbed) are carried with live=False masks instead of breaking,
+which is exactly how a vector machine wants the reference's per-thread `break`
+expressed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gpu_ray_tracing_tpu.models.spheres import Spheres
+from gpu_ray_tracing_tpu.ops import rng as rng_ops
+from gpu_ray_tracing_tpu.ops.intersect import intersect_spheres
+from gpu_ray_tracing_tpu.ops.materials import scatter
+
+Array = jax.Array
+
+
+def sky_color(dirs: Array) -> Array:
+    """Vertical white->blue gradient on the unit direction (wgsl:293-296)."""
+    unit = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-20)
+    a = 0.5 * (unit[..., 1:2] + 1.0)
+    white = jnp.asarray([1.0, 1.0, 1.0], jnp.float32)
+    blue = jnp.asarray([0.5, 0.7, 1.0], jnp.float32)
+    return (1.0 - a) * white + a * blue
+
+
+def shade_normals(
+    origins: Array,
+    dirs: Array,
+    spheres: Spheres,
+    t_min: float,
+    t_max: float,
+) -> Array:
+    """Normal-shading integrator (BASELINE config 1): 0.5*(n+1) or sky."""
+    hit = intersect_spheres(origins, dirs, spheres, t_min, t_max)
+    lit = 0.5 * (hit.normal + 1.0)
+    return jnp.where(hit.hit[..., None], lit, sky_color(dirs))
+
+
+def trace_path(
+    origins: Array,
+    dirs: Array,
+    spheres: Spheres,
+    max_depth: int,
+    t_min: float,
+    t_max: float,
+    *,
+    key: Array | None = None,
+    bounce_seeds: Array | None = None,
+    parity: bool = False,
+) -> Array:
+    """Path-trace a batch of rays; returns linear RGB of shape dirs.shape.
+
+    RNG: pass exactly one of
+      - key:          threefry; independent per-pixel draws per bounce.
+      - bounce_seeds: (max_depth,) uint32 scalar seeds, the WGSL stream.
+                      NOTE the reference derives ONE scalar scatter seed per
+                      bounce for the whole frame (ray_color receives the
+                      frame-uniform `seed+1`, wgsl:355, then hashes
+                      seed + i*1000 per bounce, wgsl:268) — so scatter
+                      randomness is perfectly correlated across pixels.  We
+                      reproduce that faithfully here since it IS the WGSL
+                      stream; the threefry path decorrelates pixels.
+    """
+    if (key is None) == (bounce_seeds is None):
+        raise ValueError("pass exactly one of key= or bounce_seeds=")
+
+    batch_shape = dirs.shape[:-1]
+    throughput = jnp.ones((*batch_shape, 3), jnp.float32)
+    result = jnp.zeros((*batch_shape, 3), jnp.float32)
+    live = jnp.ones(batch_shape, dtype=bool)
+
+    def body(i, carry):
+        o, d, throughput, result, live = carry
+        hit = intersect_spheres(o, d, spheres, t_min, t_max)
+
+        if key is not None:
+            k = jax.random.fold_in(key, i)
+            k_uv, k_refl = jax.random.split(k)
+            u = jax.random.uniform(k_uv, (2, *batch_shape), jnp.float32)
+            unit_vec = rng_ops.unit_vector_from_uniforms(u[0], u[1])
+            u_reflect = jax.random.uniform(k_refl, batch_shape, jnp.float32)
+        else:
+            # Frame-uniform scalar seed per bounce: hash(seed + i*1000)
+            # (wgsl:268), shared by every pixel.
+            s = bounce_seeds[i]
+            unit_vec = jnp.broadcast_to(
+                rng_ops.random_unit_vector(s), (*batch_shape, 3)
+            )
+            u_reflect = jnp.broadcast_to(rng_ops.wgsl_random_float(s), batch_shape)
+
+        albedo = spheres.albedo[hit.idx]
+        kind = spheres.mat_kind[hit.idx]
+        param = spheres.mat_param[hit.idx]
+        new_dir, attenuation, ok = scatter(
+            d, hit.normal, hit.front_face, albedo, kind, param, unit_vec, u_reflect
+        )
+
+        missed = live & ~hit.hit
+        result = jnp.where(missed[..., None], result + throughput * sky_color(d), result)
+        # Absorbed rays (metal below surface) contribute black (wgsl:278).
+        scattered = live & hit.hit & ok
+        throughput = jnp.where(scattered[..., None], throughput * attenuation, throughput)
+        o = jnp.where(scattered[..., None], hit.point, o)
+        d = jnp.where(scattered[..., None], new_dir, d)
+        live = scattered
+        return o, d, throughput, result, live
+
+    o, d, throughput, result, live = jax.lax.fori_loop(
+        0, max_depth, body, (origins, dirs, throughput, result, live)
+    )
+
+    if parity:
+        # Reference quirk: depth-exhausted rays still get sky * throughput
+        # (no exhaustion test after the loop, wgsl:293-296).
+        result = jnp.where(live[..., None], result + throughput * sky_color(d), result)
+    return result
+
+
+def make_bounce_seeds(color_seed_u32: Array, max_depth: int) -> Array:
+    """The per-bounce scalar seeds of ray_color: hash(seed + i*1000)
+    (wgsl:268), where `color_seed_u32` is the frame-uniform value the
+    reference passes as ray_color's seed (update's seed+1, wgsl:355)."""
+    i = jnp.arange(max_depth, dtype=jnp.uint32)
+    return rng_ops.wgsl_hash(jnp.asarray(color_seed_u32, jnp.uint32) + i * jnp.uint32(1000))

@@ -1,0 +1,132 @@
+"""Sphere intersection: closest-hit over a struct-of-arrays scene.
+
+Reference mapping (compute_shader.wgsl):
+  - `intersect_spheres` <- sphere_list_hit (wgsl:164-180) + sphere_hit
+                           (wgsl:182-221) + hit_record_set_face_normal
+                           (wgsl:158-162).
+
+TPU-native design: the reference scans spheres sequentially per thread keeping
+`closest_so_far` (O(N) serial per ray).  Here the quadratic's ray-sphere terms
+are factored so the two O(P*N) inner products become batched matmuls on the
+MXU —
+
+    h  = dot(oc, d)        = (D @ C^T) - (o . d)
+    |oc|^2                 = |c|^2 - 2 (O @ C^T) + |o|^2
+
+— and the closest hit is a masked argmin over the sphere axis on the VPU.
+Picking each sphere's nearest valid root in (t_min, t_max) and then taking the
+global argmin yields the same closest hit as the reference's sequential
+shrinking-window scan (a sphere whose near root fails only because it is
+beyond the current closest cannot win the final minimum).
+
+Rays are NOT assumed normalized (the reference never normalizes primary ray
+directions, wgsl:322); the quadratic uses a = dot(d, d).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gpu_ray_tracing_tpu.models.spheres import Spheres
+
+Array = jax.Array
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["t", "idx", "hit", "point", "normal", "front_face"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class Hit:
+    """Vectorized HitRecord (wgsl:143-149), material looked up by `idx`."""
+
+    t: Array  # (...,)   f32, ray parameter of the closest hit (t_max if none)
+    idx: Array  # (...,) i32, index of the hit sphere (0 if none; see `hit`)
+    hit: Array  # (...,) bool
+    point: Array  # (..., 3)
+    normal: Array  # (..., 3) face normal, flipped toward the incoming ray
+    front_face: Array  # (...,) bool
+
+
+def intersect_spheres(
+    origins: Array,
+    dirs: Array,
+    spheres: Spheres,
+    t_min: float,
+    t_max: float,
+) -> Hit:
+    """Closest sphere hit for a batch of rays.
+
+    origins, dirs: (..., 3) f32.  Returns a Hit with batch shape (...).
+    Inactive pad spheres (radius <= 0) never hit.
+    """
+    batch_shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+
+    c = spheres.centers  # (N, 3)
+    r = spheres.radii  # (N,)
+    active = r > 0.0
+
+    # MXU-friendly inner products: (P,3) @ (3,N).
+    dc = jnp.dot(d, c.T, preferred_element_type=jnp.float32)  # (P, N) = d . c
+    oc_dot_c = jnp.dot(o, c.T, preferred_element_type=jnp.float32)  # (P, N) = o . c
+
+    od = jnp.sum(o * d, axis=-1, keepdims=True)  # (P, 1)
+    oo = jnp.sum(o * o, axis=-1, keepdims=True)  # (P, 1)
+    a = jnp.sum(d * d, axis=-1, keepdims=True)  # (P, 1)
+    c2 = jnp.sum(c * c, axis=-1)  # (N,)
+
+    h = dc - od  # dot(center - origin, d)   (wgsl:185)
+    cc = (c2 - r * r)[None, :] - 2.0 * oc_dot_c + oo  # |oc|^2 - r^2  (wgsl:186)
+    disc = h * h - a * cc  # (wgsl:187)
+
+    # Safe sqrt: double-where so misses (disc <= 0) contribute a zero
+    # gradient instead of inf * 0 = NaN through the select.
+    disc_pos = disc > 0.0
+    sqrt_disc = jnp.where(disc_pos, jnp.sqrt(jnp.where(disc_pos, disc, 1.0)), 0.0)
+    inv_a = 1.0 / a
+    root_near = (h - sqrt_disc) * inv_a  # (wgsl:195)
+    root_far = (h + sqrt_disc) * inv_a  # (wgsl:197)
+
+    # Open-interval validity, matching `root <= tmin || tmax <= root` rejection
+    # (wgsl:196-200).
+    def _valid(root):
+        return (root > t_min) & (root < t_max)
+
+    near_ok = _valid(root_near)
+    far_ok = _valid(root_far)
+    root = jnp.where(near_ok, root_near, root_far)
+    valid = (disc >= 0.0) & (near_ok | far_ok) & active[None, :]
+
+    t_cand = jnp.where(valid, root, jnp.float32(jnp.inf))
+    idx = jnp.argmin(t_cand, axis=-1)  # (P,)
+    t_best = jnp.take_along_axis(t_cand, idx[:, None], axis=-1)[:, 0]
+    hit = jnp.isfinite(t_best)
+    t_best = jnp.where(hit, t_best, jnp.float32(t_max))
+
+    center_best = c[idx]  # (P, 3)
+    radius_best = r[idx]  # (P,)
+    # Misses keep t = t_max in the record but must not produce a ~1e35 point:
+    # downstream material math would overflow f32 (inf/NaN poison through
+    # jnp.where, both in the forward under debug_nans and in gradients).
+    t_point = jnp.where(hit, t_best, 0.0)
+    point = o + t_point[:, None] * d
+    # Outward normal = (p - center) / radius (wgsl:206); guard pad radius 0.
+    outward = (point - center_best) / jnp.where(radius_best != 0.0, radius_best, 1.0)[:, None]
+    front_face = jnp.sum(d * outward, axis=-1) < 0.0  # (wgsl:159)
+    normal = jnp.where(front_face[:, None], outward, -outward)  # (wgsl:160)
+
+    return Hit(
+        t=t_best.reshape(batch_shape),
+        idx=idx.astype(jnp.int32).reshape(batch_shape),
+        hit=hit.reshape(batch_shape),
+        point=point.reshape(*batch_shape, 3),
+        normal=normal.reshape(*batch_shape, 3),
+        front_face=front_face.reshape(batch_shape),
+    )

@@ -1,0 +1,115 @@
+"""Ray generation: jittered anti-aliasing + defocus blur (thin lens).
+
+Reference mapping (compute_shader.wgsl):
+  - `generate_rays_*`     <- get_ray (wgsl:305-325)
+  - jitter                <- sample_square (wgsl:299-303); the reference's
+                             y draw uses seed*seed — reproduced only in
+                             parity mode
+  - defocus origin        <- defocus_disk_sample (wgsl:327-331); the reference
+                             normalizes the 2D point so it samples the disk
+                             RIM (ring bokeh) — reproduced only in parity
+                             mode; the default samples the disk uniformly
+                             (r = sqrt(u)).
+
+Ray directions are intentionally NOT normalized (wgsl:322); the intersection
+math handles non-unit directions via a = dot(d, d).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gpu_ray_tracing_tpu.models.camera import Camera
+from gpu_ray_tracing_tpu.ops import rng as rng_ops
+
+Array = jax.Array
+
+_TWO_PI = 6.283185307179586
+
+
+def _pixel_centers(camera: Camera, width: int, height: int, jitter_x: Array, jitter_y: Array) -> Array:
+    """upper_left + du*(x + 0.5 + jx) + dv*(y + 0.5 + jy)   (wgsl:314-317)."""
+    x = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+    y = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+    fx = (x + 0.5 + jitter_x)[..., None]
+    fy = (y + 0.5 + jitter_y)[..., None]
+    return (
+        camera.viewport_upper_left
+        + camera.pixel_delta_u * fx
+        + camera.pixel_delta_v * fy
+    )
+
+
+def _defocus_origin(camera: Camera, px: Array, py: Array) -> Array:
+    """Thin-lens origin from a 2D point (px, py) in the defocus disk basis
+    (wgsl:330); falls back to the pinhole center when defocus_angle <= 0
+    (wgsl:319)."""
+    origin = (
+        camera.center
+        + px[..., None] * camera.defocus_disk_u
+        + py[..., None] * camera.defocus_disk_v
+    )
+    use_defocus = camera.defocus_angle > 0.0
+    return jnp.where(use_defocus, origin, camera.center)
+
+
+def generate_rays_threefry(
+    camera: Camera, width: int, height: int, key: Array
+) -> tuple[Array, Array]:
+    """Default ray generation: independent jitter draws, uniform-disk defocus.
+
+    Returns (origins, dirs), each (height, width, 3) f32.
+    """
+    kj, kd = jax.random.split(key)
+    jit = jax.random.uniform(kj, (2, height, width), jnp.float32) - 0.5
+    centers = _pixel_centers(camera, width, height, jit[0], jit[1])
+
+    u = jax.random.uniform(kd, (2, height, width), jnp.float32)
+    radius = jnp.sqrt(u[0])  # uniform over the disk area
+    angle = u[1] * _TWO_PI
+    origins = _defocus_origin(camera, radius * jnp.cos(angle), radius * jnp.sin(angle))
+    dirs = centers - origins
+    return origins, dirs
+
+
+def generate_rays_wgsl(
+    camera: Camera,
+    width: int,
+    height: int,
+    sample_seed_u32: Array,
+    frame_seed_u32: Array,
+    parity: bool,
+) -> tuple[Array, Array]:
+    """WGSL-seeded ray generation for golden parity tests.
+
+    `sample_seed_u32` is the scalar the reference calls `seed` in update()
+    (1 + samples_until_now + frame_seed, wgsl:353); the per-pixel seed is
+    derived exactly as in get_ray (wgsl:309-311).
+
+    parity=True keeps the reference sampler quirks (seed*seed jitter-y, rim
+    defocus); parity=False uses independent jitter and uniform-disk defocus
+    while still drawing from the WGSL hash stream.
+    """
+    seeds = rng_ops.pixel_seeds(width, height, sample_seed_u32, frame_seed_u32)
+
+    jx = rng_ops.wgsl_random_float(seeds) - 0.5  # (wgsl:300)
+    if parity:
+        jy = rng_ops.wgsl_random_float(seeds * seeds) - 0.5  # quirk (wgsl:301)
+    else:
+        jy = rng_ops.wgsl_random_float(seeds + jnp.uint32(7919)) - 0.5
+    centers = _pixel_centers(camera, width, height, jx, jy)
+
+    if parity:
+        # Rim sampling: angle only, radius 1 (wgsl:327-331).
+        angle = _TWO_PI * rng_ops.wgsl_random_float(seeds + jnp.uint32(1))
+        px, py = jnp.cos(angle), jnp.sin(angle)
+    else:
+        u1 = rng_ops.wgsl_random_float(seeds + jnp.uint32(1))
+        u2 = rng_ops.wgsl_random_float(seeds + jnp.uint32(2))
+        radius = jnp.sqrt(u1)
+        angle = _TWO_PI * u2
+        px, py = radius * jnp.cos(angle), radius * jnp.sin(angle)
+    origins = _defocus_origin(camera, px, py)
+    dirs = centers - origins
+    return origins, dirs

@@ -1,0 +1,96 @@
+"""Random number generation: WGSL-parity integer hash + threefry helpers.
+
+Reference mapping (compute_shader.wgsl:50-63 and friends):
+  - `wgsl_hash`            <- wgsl:50-59 (xor 2747636419; then 3 rounds of
+                              *2654435769, ^ >>16 between rounds)
+  - `wgsl_random_float`    <- wgsl:61-63  hash(v) / 4294967295.0
+  - `random_unit_vector`   <- wgsl:234-243 (z in [-1,1], angle in [0,2pi))
+  - `seed_from_f32`        <- the u32(camera.random_seed * 4294967295.0)
+                              expansion at wgsl:311,353
+
+The WGSL hash exists for bit-parity golden tests; the default RNG is JAX's
+counter-based threefry (`jax.random`), because the reference sampler has
+visible defects we only reproduce behind `parity=True` (SURVEY D2/D4 quirks).
+
+All functions are shape-polymorphic and work on uint32 arrays of any shape;
+uint32 arithmetic in JAX wraps, matching WGSL semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_U32_MAX_F = 4294967295.0
+_XOR_SEED = jnp.uint32(2747636419)
+_MUL = jnp.uint32(2654435769)
+
+
+def wgsl_hash(value: Array) -> Array:
+    """Exact re-implementation of the WGSL integer hash (wgsl:50-59)."""
+    state = jnp.asarray(value, jnp.uint32)
+    state = state ^ _XOR_SEED
+    state = state * _MUL
+    state = state ^ (state >> 16)
+    state = state * _MUL
+    state = state ^ (state >> 16)
+    state = state * _MUL
+    return state
+
+
+def wgsl_random_float(value: Array) -> Array:
+    """hash(value) / 4294967295.0 -> f32 in [0, 1] (wgsl:61-63)."""
+    return wgsl_hash(value).astype(jnp.float32) / jnp.float32(_U32_MAX_F)
+
+
+def seed_from_f32(seed01: Array) -> Array:
+    """u32(seed * 4294967295.0) with WGSL's saturating f32->u32 cast
+    (wgsl:311,353).  f32 cannot represent 2^32-1, so the product for seeds
+    near 1.0 rounds to 2^32 and saturates to u32::MAX in WGSL; we clamp to
+    match."""
+    x = jnp.asarray(seed01, jnp.float32) * jnp.float32(_U32_MAX_F)
+    x = jnp.clip(x, 0.0, _U32_MAX_F)
+    # Values >= 2^32 after f32 rounding clamp to the largest exactly-
+    # representable f32 below 2^32.
+    x = jnp.minimum(x, jnp.float32(4294967040.0))
+    return x.astype(jnp.uint32)
+
+
+def random_unit_vector(seed: Array) -> Array:
+    """Uniform point on the unit sphere from two hash draws (wgsl:234-243):
+    z = 2*rand(seed) - 1, a = rand(seed+1) * 2pi, r = sqrt(1-z^2).
+    Returns shape seed.shape + (3,)."""
+    seed = jnp.asarray(seed, jnp.uint32)
+    z = 2.0 * wgsl_random_float(seed) - 1.0
+    a = wgsl_random_float(seed + jnp.uint32(1)) * jnp.float32(6.283185307)
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return jnp.stack([r * jnp.cos(a), r * jnp.sin(a), z], axis=-1)
+
+
+def unit_vector_from_uniforms(u1: Array, u2: Array) -> Array:
+    """Uniform unit vector from two U[0,1) draws (threefry path)."""
+    z = 2.0 * u1 - 1.0
+    a = u2 * jnp.float32(2.0 * jnp.pi)
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return jnp.stack([r * jnp.cos(a), r * jnp.sin(a), z], axis=-1)
+
+
+def pixel_seeds(width: int, height: int, sample_index: Array, frame_seed_u32: Array) -> Array:
+    """Per-pixel base seed grid, matching get_ray's derivation (wgsl:309-311):
+    hash(hash(x*73) ^ hash(y*51) ^ (sample_index*25 + frame_seed)).
+
+    Returns a (height, width) uint32 array.
+    """
+    x = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 1)
+    y = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 0)
+    mixed = (
+        wgsl_hash(x * jnp.uint32(73))
+        ^ wgsl_hash(y * jnp.uint32(51))
+        ^ (
+            jnp.asarray(sample_index, jnp.uint32) * jnp.uint32(25)
+            + jnp.asarray(frame_seed_u32, jnp.uint32)
+        )
+    )
+    return wgsl_hash(mixed)

@@ -1,0 +1,77 @@
+"""Render configuration.
+
+The reference hard-codes every knob as a compile-time constant (resolution and
+workgroup size at lib.rs:24-26, camera defaults at camera.rs:30-46, movement
+speeds at camera.rs:116-122) so changing anything means recompiling the Rust
+binary.  Here the same knobs live in one frozen (hashable) dataclass that is
+passed as a *static* argument to the jitted render functions: XLA re-traces per
+distinct config, and everything that shapes the program (resolution, spp,
+depth, integrator) stays a Python-level constant inside the trace.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render settings (jit-static; hashable).
+
+    Mirrors, as explicit config, the reference's scattered constants:
+      - width/height       <- SIZE = (1280, 720), lib.rs:24-25
+      - spp                <- CameraSettings.samples_per_pixel = 500, camera.rs:33
+      - max_depth          <- CameraSettings.max_depth = 30, camera.rs:34
+      - t_min/t_max        <- the (0.001, 3.4e35) interval, compute_shader.wgsl:266
+    """
+
+    width: int = 1280
+    height: int = 720
+    spp: int = 1
+    max_depth: int = 30
+
+    # 'path'   = full lambertian/metal/dielectric path tracer (wgsl ray_color)
+    # 'normal' = normal-shading debug integrator (BASELINE config 1)
+    integrator: Literal["path", "normal"] = "path"
+
+    # 'threefry' = JAX counter-based RNG (default; high quality)
+    # 'wgsl'     = bit-exact re-implementation of the reference hash
+    #              (compute_shader.wgsl:50-63) for golden parity tests
+    rng: Literal["threefry", "wgsl"] = "threefry"
+
+    # parity=True reproduces the reference's sampler quirks exactly:
+    #   - defocus samples the disk RIM (wgsl:327-331)
+    #   - sample_square uses seed*seed for y (wgsl:299-303)
+    #   - depth-exhausted rays still get sky * throughput (wgsl:293-296)
+    # parity=False fixes all three (uniform disk, independent jitter,
+    # exhausted rays -> black).
+    parity: bool = False
+
+    t_min: float = 1.0e-3
+    t_max: float = 3.4e35
+
+    def __post_init__(self):
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError(f"invalid resolution {self.width}x{self.height}")
+        if self.spp <= 0:
+            raise ValueError(f"spp must be positive, got {self.spp}")
+        if self.max_depth <= 0:
+            raise ValueError(f"max_depth must be positive, got {self.max_depth}")
+        if self.parity and self.rng != "wgsl":
+            raise ValueError("parity=True requires rng='wgsl'")
+
+    @property
+    def resolution(self) -> tuple[int, int]:
+        return (self.width, self.height)
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+
+#: Reference defaults: 1280x720 window (lib.rs:24-25), 500-spp target
+#: (camera.rs:33), 30-bounce depth (camera.rs:34).
+REFERENCE_CONFIG = RenderConfig(
+    width=1280, height=720, spp=500, max_depth=30, integrator="path"
+)

@@ -1,0 +1,205 @@
+"""End-to-end tests for the render API (the reference's whole frame loop)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpu_ray_tracing_tpu import (
+    CameraSettings,
+    RenderConfig,
+    base_scene,
+    derive_camera,
+    init_accum,
+    progressive_step,
+    render,
+    render_animation,
+    render_progressive,
+    stack_camera_track,
+)
+from gpu_ray_tracing_tpu.models import camera as cam_ops
+
+BASE_CAMERA = CameraSettings(
+    look_from=jnp.asarray([0.0, 0.0, 1.0]),
+    look_at=jnp.asarray([0.0, 0.0, -1.0]),
+    vup=jnp.asarray([0.0, 1.0, 0.0]),
+    field_of_view=jnp.float32(60.0),
+    defocus_angle=jnp.float32(0.0),
+    focus_distance=jnp.float32(2.0),
+)
+
+
+def _cfg(**kw):
+    defaults = dict(width=64, height=48, spp=1, max_depth=8)
+    defaults.update(kw)
+    return RenderConfig(**defaults)
+
+
+def test_normal_shading_render_config1():
+    """BASELINE config-1 slice: base scene, normal shading, 1 spp."""
+    img = np.asarray(
+        render(base_scene(), BASE_CAMERA, _cfg(integrator="normal"), key=jax.random.key(0))
+    )
+    assert img.shape == (48, 64, 3)
+    assert np.all(np.isfinite(img))
+    # Normal-shading values are 0.5*(n+1) with |n| ~ 1 up to fp error on
+    # grazing hits; sky is <= 1 exactly.
+    assert np.all(img >= 0) and np.all(img <= 1.01)
+    # Center pixel looks at the blue-ish sphere head on -> normal shading
+    # color near (0.5, 0.5, 1.0).
+    center = img[24, 32]
+    np.testing.assert_allclose(center, [0.5, 0.5, 1.0], atol=0.05)
+    # Top corner pixels see sky.
+    assert img[0, 0, 2] > 0.9
+
+
+def test_render_is_deterministic_given_key():
+    scene = base_scene()
+    cfg = _cfg(spp=2)
+    a = np.asarray(render(scene, BASE_CAMERA, cfg, key=jax.random.key(5)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg, key=jax.random.key(5)))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(render(scene, BASE_CAMERA, cfg, key=jax.random.key(6)))
+    assert not np.array_equal(a, c)
+
+
+def test_wgsl_rng_render_deterministic():
+    scene = base_scene()
+    cfg = _cfg(rng="wgsl")
+    a = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(1)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(1)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_parity_mode_renders():
+    scene = base_scene()
+    cfg = _cfg(rng="wgsl", parity=True, spp=2)
+    img = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3)))
+    assert np.all(np.isfinite(img))
+    assert img.max() > 0.1
+
+
+def test_progressive_accumulation_equals_batch_mean():
+    """N progressive 1-spp steps == the mean of the N individual samples
+    (incremental-mean identity, wgsl:356)."""
+    scene = base_scene()
+    cfg = _cfg(spp=4)
+    cfg1 = _cfg(spp=1)
+    key = jax.random.key(9)
+
+    state = init_accum(cfg.height, cfg.width)
+    samples = []
+    for f in range(4):
+        kf = jax.random.fold_in(key, f)
+        state = progressive_step(state, scene, BASE_CAMERA, cfg, key=kf)
+        samples.append(np.asarray(render(scene, BASE_CAMERA, cfg1, key=kf)))
+    assert int(state.count) == 4
+    np.testing.assert_allclose(np.asarray(state.rgb), np.mean(samples, axis=0), atol=1e-5)
+
+
+def test_progressive_freezes_at_target():
+    scene = base_scene()
+    cfg = _cfg(spp=2)
+    state = init_accum(cfg.height, cfg.width)
+    for f in range(5):
+        state = progressive_step(
+            state, scene, BASE_CAMERA, cfg, key=jax.random.fold_in(jax.random.key(0), f)
+        )
+    assert int(state.count) == 2  # frozen at the spp target (wgsl:352)
+
+
+def test_progressive_reset_on_camera_move():
+    scene = base_scene()
+    cfg = _cfg(spp=8)
+    state = init_accum(cfg.height, cfg.width)
+    key = jax.random.key(1)
+    for f in range(3):
+        state = progressive_step(state, scene, BASE_CAMERA, cfg, key=jax.random.fold_in(key, f))
+    assert int(state.count) == 3
+    moved = cam_ops.dolly(BASE_CAMERA, 0.1)
+    state = progressive_step(
+        state, scene, moved, cfg, key=jax.random.fold_in(key, 3), reset=True
+    )
+    assert int(state.count) == 1  # reset then one fresh sample (wgsl:345-358)
+
+
+def test_render_progressive_runs_to_convergence():
+    scene = base_scene()
+    cfg = _cfg(spp=3)
+    state = render_progressive(scene, BASE_CAMERA, cfg, key=jax.random.key(2))
+    assert int(state.count) == 3
+    assert np.all(np.isfinite(np.asarray(state.rgb)))
+
+
+def test_animation_fly_through():
+    """BASELINE config-2 slice: camera track rendering."""
+    scene = base_scene()
+    cfg = _cfg(width=32, height=24, spp=2)
+    track = stack_camera_track(
+        [cam_ops.orbit_yaw(BASE_CAMERA, 0.1 * f) for f in range(3)]
+    )
+    frames = np.asarray(render_animation(scene, track, cfg, key=jax.random.key(0)))
+    assert frames.shape == (3, 24, 32, 3)
+    assert np.all(np.isfinite(frames))
+    # Different camera poses -> different frames.
+    assert not np.array_equal(frames[0], frames[2])
+
+
+def test_render_differentiable_wrt_albedo():
+    """North-star property: d(image)/d(scene albedo) exists and is nonzero."""
+    scene = base_scene()
+    cfg = _cfg(width=16, height=12, spp=1, max_depth=4)
+    key = jax.random.key(0)
+
+    def loss(albedo):
+        import dataclasses
+
+        s = dataclasses.replace(scene, albedo=albedo)
+        img = render(s, BASE_CAMERA, cfg, key=key)
+        return jnp.mean(img)
+
+    g = jax.grad(loss)(scene.albedo)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+def test_render_differentiable_wrt_camera():
+    scene = base_scene()
+    cfg = _cfg(width=16, height=12, spp=1, max_depth=2)
+
+    def loss(look_from):
+        s = BASE_CAMERA.replace(look_from=look_from)
+        img = render(scene, s, cfg, key=jax.random.key(0))
+        return jnp.mean(img)
+
+    g = jax.grad(loss)(BASE_CAMERA.look_from)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_spp_reduces_variance():
+    scene = base_scene()
+    imgs1 = [
+        np.asarray(render(scene, BASE_CAMERA, _cfg(spp=1), key=jax.random.key(k)))
+        for k in range(6)
+    ]
+    imgs8 = [
+        np.asarray(render(scene, BASE_CAMERA, _cfg(spp=8), key=jax.random.key(k)))
+        for k in range(6)
+    ]
+    var1 = np.var(np.stack(imgs1), axis=0).mean()
+    var8 = np.var(np.stack(imgs8), axis=0).mean()
+    assert var8 < var1 / 3.0
+
+
+def test_missing_key_raises():
+    with pytest.raises(ValueError):
+        render(base_scene(), BASE_CAMERA, _cfg())
+
+
+def test_invalid_config_rejected():
+    with pytest.raises(ValueError):
+        RenderConfig(width=0)
+    with pytest.raises(ValueError):
+        RenderConfig(spp=0)
+    with pytest.raises(ValueError):
+        RenderConfig(parity=True, rng="threefry")

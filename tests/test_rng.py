@@ -1,0 +1,90 @@
+"""Tests for the WGSL-parity RNG (compute_shader.wgsl:50-63)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpu_ray_tracing_tpu.ops import rng
+
+
+def _hash_py(value: int) -> int:
+    """Independent Python-int reimplementation of wgsl:50-59."""
+    m = (1 << 32) - 1
+    state = value & m
+    state ^= 2747636419
+    state = (state * 2654435769) & m
+    state ^= state >> 16
+    state = (state * 2654435769) & m
+    state ^= state >> 16
+    state = (state * 2654435769) & m
+    return state
+
+
+@pytest.mark.parametrize("value", [0, 1, 2, 73, 51 * 7, 2**31, 2**32 - 1, 123456789])
+def test_wgsl_hash_matches_scalar_reference(value):
+    got = int(rng.wgsl_hash(jnp.uint32(value)))
+    assert got == _hash_py(value)
+
+
+def test_wgsl_hash_vectorized():
+    vals = np.array([0, 1, 999, 2**32 - 1], np.uint32)
+    got = np.asarray(rng.wgsl_hash(jnp.asarray(vals)))
+    expected = np.array([_hash_py(int(v)) for v in vals], np.uint32)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_random_float_range_and_value():
+    vals = jnp.arange(0, 10000, dtype=jnp.uint32)
+    f = np.asarray(rng.wgsl_random_float(vals))
+    assert f.min() >= 0.0 and f.max() <= 1.0
+    # Exact value check against the scalar reference for one input.
+    expected = np.float32(_hash_py(42)) / np.float32(4294967295.0)
+    assert np.float32(rng.wgsl_random_float(jnp.uint32(42))) == expected
+
+
+def test_random_float_roughly_uniform():
+    vals = jnp.arange(0, 100000, dtype=jnp.uint32)
+    f = np.asarray(rng.wgsl_random_float(vals))
+    assert abs(f.mean() - 0.5) < 0.01
+    hist, _ = np.histogram(f, bins=10, range=(0, 1))
+    assert hist.min() > 8000  # no empty decile
+
+def test_random_unit_vector_is_unit_and_uniform():
+    seeds = jnp.arange(0, 20000, 2, dtype=jnp.uint32)
+    v = np.asarray(rng.random_unit_vector(seeds))
+    norms = np.linalg.norm(v, axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    # Mean should be near the origin for a uniform sphere distribution.
+    assert np.all(np.abs(v.mean(axis=0)) < 0.05)
+
+
+def test_unit_vector_from_uniforms():
+    u1 = jnp.linspace(0.01, 0.99, 512)
+    u2 = jnp.linspace(0.0, 1.0, 512)
+    v = np.asarray(rng.unit_vector_from_uniforms(u1, u2))
+    np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-5)
+
+
+def test_seed_from_f32_saturates():
+    assert int(rng.seed_from_f32(jnp.float32(0.0))) == 0
+    # Seeds near 1.0 saturate instead of wrapping (WGSL u32() semantics).
+    assert int(rng.seed_from_f32(jnp.float32(1.0))) == 4294967040
+    mid = int(rng.seed_from_f32(jnp.float32(0.5)))
+    assert abs(mid - 2**31) < 2**10
+
+
+def test_pixel_seeds_match_get_ray_derivation():
+    """pixel_seeds must equal hash(hash(x*73) ^ hash(y*51) ^ (s*25 + fs))
+    per wgsl:309-311."""
+    width, height = 7, 5
+    sample_index, frame_seed = 11, 98765
+    seeds = np.asarray(rng.pixel_seeds(width, height, jnp.uint32(sample_index), jnp.uint32(frame_seed)))
+    m = (1 << 32) - 1
+    for y in range(height):
+        for x in range(width):
+            mixed = (
+                _hash_py((x * 73) & m)
+                ^ _hash_py((y * 51) & m)
+                ^ ((sample_index * 25 + frame_seed) & m)
+            ) & m
+            assert int(seeds[y, x]) == _hash_py(mixed), (x, y)
