@@ -30,14 +30,16 @@ from gpu_ray_tracing_tpu.utils.config import RenderConfig
 Array = jax.Array
 
 # Soft cap on the (pixels x spheres) intersection working set per trace block;
-# keeps the pure-JAX path's (P, N) matmul intermediates inside a sane HBM
+# keeps the pure-JAX path's (P, N) matmul intermediates inside a sane memory
 # footprint at 1080p x hundreds of spheres.  (The Pallas backend tiles VMEM
-# explicitly and ignores this.)
-_BLOCK_BUDGET = 1 << 22
+# explicitly and ignores this.)  TPU/GPU HBM takes far larger blocks than the
+# CPU test runs; tiny blocks would serialize the chip into dispatch overhead.
+def _block_budget() -> int:
+    return (1 << 22) if jax.default_backend() == "cpu" else (1 << 27)
 
 
 def _trace_block_size(num_pixels: int, num_spheres: int) -> int:
-    per = max(1, _BLOCK_BUDGET // max(num_spheres, 1))
+    per = max(1, _block_budget() // max(num_spheres, 1))
     if per >= num_pixels:
         return num_pixels
     best = 1
@@ -52,25 +54,36 @@ def _trace_block_size(num_pixels: int, num_spheres: int) -> int:
     return best
 
 
-def _trace_chunked(origins: Array, dirs: Array, spheres: Spheres, config: RenderConfig, **rng_kw) -> Array:
+def _trace_chunked(
+    origins: Array,
+    dirs: Array,
+    spheres: Spheres,
+    config: RenderConfig,
+    pixel_seeds: Array | None = None,
+    **rng_kw,
+) -> Array:
     """Run the integrator over the framebuffer in memory-bounded pixel blocks."""
     h, w = origins.shape[0], origins.shape[1]
     p = h * w
     block = _trace_block_size(p, spheres.count)
 
-    def trace(o, d):
+    def trace(o, d, seeds):
         if config.integrator == "normal":
             return integrators.shade_normals(o, d, spheres, config.t_min, config.t_max)
         return integrators.trace_path(
             o, d, spheres, config.max_depth, config.t_min, config.t_max,
-            parity=config.parity, **rng_kw,
+            parity=config.parity, pixel_seeds=seeds, **rng_kw,
         )
 
     if block == p:
-        return trace(origins, dirs)
+        return trace(origins, dirs, pixel_seeds)
     o = origins.reshape(p // block, block, 3)
     d = dirs.reshape(p // block, block, 3)
-    out = jax.lax.map(lambda od: trace(od[0], od[1]), (o, d))
+    if pixel_seeds is None:
+        out = jax.lax.map(lambda od: trace(od[0], od[1], None), (o, d))
+    else:
+        s = pixel_seeds.reshape(p // block, block)
+        out = jax.lax.map(lambda ods: trace(ods[0], ods[1], ods[2]), (o, d, s))
     return out.reshape(h, w, 3)
 
 
@@ -90,6 +103,12 @@ def _render_one_sample(
         origins, dirs = rays.generate_rays_threefry(camera, w, h, k_ray)
         return _trace_chunked(origins, dirs, spheres, config, key=k_trace)
 
+    if config.rng == "hash":
+        origins, dirs, seeds = rays.generate_rays_hash(
+            camera, w, h, sample_index, frame_seed
+        )
+        return _trace_chunked(origins, dirs, spheres, config, pixel_seeds=seeds)
+
     # WGSL stream: update()'s scalar seed = 1 + samples_until_now + frame_seed
     # (wgsl:353); get_ray uses it per pixel, ray_color gets seed+1 (wgsl:355).
     sample_seed = (
@@ -100,6 +119,24 @@ def _render_one_sample(
     )
     bounce_seeds = integrators.make_bounce_seeds(sample_seed + jnp.uint32(1), config.max_depth)
     return _trace_chunked(origins, dirs, spheres, config, bounce_seeds=bounce_seeds)
+
+
+def _resolve_rng(config: RenderConfig, key, frame_seed):
+    """Normalize (key, frame_seed) for the configured RNG mode.
+
+    'threefry' needs a key.  'hash'/'wgsl' need a uint32 frame seed — given
+    directly, derived from a key if one was passed instead, else 0.
+    """
+    if config.rng == "threefry":
+        if key is None:
+            raise ValueError("config.rng='threefry' requires key=")
+        return key, None
+    if frame_seed is None:
+        if key is not None:
+            frame_seed = jax.random.key_data(key).ravel()[-1].astype(jnp.uint32)
+        else:
+            frame_seed = jnp.uint32(0)
+    return None, jnp.asarray(frame_seed, jnp.uint32)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -128,11 +165,7 @@ def render(
     """
     if isinstance(camera, CameraSettings):
         camera = derive_camera(camera, config.width, config.height)
-    if config.rng == "threefry":
-        if key is None:
-            raise ValueError("config.rng='threefry' requires key=")
-    elif frame_seed is None:
-        frame_seed = jnp.uint32(0)
+    key, frame_seed = _resolve_rng(config, key, frame_seed)
 
     def body(s, acc):
         sample = _render_one_sample(
@@ -168,11 +201,7 @@ def progressive_step(
     """
     if isinstance(camera, CameraSettings):
         camera = derive_camera(camera, config.width, config.height)
-    if config.rng == "threefry":
-        if key is None:
-            raise ValueError("config.rng='threefry' requires key=")
-    elif frame_seed is None:
-        frame_seed = jnp.uint32(0)
+    key, frame_seed = _resolve_rng(config, key, frame_seed)
 
     count = jnp.where(jnp.asarray(reset, bool), 0, state.count)
     sample = _render_one_sample(
@@ -206,14 +235,13 @@ def render_progressive(
     """
     frames = config.spp if num_frames is None else num_frames
     state = init_accum(config.height, config.width)
+    key, frame_seed = _resolve_rng(config, key, frame_seed)
 
     def body(f, st):
         return progressive_step(
             st, spheres, camera, config,
             key=jax.random.fold_in(key, f) if key is not None else None,
-            frame_seed=None if frame_seed is None and key is not None
-            else (jnp.asarray(frame_seed if frame_seed is not None else 0, jnp.uint32)
-                  + jnp.uint32(f) * jnp.uint32(2654435761)),
+            frame_seed=None if frame_seed is None else frame_seed,
             reset=False,
         )
 

@@ -65,11 +65,17 @@ def trace_path(
     *,
     key: Array | None = None,
     bounce_seeds: Array | None = None,
+    pixel_seeds: Array | None = None,
     parity: bool = False,
 ) -> Array:
     """Path-trace a batch of rays; returns linear RGB of shape dirs.shape.
 
     RNG: pass exactly one of
+      - pixel_seeds:  (batch,) uint32 per-pixel counter seeds (from
+                      generate_rays_hash); draws are pure functions of
+                      (pixel seed, bounce, salt) — position-equivariant, so
+                      results are independent of sharding/tiling.  The
+                      TPU-native default.
       - key:          threefry; independent per-pixel draws per bounce.
       - bounce_seeds: (max_depth,) uint32 scalar seeds, the WGSL stream.
                       NOTE the reference derives ONE scalar scatter seed per
@@ -80,8 +86,9 @@ def trace_path(
                       reproduce that faithfully here since it IS the WGSL
                       stream; the threefry path decorrelates pixels.
     """
-    if (key is None) == (bounce_seeds is None):
-        raise ValueError("pass exactly one of key= or bounce_seeds=")
+    n_rng = sum(x is not None for x in (key, bounce_seeds, pixel_seeds))
+    if n_rng != 1:
+        raise ValueError("pass exactly one of key=, bounce_seeds=, or pixel_seeds=")
 
     batch_shape = dirs.shape[:-1]
     throughput = jnp.ones((*batch_shape, 3), jnp.float32)
@@ -92,7 +99,15 @@ def trace_path(
         o, d, throughput, result, live = carry
         hit = intersect_spheres(o, d, spheres, t_min, t_max)
 
-        if key is not None:
+        if pixel_seeds is not None:
+            # Salts 16+3i..18+3i: three independent draws per bounce.
+            base = jnp.uint32(16) + jnp.uint32(3) * jnp.asarray(i, jnp.uint32)
+            unit_vec = rng_ops.unit_vector_from_uniforms(
+                rng_ops.uniform_hash(pixel_seeds, base),
+                rng_ops.uniform_hash(pixel_seeds, base + jnp.uint32(1)),
+            )
+            u_reflect = rng_ops.uniform_hash(pixel_seeds, base + jnp.uint32(2))
+        elif key is not None:
             k = jax.random.fold_in(key, i)
             k_uv, k_refl = jax.random.split(k)
             u = jax.random.uniform(k_uv, (2, *batch_shape), jnp.float32)

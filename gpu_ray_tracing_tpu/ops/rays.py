@@ -28,10 +28,23 @@ Array = jax.Array
 _TWO_PI = 6.283185307179586
 
 
-def _pixel_centers(camera: Camera, width: int, height: int, jitter_x: Array, jitter_y: Array) -> Array:
-    """upper_left + du*(x + 0.5 + jx) + dv*(y + 0.5 + jy)   (wgsl:314-317)."""
+def _pixel_centers(
+    camera: Camera,
+    width: int,
+    height: int,
+    jitter_x: Array,
+    jitter_y: Array,
+    y_offset: Array | int = 0,
+) -> Array:
+    """upper_left + du*(x + 0.5 + jx) + dv*(y + 0.5 + jy)   (wgsl:314-317).
+
+    `y_offset` shifts the global row index so a row shard of a taller frame
+    generates exactly the rays the full frame would.
+    """
     x = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
-    y = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+    y = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + jnp.asarray(
+        y_offset, jnp.float32
+    )
     fx = (x + 0.5 + jitter_x)[..., None]
     fy = (y + 0.5 + jitter_y)[..., None]
     return (
@@ -73,6 +86,42 @@ def generate_rays_threefry(
     return origins, dirs
 
 
+def generate_rays_hash(
+    camera: Camera,
+    width: int,
+    height: int,
+    sample_index: Array,
+    frame_seed_u32: Array,
+    *,
+    y_offset: Array | int = 0,
+    total_width: int | None = None,
+) -> tuple[Array, Array, Array]:
+    """Counter-based ray generation (the TPU-native default).
+
+    All draws derive from the GLOBAL pixel id, so the result is independent of
+    sharding/tiling: rendering rows [y0, y0+height) of a total_width-wide
+    frame yields exactly those rows of the full-frame render.
+
+    Returns (origins, dirs, pixel_seeds); pixel_seeds feeds the integrator's
+    per-bounce draws.
+    """
+    tw = width if total_width is None else total_width
+    x = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 1)
+    y = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 0) + jnp.uint32(y_offset)
+    pixel_ids = y * jnp.uint32(tw) + x
+    seeds = rng_ops.hash_pixel_seeds(pixel_ids, sample_index, frame_seed_u32)
+
+    jx = rng_ops.uniform_hash(seeds, 1) - 0.5
+    jy = rng_ops.uniform_hash(seeds, 2) - 0.5
+    centers = _pixel_centers(camera, width, height, jx, jy, y_offset)
+
+    radius = jnp.sqrt(rng_ops.uniform_hash(seeds, 3))
+    angle = _TWO_PI * rng_ops.uniform_hash(seeds, 4)
+    origins = _defocus_origin(camera, radius * jnp.cos(angle), radius * jnp.sin(angle))
+    dirs = centers - origins
+    return origins, dirs, seeds
+
+
 def generate_rays_wgsl(
     camera: Camera,
     width: int,
@@ -80,6 +129,8 @@ def generate_rays_wgsl(
     sample_seed_u32: Array,
     frame_seed_u32: Array,
     parity: bool,
+    *,
+    y_offset: Array | int = 0,
 ) -> tuple[Array, Array]:
     """WGSL-seeded ray generation for golden parity tests.
 
@@ -91,14 +142,14 @@ def generate_rays_wgsl(
     defocus); parity=False uses independent jitter and uniform-disk defocus
     while still drawing from the WGSL hash stream.
     """
-    seeds = rng_ops.pixel_seeds(width, height, sample_seed_u32, frame_seed_u32)
+    seeds = rng_ops.pixel_seeds(width, height, sample_seed_u32, frame_seed_u32, y_offset)
 
     jx = rng_ops.wgsl_random_float(seeds) - 0.5  # (wgsl:300)
     if parity:
         jy = rng_ops.wgsl_random_float(seeds * seeds) - 0.5  # quirk (wgsl:301)
     else:
         jy = rng_ops.wgsl_random_float(seeds + jnp.uint32(7919)) - 0.5
-    centers = _pixel_centers(camera, width, height, jx, jy)
+    centers = _pixel_centers(camera, width, height, jx, jy, y_offset)
 
     if parity:
         # Rim sampling: angle only, radius 1 (wgsl:327-331).

@@ -77,14 +77,60 @@ def unit_vector_from_uniforms(u1: Array, u2: Array) -> Array:
     return jnp.stack([r * jnp.cos(a), r * jnp.sin(a), z], axis=-1)
 
 
-def pixel_seeds(width: int, height: int, sample_index: Array, frame_seed_u32: Array) -> Array:
+# ---------------------------------------------------------------------------
+# Counter-based per-pixel RNG ("hash" mode — the TPU-native default).
+#
+# Every draw is a pure function of (global pixel id, sample index, frame seed,
+# salt).  This makes the whole renderer position-equivariant: a pixel's
+# randomness does not depend on batch shape or device placement, so a render
+# sharded over a mesh is bit-identical to the unsharded render, and the Pallas
+# megakernel can derive the very same stream per tile.  (jax.random/threefry
+# draws depend on the requested array shape, which breaks that.)
+# ---------------------------------------------------------------------------
+
+_SALT_MUL = jnp.uint32(0x68E31DA4)
+_PIX_MUL = jnp.uint32(2654435761)
+_SAMPLE_MUL = jnp.uint32(0x85EBCA6B)
+
+
+def hash2(seed: Array, salt) -> Array:
+    """Derive an independent stream from (seed, salt): hash(seed + salt*C)."""
+    return wgsl_hash(
+        jnp.asarray(seed, jnp.uint32) + jnp.asarray(salt, jnp.uint32) * _SALT_MUL
+    )
+
+
+def uniform_hash(seed: Array, salt) -> Array:
+    """U[0,1] f32 from (seed, salt)."""
+    return hash2(seed, salt).astype(jnp.float32) / jnp.float32(_U32_MAX_F)
+
+
+def hash_pixel_seeds(pixel_ids: Array, sample_index: Array, frame_seed_u32: Array) -> Array:
+    """Per-pixel base seed from global pixel id + sample index + frame seed."""
+    return wgsl_hash(
+        jnp.asarray(pixel_ids, jnp.uint32) * _PIX_MUL
+        ^ wgsl_hash(
+            jnp.asarray(sample_index, jnp.uint32) * _SAMPLE_MUL
+            + jnp.asarray(frame_seed_u32, jnp.uint32)
+        )
+    )
+
+
+def pixel_seeds(
+    width: int,
+    height: int,
+    sample_index: Array,
+    frame_seed_u32: Array,
+    y_offset: Array | int = 0,
+) -> Array:
     """Per-pixel base seed grid, matching get_ray's derivation (wgsl:309-311):
     hash(hash(x*73) ^ hash(y*51) ^ (sample_index*25 + frame_seed)).
 
-    Returns a (height, width) uint32 array.
+    Returns a (height, width) uint32 array.  `y_offset` shifts the global row
+    index (used when rendering a row shard of a larger frame).
     """
     x = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 1)
-    y = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 0)
+    y = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 0) + jnp.uint32(y_offset)
     mixed = (
         wgsl_hash(x * jnp.uint32(73))
         ^ wgsl_hash(y * jnp.uint32(51))

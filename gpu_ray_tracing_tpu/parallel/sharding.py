@@ -1,0 +1,201 @@
+"""Multi-chip rendering: framebuffer and sample sharding over a device mesh.
+
+The reference is strictly single-GPU (SURVEY §2c); this module supplies the
+TPU-native scaling path it lacks:
+
+  - rows of the framebuffer shard across mesh axis 'x' (pure data parallelism
+    — rays are independent, so there are no halos and no row-axis collectives)
+  - samples-per-pixel shard across mesh axis 's'; the per-chip partial sums
+    combine with one `psum` (the framework's only collective), carried on ICI
+
+Because the default RNG is counter-based on GLOBAL pixel ids
+(ops/rng.py "hash" mode), every device derives exactly the rays and scatter
+draws the full-frame render would for its rows/samples — the Monte Carlo
+estimator is the same function of the same random stream.  The 'wgsl' parity
+stream is position-based too and shards equally well; 'threefry' is
+shape-dependent and is rejected here.
+
+Equality caveat (SURVEY §7 hard part 3): XLA makes fusion/FMA rounding
+choices per compiled shape, so the sharded and unsharded programs can differ
+by ~1 ulp in the intersection quadratic; a path tracer amplifies a flipped
+hit decision into an O(1) change for that sample.  In practice a small
+fraction of a percent of pixels differ visibly at one sample; the images are
+statistically identical and converge together.  Tests assert that contract
+(tests/test_sharding.py::assert_images_match) rather than bitwise equality.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gpu_ray_tracing_tpu.api import _trace_chunked
+from gpu_ray_tracing_tpu.models.camera import Camera, CameraSettings, derive_camera
+from gpu_ray_tracing_tpu.models.spheres import Spheres
+from gpu_ray_tracing_tpu.ops import integrators, rays
+from gpu_ray_tracing_tpu.ops.accumulate import AccumState, fold_sample
+from gpu_ray_tracing_tpu.parallel.mesh import ROW_AXIS, SPP_AXIS
+from gpu_ray_tracing_tpu.utils.config import RenderConfig
+
+Array = jax.Array
+
+
+def _check(config: RenderConfig, mesh: Mesh):
+    if config.rng == "threefry":
+        raise ValueError(
+            "sharded rendering requires a position-equivariant RNG; use "
+            "config.rng='hash' (default) or 'wgsl', not 'threefry'"
+        )
+    n_rows = mesh.shape[ROW_AXIS]
+    n_spp = mesh.shape.get(SPP_AXIS, 1)
+    if config.height % n_rows != 0:
+        raise ValueError(f"height {config.height} not divisible by mesh rows {n_rows}")
+    if config.spp % n_spp != 0:
+        raise ValueError(f"spp {config.spp} not divisible by mesh spp axis {n_spp}")
+    return n_rows, n_spp
+
+
+def _local_sample(spheres, camera, config: RenderConfig, sample_index, frame_seed, y0, local_h):
+    """Trace one 1-spp pass for rows [y0, y0+local_h) of the global frame."""
+    w = config.width
+    if config.rng == "hash":
+        origins, dirs, seeds = rays.generate_rays_hash(
+            camera, w, local_h, sample_index, frame_seed,
+            y_offset=y0, total_width=w,
+        )
+        return _trace_chunked(origins, dirs, spheres, config, pixel_seeds=seeds)
+    # wgsl stream (see api._render_one_sample for the seed chain mapping)
+    sample_seed = (
+        jnp.uint32(1) + jnp.asarray(sample_index, jnp.uint32) + jnp.asarray(frame_seed, jnp.uint32)
+    )
+    origins, dirs = rays.generate_rays_wgsl(
+        camera, w, local_h, sample_seed, jnp.asarray(frame_seed, jnp.uint32),
+        config.parity, y_offset=y0,
+    )
+    bounce_seeds = integrators.make_bounce_seeds(sample_seed + jnp.uint32(1), config.max_depth)
+    return _trace_chunked(origins, dirs, spheres, config, bounce_seeds=bounce_seeds)
+
+
+@partial(jax.jit, static_argnames=("config", "mesh"))
+def render_sharded(
+    spheres: Spheres,
+    camera: Camera | CameraSettings,
+    config: RenderConfig,
+    mesh: Mesh,
+    *,
+    frame_seed: Array | None = None,
+) -> Array:
+    """Render one frame with rows sharded over mesh axis 'x' and spp over 's'.
+
+    Returns the (height, width, 3) image, sharded (rows) across the mesh.
+    Bit-identical to the unsharded `render` with the same config/seed.
+    """
+    if isinstance(camera, CameraSettings):
+        camera = derive_camera(camera, config.width, config.height)
+    n_rows, n_spp = _check(config, mesh)
+    local_h = config.height // n_rows
+    spp_local = config.spp // n_spp
+    if frame_seed is None:
+        frame_seed = jnp.uint32(0)
+    frame_seed = jnp.asarray(frame_seed, jnp.uint32)
+
+    def body(spheres, camera, frame_seed):
+        xi = jax.lax.axis_index(ROW_AXIS)
+        si = jax.lax.axis_index(SPP_AXIS)
+        y0 = xi * local_h
+
+        def sample_body(j, acc):
+            s_global = si * spp_local + j
+            return acc + _local_sample(
+                spheres, camera, config, s_global, frame_seed, y0, local_h
+            )
+
+        acc = jax.lax.fori_loop(
+            0, spp_local, sample_body, jnp.zeros((local_h, config.width, 3), jnp.float32)
+        )
+        # The framework's single collective: mean over the spp axis (ICI).
+        total = jax.lax.psum(acc, SPP_AXIS)
+        return total / jnp.float32(config.spp)
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(ROW_AXIS, None, None),
+        check_vma=False,
+    )
+    return sharded(spheres, camera, frame_seed)
+
+
+@partial(jax.jit, static_argnames=("config", "mesh"))
+def progressive_step_sharded(
+    state: AccumState,
+    spheres: Spheres,
+    camera: Camera | CameraSettings,
+    config: RenderConfig,
+    mesh: Mesh,
+    *,
+    frame_seed: Array | None = None,
+    reset: Array | bool = False,
+) -> AccumState:
+    """Sharded progressive accumulation step (one spp-axis batch per call).
+
+    The accumulation state rgb stays row-sharded across the mesh for its whole
+    lifetime; with an 's' axis of size k, each step folds k samples (weighted
+    incremental mean), so convergence needs spp/k steps.
+    """
+    if isinstance(camera, CameraSettings):
+        camera = derive_camera(camera, config.width, config.height)
+    n_rows, n_spp = _check(config, mesh)
+    local_h = config.height // n_rows
+    if frame_seed is None:
+        frame_seed = jnp.uint32(0)
+    frame_seed = jnp.asarray(frame_seed, jnp.uint32)
+    reset = jnp.asarray(reset, bool)
+
+    def body(rgb_local, count, spheres, camera, frame_seed, reset):
+        xi = jax.lax.axis_index(ROW_AXIS)
+        si = jax.lax.axis_index(SPP_AXIS)
+        y0 = xi * local_h
+
+        rgb_local = jnp.where(reset, 0.0, rgb_local)
+        count = jnp.where(reset, 0, count)
+
+        s_global = count + si
+        sample = _local_sample(spheres, camera, config, s_global, frame_seed, y0, local_h)
+        batch = jax.lax.psum(sample, SPP_AXIS)  # sum of n_spp fresh samples
+
+        converged = count >= config.spp
+        k = jnp.int32(n_spp)
+        new_count = jnp.minimum(count + k, jnp.int32(config.spp))
+        taken = (new_count - count).astype(jnp.float32)
+        # Weighted incremental mean: fold `taken` fresh samples at once.
+        new_rgb = jnp.where(
+            taken > 0,
+            (rgb_local * count.astype(jnp.float32) + batch * (taken / jnp.float32(n_spp)))
+            / jnp.maximum(count.astype(jnp.float32) + taken, 1.0),
+            rgb_local,
+        )
+        rgb_out = jnp.where(converged, rgb_local, new_rgb)
+        count_out = jnp.where(converged, count, new_count)
+        return rgb_out, count_out
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(ROW_AXIS, None, None), P(), P(), P(), P(), P()),
+        out_specs=(P(ROW_AXIS, None, None), P()),
+        check_vma=False,
+    )
+    rgb, count = sharded(state.rgb, state.count, spheres, camera, frame_seed, reset)
+    return AccumState(rgb=rgb, count=count)
+
+
+def shard_accum_state(state: AccumState, mesh: Mesh) -> AccumState:
+    """Place an accumulation state with rows sharded across the mesh."""
+    rgb = jax.device_put(state.rgb, NamedSharding(mesh, P(ROW_AXIS, None, None)))
+    count = jax.device_put(state.count, NamedSharding(mesh, P()))
+    return AccumState(rgb=rgb, count=count)

@@ -35,10 +35,14 @@ class RenderConfig:
     # 'normal' = normal-shading debug integrator (BASELINE config 1)
     integrator: Literal["path", "normal"] = "path"
 
-    # 'threefry' = JAX counter-based RNG (default; high quality)
-    # 'wgsl'     = bit-exact re-implementation of the reference hash
+    # 'hash'     = counter-based per-pixel hash RNG (default): every draw is
+    #              a pure function of (global pixel id, sample, frame seed,
+    #              salt), so renders are bit-identical under any sharding or
+    #              tiling, and the Pallas kernel derives the same stream.
+    # 'threefry' = jax.random streams (shape-dependent; not shard-invariant)
+    # 'wgsl'     = bit-exact re-implementation of the reference hash chains
     #              (compute_shader.wgsl:50-63) for golden parity tests
-    rng: Literal["threefry", "wgsl"] = "threefry"
+    rng: Literal["hash", "threefry", "wgsl"] = "hash"
 
     # parity=True reproduces the reference's sampler quirks exactly:
     #   - defocus samples the disk RIM (wgsl:327-331)

@@ -79,12 +79,26 @@ def test_parity_mode_renders():
     assert img.max() > 0.1
 
 
+def test_progressive_equals_batch_render_hash_mode():
+    """Default (hash) mode: N progressive steps with a fixed frame seed
+    reproduce render(spp=N, frame_seed) exactly — the progressive stream IS
+    the batch stream, indexed by the accumulated count."""
+    scene = base_scene()
+    cfg = _cfg(spp=4)
+    fs = jnp.uint32(77)
+    state = init_accum(cfg.height, cfg.width)
+    for _ in range(4):
+        state = progressive_step(state, scene, BASE_CAMERA, cfg, frame_seed=fs)
+    batch = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=fs))
+    np.testing.assert_allclose(np.asarray(state.rgb), batch, atol=1e-5)
+
+
 def test_progressive_accumulation_equals_batch_mean():
     """N progressive 1-spp steps == the mean of the N individual samples
     (incremental-mean identity, wgsl:356)."""
     scene = base_scene()
-    cfg = _cfg(spp=4)
-    cfg1 = _cfg(spp=1)
+    cfg = _cfg(spp=4, rng="threefry")
+    cfg1 = _cfg(spp=1, rng="threefry")
     key = jax.random.key(9)
 
     state = init_accum(cfg.height, cfg.width)
@@ -193,7 +207,18 @@ def test_spp_reduces_variance():
 
 def test_missing_key_raises():
     with pytest.raises(ValueError):
-        render(base_scene(), BASE_CAMERA, _cfg())
+        render(base_scene(), BASE_CAMERA, _cfg(rng="threefry"))
+
+
+def test_hash_mode_key_derives_frame_seed():
+    """hash mode accepts either frame_seed or a key (derived)."""
+    scene = base_scene()
+    cfg = _cfg(spp=1)
+    a = np.asarray(render(scene, BASE_CAMERA, cfg, key=jax.random.key(3)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg, key=jax.random.key(3)))
+    c = np.asarray(render(scene, BASE_CAMERA, cfg, key=jax.random.key(4)))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
 
 
 def test_invalid_config_rejected():

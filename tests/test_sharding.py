@@ -1,0 +1,135 @@
+"""Multi-chip sharding tests on 8 simulated host devices (SURVEY §4).
+
+The invariant under test: sharded rendering draws exactly the same random
+stream as single-device rendering (counter-based RNG on global pixel ids), so
+the images agree except where XLA's per-shape fusion/FMA rounding flips a
+borderline hit decision (~0.1% of pixel-samples; see parallel/sharding.py).
+`assert_images_match` encodes that contract.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpu_ray_tracing_tpu import (
+    CameraSettings,
+    RenderConfig,
+    base_scene,
+    init_accum,
+    one_weekend_scene,
+    render,
+)
+from gpu_ray_tracing_tpu.parallel.mesh import ROW_AXIS, make_mesh
+from gpu_ray_tracing_tpu.parallel.sharding import (
+    progressive_step_sharded,
+    render_sharded,
+    shard_accum_state,
+)
+from tests.test_api import BASE_CAMERA
+
+
+def assert_images_match(a, b, flip_frac=0.01, mean_tol=1e-4):
+    """Images from the same RNG stream: identical everywhere except a tiny
+    fraction of compiler-rounding decision flips."""
+    a, b = np.asarray(a), np.asarray(b)
+    d = np.abs(a - b).max(axis=-1)
+    assert d.size > 0
+    frac = float((d > 1e-3).sum()) / d.size
+    assert frac <= flip_frac, f"{frac:.4%} of pixels differ materially"
+    assert float(np.abs(a - b).mean()) < mean_tol
+
+
+def _cfg(**kw):
+    defaults = dict(width=64, height=48, spp=1, max_depth=6)
+    defaults.update(kw)
+    return RenderConfig(**defaults)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return base_scene()
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_row_sharded_render_matches_unsharded(scene):
+    mesh = make_mesh(8, 1)
+    cfg = _cfg()
+    a = np.asarray(render_sharded(scene, BASE_CAMERA, cfg, mesh, frame_seed=jnp.uint32(5)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(5)))
+    assert_images_match(a, b)
+
+
+def test_row_sharded_render_wgsl_stream(scene):
+    mesh = make_mesh(8, 1)
+    cfg = _cfg(rng="wgsl")
+    a = np.asarray(render_sharded(scene, BASE_CAMERA, cfg, mesh, frame_seed=jnp.uint32(9)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(9)))
+    assert_images_match(a, b)
+
+
+def test_spp_sharded_render_matches_unsharded(scene):
+    mesh = make_mesh(4, 2)
+    cfg = _cfg(spp=4)
+    a = np.asarray(render_sharded(scene, BASE_CAMERA, cfg, mesh, frame_seed=jnp.uint32(1)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(1)))
+    # Same sample set; reduction order and fusion rounding may differ.
+    assert_images_match(a, b)
+
+
+def test_sharded_output_is_row_sharded(scene):
+    mesh = make_mesh(8, 1)
+    img = render_sharded(scene, BASE_CAMERA, _cfg(), mesh, frame_seed=jnp.uint32(0))
+    spec = img.sharding.spec
+    assert spec[0] == ROW_AXIS
+
+
+def test_sharded_one_weekend_scene():
+    """Bigger scene through the sharded path (BASELINE config-5 shape)."""
+    scene = one_weekend_scene(jax.random.key(0))
+    mesh = make_mesh(8, 1)
+    cfg = _cfg(width=64, height=40, spp=1, max_depth=8)
+    a = np.asarray(render_sharded(scene, CameraSettings.default(), cfg, mesh,
+                                  frame_seed=jnp.uint32(3)))
+    b = np.asarray(render(scene, CameraSettings.default(), cfg,
+                          frame_seed=jnp.uint32(3)))
+    assert_images_match(a, b)
+
+
+def test_progressive_sharded_matches_batch(scene):
+    """spp/k sharded progressive steps == the full batch render."""
+    mesh = make_mesh(4, 2)
+    cfg = _cfg(spp=4)
+    fs = jnp.uint32(11)
+    state = shard_accum_state(init_accum(cfg.height, cfg.width), mesh)
+    for _ in range(2):  # 2 steps x 2 spp-shards = 4 samples
+        state = progressive_step_sharded(state, scene, BASE_CAMERA, cfg, mesh, frame_seed=fs)
+    assert int(state.count) == 4
+    batch = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=fs))
+    assert_images_match(np.asarray(state.rgb), batch)
+
+
+def test_progressive_sharded_freeze_and_reset(scene):
+    mesh = make_mesh(8, 1)
+    cfg = _cfg(spp=2)
+    state = shard_accum_state(init_accum(cfg.height, cfg.width), mesh)
+    for _ in range(4):
+        state = progressive_step_sharded(state, scene, BASE_CAMERA, cfg, mesh)
+    assert int(state.count) == 2  # frozen at target
+    state = progressive_step_sharded(state, scene, BASE_CAMERA, cfg, mesh, reset=True)
+    assert int(state.count) == 1
+
+
+def test_threefry_rejected_for_sharding(scene):
+    mesh = make_mesh(8, 1)
+    with pytest.raises(ValueError):
+        render_sharded(scene, BASE_CAMERA, _cfg(rng="threefry"), mesh)
+
+
+def test_indivisible_height_rejected(scene):
+    mesh = make_mesh(8, 1)
+    with pytest.raises(ValueError):
+        render_sharded(scene, BASE_CAMERA, _cfg(height=50), mesh)
