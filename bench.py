@@ -27,7 +27,9 @@ def main() -> None:
     from gpu_ray_tracing_tpu import CameraSettings, RenderConfig, one_weekend_scene, render
 
     width, height = 1920, 1080
-    config = RenderConfig(width=width, height=height, spp=1, integrator="normal")
+    config = RenderConfig(
+        width=width, height=height, spp=1, integrator="normal", backend="pallas"
+    )
     scene = one_weekend_scene(jax.random.key(0)).pad_to_multiple(128)
     camera = CameraSettings.default()
     scene = jax.device_put(scene)

@@ -104,6 +104,16 @@ def _render_one_sample(
         return _trace_chunked(origins, dirs, spheres, config, key=k_trace)
 
     if config.rng == "hash":
+        if config.backend == "pallas":
+            from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
+
+            return render_pallas(
+                spheres, camera, width=w, height=h,
+                sample_index=sample_index, frame_seed=frame_seed,
+                max_depth=config.max_depth, t_min=config.t_min,
+                t_max=config.t_max,
+                mode="normal" if config.integrator == "normal" else "path",
+            )
         origins, dirs, seeds = rays.generate_rays_hash(
             camera, w, h, sample_index, frame_seed
         )

@@ -1,0 +1,447 @@
+"""Fused Pallas megakernel: the WGSL compute shader's TPU-native equivalent.
+
+This is the framework's device kernel — the counterpart of the reference's
+entire `compute_shader.wgsl` (ray trace at wgsl:261-297, closest hit at
+wgsl:164-221, materials at wgsl:84-141, update dispatch at wgsl:333-364) —
+written for the TPU vector unit instead of a SIMT grid:
+
+  - Pixels tile onto (R, 128) VPU planes (sublanes x lanes); one grid step
+    traces TILE_ROWS*128 pixels.  Where the reference runs 8x8 workgroups of
+    scalar threads, here every arithmetic op processes a full vector tile.
+  - The scene lives in VMEM as a (16, N) plane (SoA; ~32 KB at N=512); the
+    sphere scan is a fori_loop broadcasting one sphere's scalars against the
+    whole pixel tile per step — the reference's per-thread linear scan
+    (wgsl:169-179) with its shrinking closest-so-far window, vectorized.
+  - The closest-hit carry tracks (t_best, index, and the hit sphere's
+    attributes) so no gather is needed after the scan.
+  - The bounce loop runs entirely in VMEM (registers): no (pixels x spheres)
+    or per-bounce intermediates ever touch HBM, which is what limits the
+    pure-JAX path.  Dead lanes are masked; the loop exits early once every
+    ray in the tile has terminated (the vector analogue of the reference's
+    per-thread `break`, wgsl:289).
+  - RNG is the framework's counter-based hash stream (ops/rng.py), seeded
+    per pixel — draw-for-draw identical to the pure-JAX 'hash' integrator,
+    so the two backends produce the same image up to fp rounding.
+
+Ray generation (the reference's get_ray, wgsl:305-331) is fused into the
+kernel too: a 2D grid of (TILE_ROWS, 128) image tiles derives pixel ids from
+program ids, draws jitter/defocus from the hash stream, and builds rays from
+~20 camera scalars in SMEM.  Per frame the kernel reads ~200 bytes + the
+scene and writes only the image — there is no per-ray HBM traffic at all.
+All vector math is on separate x/y/z component planes (component-of-arrays),
+so every elementwise op is a full-width VPU op with no 3-lane padding waste.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpu_ray_tracing_tpu.models.spheres import Spheres
+from gpu_ray_tracing_tpu.ops import rng as rng_ops
+
+Array = jax.Array
+
+# Scene plane rows (first axis of the (16, N) VMEM scene array).
+_CX, _CY, _CZ, _RAD, _C2R2, _ALR, _ALG, _ALB, _KIND, _PARAM, _ACTIVE = range(11)
+_SCENE_ROWS = 16  # padded to a sublane multiple
+
+TILE_ROWS = 32  # pixels per tile = TILE_ROWS * 128
+
+
+def scene_planes(spheres: Spheres) -> Array:
+    """Pack a Spheres SoA into the (16, N) f32 VMEM scene layout."""
+    n = spheres.count
+    planes = jnp.zeros((_SCENE_ROWS, n), jnp.float32)
+    c = spheres.centers
+    r = spheres.radii
+    planes = planes.at[_CX].set(c[:, 0])
+    planes = planes.at[_CY].set(c[:, 1])
+    planes = planes.at[_CZ].set(c[:, 2])
+    planes = planes.at[_RAD].set(r)
+    planes = planes.at[_C2R2].set(jnp.sum(c * c, axis=-1) - r * r)
+    planes = planes.at[_ALR].set(spheres.albedo[:, 0])
+    planes = planes.at[_ALG].set(spheres.albedo[:, 1])
+    planes = planes.at[_ALB].set(spheres.albedo[:, 2])
+    planes = planes.at[_KIND].set(spheres.mat_kind.astype(jnp.float32))
+    planes = planes.at[_PARAM].set(spheres.mat_param)
+    planes = planes.at[_ACTIVE].set((r > 0.0).astype(jnp.float32))
+    return planes
+
+
+def _closest_hit(scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz):
+    """Vectorized shrinking-window sphere scan (wgsl:164-221).
+
+    Returns (t, hit, nx, ny, nz (face normal), front, alr, alg, alb, kind,
+    param) as (R, 128) planes.
+    """
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+    od = ox * dx + oy * dy + oz * dz
+    oo = ox * ox + oy * oy + oz * oz
+
+    big = jnp.float32(t_max)
+    t0 = jnp.full(ox.shape, big, jnp.float32)
+    zero = jnp.zeros(ox.shape, jnp.float32)
+
+    def body(j, carry):
+        tb, cxp, cyp, czp, rp, ar, ag, ab, kp, pp = carry
+        cx = scene_ref[_CX, j]
+        cy = scene_ref[_CY, j]
+        cz = scene_ref[_CZ, j]
+        c2r2 = scene_ref[_C2R2, j]
+        active = scene_ref[_ACTIVE, j]
+
+        h = cx * dx + cy * dy + cz * dz - od  # dot(center-origin, d)
+        cc = c2r2 - 2.0 * (cx * ox + cy * oy + cz * oz) + oo
+        disc = h * h - a * cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        rn = (h - sq) * inv_a
+        rf = (h + sq) * inv_a
+        # Shrinking window: tb is the current closest (wgsl:167,174).
+        nok = (rn > t_min) & (rn < tb)
+        fok = (rf > t_min) & (rf < tb)
+        root = jnp.where(nok, rn, rf)
+        better = (disc >= 0.0) & (nok | fok) & (active > 0.0)
+
+        tb = jnp.where(better, root, tb)
+        cxp = jnp.where(better, cx, cxp)
+        cyp = jnp.where(better, cy, cyp)
+        czp = jnp.where(better, cz, czp)
+        rp = jnp.where(better, scene_ref[_RAD, j], rp)
+        ar = jnp.where(better, scene_ref[_ALR, j], ar)
+        ag = jnp.where(better, scene_ref[_ALG, j], ag)
+        ab = jnp.where(better, scene_ref[_ALB, j], ab)
+        kp = jnp.where(better, scene_ref[_KIND, j], kp)
+        pp = jnp.where(better, scene_ref[_PARAM, j], pp)
+        return tb, cxp, cyp, czp, rp, ar, ag, ab, kp, pp
+
+    init = (t0, zero, zero, zero, zero, zero, zero, zero, zero, zero)
+    tb, cxp, cyp, czp, rp, ar, ag, ab, kp, pp = jax.lax.fori_loop(
+        0, n_spheres, body, init
+    )
+
+    hit = tb < big
+    t = jnp.where(hit, tb, 1.0)  # benign t for misses (no 1e35 overflow)
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    inv_r = 1.0 / jnp.where(rp != 0.0, rp, 1.0)
+    nx = (px - cxp) * inv_r
+    ny = (py - cyp) * inv_r
+    nz = (pz - czp) * inv_r
+    front = dx * nx + dy * ny + dz * nz < 0.0  # (wgsl:159)
+    sign = jnp.where(front, 1.0, -1.0)
+    nx, ny, nz = nx * sign, ny * sign, nz * sign  # flip toward ray (wgsl:160)
+    return t, hit, px, py, pz, nx, ny, nz, front, ar, ag, ab, kp, pp
+
+
+def _sky(dx, dy, dz):
+    """Vertical white->blue gradient (wgsl:293-296)."""
+    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    a = 0.5 * (dy * inv_len + 1.0)
+    return 1.0 - 0.5 * a, 1.0 - 0.3 * a, jnp.ones_like(a)  # lerp to (.5,.7,1)
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
+    return x * inv, y * inv, z * inv
+
+
+def _uniform(seeds, salt):
+    return rng_ops.uniform_hash(seeds, salt)
+
+
+def _scatter(dx, dy, dz, nx, ny, nz, front, ar, ag, ab, kp, pp, seeds, salt_base):
+    """Branchless three-material scatter on component planes (wgsl:84-141).
+
+    Draw-for-draw identical to ops/materials.scatter under the hash stream.
+    Returns (sx, sy, sz, attr, attg, attb, ok).
+    """
+    # Shared random unit vector (salts match ops/integrators.trace_path).
+    u1 = _uniform(seeds, salt_base)
+    u2 = _uniform(seeds, salt_base + jnp.uint32(1))
+    u_reflect = _uniform(seeds, salt_base + jnp.uint32(2))
+    z = 2.0 * u1 - 1.0
+    ang = u2 * jnp.float32(2.0 * jnp.pi)
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    ux, uy, uz = r * jnp.cos(ang), r * jnp.sin(ang), z
+
+    # lambertian (wgsl:84-93)
+    lx, ly, lz = nx + ux, ny + uy, nz + uz
+    degen = lx * lx + ly * ly + lz * lz < 1e-6
+    lx = jnp.where(degen, nx, lx)
+    ly = jnp.where(degen, ny, ly)
+    lz = jnp.where(degen, nz, lz)
+
+    # metal (wgsl:95-100)
+    rx, ry, rz = _normalize3(*_reflect(dx, dy, dz, nx, ny, nz))
+    rx, ry, rz = rx + pp * ux, ry + pp * uy, rz + pp * uz
+    mx, my, mz = _normalize3(rx, ry, rz)
+    metal_ok = rx * nx + ry * ny + rz * nz > 0.0
+
+    # dielectric (wgsl:102-135); pp is ior on dielectric lanes
+    ior = jnp.where(kp > 1.5, pp, 1.5)
+    eta = jnp.where(front, 1.0 / ior, ior)
+    udx, udy, udz = _normalize3(dx, dy, dz)
+    cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    cannot = eta * sin_t > 1.0
+    r0 = (1.0 - eta) / (1.0 + eta)
+    r0 = r0 * r0
+    # pow(1-cos, 5) via squarings (wgsl:140)
+    om = 1.0 - cos_t
+    om2 = om * om
+    schlick = r0 + (1.0 - r0) * (om2 * om2 * om)
+    refl_p = cannot | (schlick > u_reflect)
+    # refract (book formulation; equals WGSL refract off-TIR)
+    rpx = eta * (udx + cos_t * nx)
+    rpy = eta * (udy + cos_t * ny)
+    rpz = eta * (udz + cos_t * nz)
+    k = jnp.maximum(1.0 - (rpx * rpx + rpy * rpy + rpz * rpz), 0.0)
+    sk = jnp.sqrt(k)
+    fx, fy, fz = rpx - sk * nx, rpy - sk * ny, rpz - sk * nz
+    ex, ey, ez = _reflect(udx, udy, udz, nx, ny, nz)
+    gx = jnp.where(refl_p, ex, fx)
+    gy = jnp.where(refl_p, ey, fy)
+    gz = jnp.where(refl_p, ez, fz)
+    gx, gy, gz = _normalize3(gx, gy, gz)
+
+    # select by kind: 0 lambertian, 1 metal, 2 dielectric
+    is_lam = kp < 0.5
+    is_metal = (kp >= 0.5) & (kp < 1.5)
+    sx = jnp.where(is_lam, lx, jnp.where(is_metal, mx, gx))
+    sy = jnp.where(is_lam, ly, jnp.where(is_metal, my, gy))
+    sz = jnp.where(is_lam, lz, jnp.where(is_metal, mz, gz))
+    is_diel = kp >= 1.5
+    attr = jnp.where(is_diel, 1.0, ar)
+    attg = jnp.where(is_diel, 1.0, ag)
+    attb = jnp.where(is_diel, 1.0, ab)
+    # Boolean logic, not jnp.where on i1 vectors — Mosaic cannot lower a
+    # vector select with i1 value operands ("unsupported bitwidth").
+    ok = (~is_metal) | metal_ok
+    return sx, sy, sz, attr, attg, attb, ok
+
+
+def _reflect(dx, dy, dz, nx, ny, nz):
+    dn = dx * nx + dy * ny + dz * nz
+    return dx - 2.0 * dn * nx, dy - 2.0 * dn * ny, dz - 2.0 * dn * nz
+
+
+def _kernel(
+    cam_ref,  # (1, 24) f32 SMEM camera scalars
+    ints_ref,  # (1, 8) u32 SMEM: [sample_index, frame_seed, y_offset, ...]
+    scene_ref,  # (16, N) f32 SMEM scene
+    outr_ref, outg_ref, outb_ref,
+    *,
+    width: int,
+    n_spheres: int,
+    max_depth: int,
+    t_min: float,
+    t_max: float,
+    mode: str,
+):
+    """One (TILE_ROWS x 128)-pixel image tile: ray gen -> trace -> write.
+
+    Fuses the reference's get_ray (wgsl:305-331) into the trace kernel so no
+    per-ray data ever crosses HBM: inputs are ~200 bytes of scalars, the
+    output is the tile's RGB.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    shape = (outr_ref.shape[0], outr_ref.shape[1])
+
+    y = i * shape[0] + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    x = j * shape[1] + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    y = y + ints_ref[0, 2]  # row shard offset
+    # Global pixel id uses the REAL frame width so the stream matches the
+    # pure-JAX 'hash' integrator exactly (ops/rays.generate_rays_hash).
+    # i32 -> u32 astype is modular (bit-preserving); Mosaic supports it,
+    # unlike scalar bitcasts.
+    pid = (y * width + x).astype(jnp.uint32)
+    seeds = rng_ops.hash_pixel_seeds(
+        pid, ints_ref[0, 0].astype(jnp.uint32), ints_ref[0, 1].astype(jnp.uint32)
+    )
+
+    # Jittered pixel center (wgsl:314-317); salts match generate_rays_hash.
+    jx = _uniform(seeds, 1) - 0.5
+    jy = _uniform(seeds, 2) - 0.5
+    fx = x.astype(jnp.float32) + 0.5 + jx
+    fy = y.astype(jnp.float32) + 0.5 + jy
+
+    def cam(k):
+        return cam_ref[0, k]
+
+    # rows: center 0-2, upper_left 3-5, pdu 6-8, pdv 9-11, disk_u 12-14,
+    # disk_v 15-17, defocus_angle 18
+    pcx = cam(3) + cam(6) * fx + cam(9) * fy
+    pcy = cam(4) + cam(7) * fx + cam(10) * fy
+    pcz = cam(5) + cam(8) * fx + cam(11) * fy
+
+    # Uniform-disk thin-lens origin (defocus off -> mask 0, stays pinhole).
+    radius = jnp.sqrt(_uniform(seeds, 3))
+    ang = _uniform(seeds, 4) * jnp.float32(2.0 * jnp.pi)
+    pxd = radius * jnp.cos(ang)
+    pyd = radius * jnp.sin(ang)
+    lens = (cam(18) > 0.0).astype(jnp.float32)
+    ox = cam(0) + lens * (pxd * cam(12) + pyd * cam(15))
+    oy = cam(1) + lens * (pxd * cam(13) + pyd * cam(16))
+    oz = cam(2) + lens * (pxd * cam(14) + pyd * cam(17))
+    dx, dy, dz = pcx - ox, pcy - oy, pcz - oz  # not normalized (wgsl:322)
+
+    if mode == "normal":
+        _, hit, _, _, _, nx, ny, nz, _, _, _, _, _, _ = _closest_hit(
+            scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz
+        )
+        skr, skg, skb = _sky(dx, dy, dz)
+        outr_ref[:] = jnp.where(hit, 0.5 * (nx + 1.0), skr)
+        outg_ref[:] = jnp.where(hit, 0.5 * (ny + 1.0), skg)
+        outb_ref[:] = jnp.where(hit, 0.5 * (nz + 1.0), skb)
+        return
+
+    def body(i_b, carry):
+        # live is carried as a f32 mask: Mosaic rejects i1 vectors in loop
+        # carries ("unsupported target bitwidth for truncation").
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb_, rr, rg, rb, live_f) = carry
+        live = live_f > 0.5
+        (_, hit, px, py, pz, nx, ny, nz, front, ar, ag, ab, kp, pp) = _closest_hit(
+            scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz
+        )
+        salt_base = jnp.uint32(16) + jnp.uint32(3) * jnp.asarray(i_b, jnp.uint32)
+        sx, sy, sz, attr, attg, attb, ok = _scatter(
+            dx, dy, dz, nx, ny, nz, front, ar, ag, ab, kp, pp, seeds, salt_base
+        )
+
+        missed = live & ~hit
+        skr, skg, skb = _sky(dx, dy, dz)
+        rr = jnp.where(missed, rr + tr * skr, rr)
+        rg = jnp.where(missed, rg + tg * skg, rg)
+        rb = jnp.where(missed, rb + tb_ * skb, rb)
+
+        scattered = live & hit & ok
+        tr = jnp.where(scattered, tr * attr, tr)
+        tg = jnp.where(scattered, tg * attg, tg)
+        tb_ = jnp.where(scattered, tb_ * attb, tb_)
+        ox = jnp.where(scattered, px, ox)
+        oy = jnp.where(scattered, py, oy)
+        oz = jnp.where(scattered, pz, oz)
+        dx = jnp.where(scattered, sx, dx)
+        dy = jnp.where(scattered, sy, dy)
+        dz = jnp.where(scattered, sz, dz)
+        return (
+            ox, oy, oz, dx, dy, dz, tr, tg, tb_, rr, rg, rb,
+            scattered.astype(jnp.float32),
+        )
+
+    ones = jnp.ones(shape, jnp.float32)
+    zeros = jnp.zeros(shape, jnp.float32)
+    carry = (
+        jnp.int32(0),
+        ox, oy, oz, dx, dy, dz, ones, ones, ones, zeros, zeros, zeros, ones,
+    )
+
+    def cond(c):
+        # Tile-level early exit: stop as soon as every ray in the tile has
+        # terminated — the vector analogue of the per-thread break
+        # (wgsl:289).  Sky tiles finish after one bounce instead of
+        # max_depth; only the tile's deepest path sets its trip count.
+        return (c[0] < max_depth) & (jnp.max(c[13]) > 0.5)
+
+    def while_body(c):
+        out = body(c[0], c[1:])
+        return (c[0] + jnp.int32(1),) + out
+
+    carry = jax.lax.while_loop(cond, while_body, carry)
+    # Exhausted rays contribute black (the fixed semantics; the reference's
+    # sky-leak quirk wgsl:293-296 exists only in the pure-JAX parity path).
+    outr_ref[:] = carry[10]
+    outg_ref[:] = carry[11]
+    outb_ref[:] = carry[12]
+
+
+def camera_vector(camera) -> Array:
+    """Pack the derived Camera pytree into the (1, 24) SMEM scalar layout."""
+    return jnp.concatenate(
+        [
+            jnp.asarray(camera.center, jnp.float32).reshape(3),
+            jnp.asarray(camera.viewport_upper_left, jnp.float32).reshape(3),
+            jnp.asarray(camera.pixel_delta_u, jnp.float32).reshape(3),
+            jnp.asarray(camera.pixel_delta_v, jnp.float32).reshape(3),
+            jnp.asarray(camera.defocus_disk_u, jnp.float32).reshape(3),
+            jnp.asarray(camera.defocus_disk_v, jnp.float32).reshape(3),
+            jnp.asarray(camera.defocus_angle, jnp.float32).reshape(1),
+            jnp.zeros((5,), jnp.float32),
+        ]
+    ).reshape(1, 24)
+
+
+def render_pallas(
+    spheres: Spheres,
+    camera,
+    *,
+    width: int,
+    height: int,
+    sample_index: Array,
+    frame_seed: Array,
+    max_depth: int,
+    t_min: float,
+    t_max: float = 3.4e35,
+    mode: str = "path",  # 'path' | 'normal'
+    y_offset: Array | int = 0,
+    interpret: bool | None = None,
+) -> Array:
+    """Render one 1-spp pass fully on-chip; returns (height, width, 3) RGB.
+
+    The only HBM traffic is the output image: ray generation, the sphere
+    scan, materials, and the bounce loop all run inside one kernel.
+    `y_offset`/`width` address a row shard of a larger frame (the sharded
+    renderer passes the shard's global row offset).
+    """
+    h_pad = -(-height // TILE_ROWS) * TILE_ROWS
+    w_pad = -(-width // 128) * 128
+    grid = (h_pad // TILE_ROWS, w_pad // 128)
+
+    cam_vec = camera_vector(camera)
+    # int32 bit-patterns (SMEM scalars); the kernel astypes back to uint32.
+    ints = jax.lax.bitcast_convert_type(
+        jnp.stack(
+            [
+                jnp.asarray(sample_index, jnp.uint32),
+                jnp.asarray(frame_seed, jnp.uint32),
+                jnp.asarray(y_offset, jnp.uint32),
+                jnp.uint32(0),
+            ]
+        ),
+        jnp.int32,
+    ).reshape(1, 4)
+    scene = scene_planes(spheres)
+    n = spheres.count
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    tile_spec = pl.BlockSpec((TILE_ROWS, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
+
+    kernel = functools.partial(
+        _kernel, width=width, n_spheres=n, max_depth=max_depth,
+        t_min=float(t_min), t_max=float(t_max), mode=mode,
+    )
+    outr, outg, outb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem((1, 24)), smem((1, 4)), smem((_SCENE_ROWS, n))],
+        out_specs=(tile_spec, tile_spec, tile_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=interpret,
+    )(cam_vec, ints, scene)
+
+    return jnp.stack(
+        [outr[:height, :width], outg[:height, :width], outb[:height, :width]],
+        axis=-1,
+    )

@@ -20,12 +20,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
 _U32_MAX_F = 4294967295.0
-_XOR_SEED = jnp.uint32(2747636419)
-_MUL = jnp.uint32(2654435769)
+# numpy scalars (not jnp arrays): they embed as literals, so kernels that
+# close over these helpers (Pallas) don't capture device constants.
+_XOR_SEED = np.uint32(2747636419)
+_MUL = np.uint32(2654435769)
 
 
 def wgsl_hash(value: Array) -> Array:
@@ -88,9 +91,9 @@ def unit_vector_from_uniforms(u1: Array, u2: Array) -> Array:
 # draws depend on the requested array shape, which breaks that.)
 # ---------------------------------------------------------------------------
 
-_SALT_MUL = jnp.uint32(0x68E31DA4)
-_PIX_MUL = jnp.uint32(2654435761)
-_SAMPLE_MUL = jnp.uint32(0x85EBCA6B)
+_SALT_MUL = np.uint32(0x68E31DA4)
+_PIX_MUL = np.uint32(2654435761)
+_SAMPLE_MUL = np.uint32(0x85EBCA6B)
 
 
 def hash2(seed: Array, salt) -> Array:
@@ -101,8 +104,16 @@ def hash2(seed: Array, salt) -> Array:
 
 
 def uniform_hash(seed: Array, salt) -> Array:
-    """U[0,1] f32 from (seed, salt)."""
-    return hash2(seed, salt).astype(jnp.float32) / jnp.float32(_U32_MAX_F)
+    """U[0,1) f32 from (seed, salt): top 24 bits / 2^24.
+
+    The 24-bit construction (rather than full/2^32-1) keeps every value
+    exactly representable in f32 AND avoids the uint32->float32 cast, which
+    Mosaic (the TPU kernel compiler) does not support — the Pallas megakernel
+    shares this exact function, so both backends draw the identical stream.
+    """
+    bits = hash2(seed, salt) >> np.uint32(8)  # < 2^24
+    ibits = jax.lax.bitcast_convert_type(bits, jnp.int32)
+    return ibits.astype(jnp.float32) * np.float32(1.0 / (1 << 24))
 
 
 def hash_pixel_seeds(pixel_ids: Array, sample_index: Array, frame_seed_u32: Array) -> Array:

@@ -62,6 +62,17 @@ def _local_sample(spheres, camera, config: RenderConfig, sample_index, frame_see
     """Trace one 1-spp pass for rows [y0, y0+local_h) of the global frame."""
     w = config.width
     if config.rng == "hash":
+        if config.backend == "pallas":
+            from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
+
+            return render_pallas(
+                spheres, camera, width=w, height=local_h,
+                sample_index=sample_index, frame_seed=frame_seed,
+                max_depth=config.max_depth, t_min=config.t_min,
+                t_max=config.t_max,
+                mode="normal" if config.integrator == "normal" else "path",
+                y_offset=y0,
+            )
         origins, dirs, seeds = rays.generate_rays_hash(
             camera, w, local_h, sample_index, frame_seed,
             y_offset=y0, total_width=w,

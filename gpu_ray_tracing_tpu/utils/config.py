@@ -35,6 +35,12 @@ class RenderConfig:
     # 'normal' = normal-shading debug integrator (BASELINE config 1)
     integrator: Literal["path", "normal"] = "path"
 
+    # 'jax'    = pure-JAX/XLA integrator (reference path; runs anywhere)
+    # 'pallas' = fused TPU megakernel (ops/pallas/megakernel.py); requires
+    #            rng='hash' and parity=False.  Interprets on non-TPU backends
+    #            so tests run on CPU.
+    backend: Literal["jax", "pallas"] = "jax"
+
     # 'hash'     = counter-based per-pixel hash RNG (default): every draw is
     #              a pure function of (global pixel id, sample, frame seed,
     #              salt), so renders are bit-identical under any sharding or
@@ -64,6 +70,8 @@ class RenderConfig:
             raise ValueError(f"max_depth must be positive, got {self.max_depth}")
         if self.parity and self.rng != "wgsl":
             raise ValueError("parity=True requires rng='wgsl'")
+        if self.backend == "pallas" and self.rng != "hash":
+            raise ValueError("backend='pallas' requires rng='hash'")
 
     @property
     def resolution(self) -> tuple[int, int]:
