@@ -26,6 +26,16 @@ from gpu_ray_tracing_tpu.api import (
     stack_camera_track,
 )
 from gpu_ray_tracing_tpu.models.camera import Camera, CameraSettings, derive_camera
+from gpu_ray_tracing_tpu.models.mesh import (
+    TriangleMesh,
+    box,
+    icosphere,
+    load_obj,
+    make_mesh,
+    torus,
+    transform_mesh,
+)
+from gpu_ray_tracing_tpu.models.scene import Scene, make_scene
 from gpu_ray_tracing_tpu.models.spheres import (
     DIELECTRIC,
     LAMBERTIAN,
@@ -49,8 +59,17 @@ __all__ = [
     "METAL",
     "REFERENCE_CONFIG",
     "RenderConfig",
+    "Scene",
     "Spheres",
+    "TriangleMesh",
     "base_scene",
+    "box",
+    "icosphere",
+    "load_obj",
+    "make_mesh",
+    "make_scene",
+    "torus",
+    "transform_mesh",
     "derive_camera",
     "init_accum",
     "make_spheres",

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from gpu_ray_tracing_tpu.models.camera import Camera, CameraSettings, derive_camera
+from gpu_ray_tracing_tpu.models.scene import Scene, as_scene
 from gpu_ray_tracing_tpu.models.spheres import Spheres
 from gpu_ray_tracing_tpu.ops import integrators, rays
 from gpu_ray_tracing_tpu.ops.accumulate import AccumState, fold_sample, init_accum
@@ -36,6 +37,15 @@ Array = jax.Array
 # CPU test runs; tiny blocks would serialize the chip into dispatch overhead.
 def _block_budget() -> int:
     return (1 << 22) if jax.default_backend() == "cpu" else (1 << 27)
+
+
+def _scene_width(scene) -> int:
+    """Primitive count driving the (pixels x primitives) block budget."""
+    sc = as_scene(scene)
+    n = sc.spheres.count
+    if sc.mesh is not None and sc.bvh is None:
+        n += sc.mesh.num_triangles  # brute-force triangle path materializes (P, F)
+    return n
 
 
 def _trace_block_size(num_pixels: int, num_spheres: int) -> int:
@@ -65,7 +75,7 @@ def _trace_chunked(
     """Run the integrator over the framebuffer in memory-bounded pixel blocks."""
     h, w = origins.shape[0], origins.shape[1]
     p = h * w
-    block = _trace_block_size(p, spheres.count)
+    block = _trace_block_size(p, _scene_width(spheres))
 
     def trace(o, d, seeds):
         if config.integrator == "normal":
@@ -107,8 +117,14 @@ def _render_one_sample(
         if config.backend == "pallas":
             from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
 
+            sc = as_scene(spheres)
+            if sc.mesh is not None:
+                raise ValueError(
+                    "backend='pallas' does not support triangle meshes yet; "
+                    "use backend='jax' for mesh scenes"
+                )
             return render_pallas(
-                spheres, camera, width=w, height=h,
+                sc.spheres, camera, width=w, height=h,
                 sample_index=sample_index, frame_seed=frame_seed,
                 max_depth=config.max_depth, t_min=config.t_min,
                 t_max=config.t_max,

@@ -1,0 +1,111 @@
+"""Scene: the union of sphere and triangle-mesh geometry.
+
+The reference's whole scene model is a single sphere list
+(`SphereCollection`, sphere.rs:30-33); this Scene generalizes it to spheres +
+an optional BVH-accelerated triangle mesh (BASELINE config 4) behind one
+closest-hit interface that also resolves the hit's material — the decoded
+form of the reference's albedo.w dispatch (wgsl:272-284).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gpu_ray_tracing_tpu.models.mesh import TriangleMesh
+from gpu_ray_tracing_tpu.models.spheres import Spheres
+from gpu_ray_tracing_tpu.ops.bvh import BVH, build_mesh_bvh
+from gpu_ray_tracing_tpu.ops.intersect import (
+    Hit,
+    intersect_bvh,
+    intersect_spheres,
+    intersect_triangles,
+)
+
+Array = jax.Array
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["spheres", "mesh", "bvh"],
+    meta_fields=["bvh_leaf_size"],
+)
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """Sphere geometry plus an optional triangle mesh with its BVH.
+
+    `mesh`/`bvh` are None for sphere-only scenes (the reference's entire
+    repertoire); `bvh_leaf_size` is static metadata for the traversal loop.
+    """
+
+    spheres: Spheres
+    mesh: TriangleMesh | None = None
+    bvh: BVH | None = None
+    bvh_leaf_size: int = 4
+
+
+def make_scene(
+    spheres: Spheres,
+    mesh: TriangleMesh | None = None,
+    *,
+    bvh_leaf_size: int = 4,
+    use_bvh: bool = True,
+) -> Scene:
+    """Assemble a scene; builds the mesh BVH (host-side) when a mesh is given."""
+    if mesh is None:
+        return Scene(spheres=spheres)
+    if use_bvh:
+        mesh, bvh = build_mesh_bvh(mesh, leaf_size=bvh_leaf_size)
+        return Scene(spheres=spheres, mesh=mesh, bvh=bvh, bvh_leaf_size=bvh_leaf_size)
+    return Scene(spheres=spheres, mesh=mesh, bvh=None)
+
+
+def as_scene(scene_or_spheres) -> Scene:
+    return scene_or_spheres if isinstance(scene_or_spheres, Scene) else Scene(spheres=scene_or_spheres)
+
+
+def intersect_scene(
+    origins: Array,
+    dirs: Array,
+    scene: Scene,
+    t_min: float,
+    t_max: float,
+) -> tuple[Hit, Array, Array, Array]:
+    """Closest hit across all geometry; returns (hit, albedo, kind, param).
+
+    The material arrays are per-ray, resolved from whichever primitive won
+    the closest-hit race — trace loops never index geometry arrays again.
+    """
+    s_hit = intersect_spheres(origins, dirs, scene.spheres, t_min, t_max)
+    albedo = scene.spheres.albedo[s_hit.idx]
+    kind = scene.spheres.mat_kind[s_hit.idx]
+    param = scene.spheres.mat_param[s_hit.idx]
+
+    if scene.mesh is None:
+        return s_hit, albedo, kind, param
+
+    if scene.bvh is not None:
+        m_hit = intersect_bvh(
+            origins, dirs, scene.mesh, scene.bvh, t_min, t_max,
+            leaf_size=scene.bvh_leaf_size,
+        )
+    else:
+        m_hit = intersect_triangles(origins, dirs, scene.mesh, t_min, t_max)
+
+    mesh_wins = m_hit.hit & (~s_hit.hit | (m_hit.t < s_hit.t))
+    w = mesh_wins[..., None]
+    hit = Hit(
+        t=jnp.where(mesh_wins, m_hit.t, s_hit.t),
+        idx=jnp.where(mesh_wins, m_hit.idx, s_hit.idx),
+        hit=s_hit.hit | m_hit.hit,
+        point=jnp.where(w, m_hit.point, s_hit.point),
+        normal=jnp.where(w, m_hit.normal, s_hit.normal),
+        front_face=jnp.where(mesh_wins, m_hit.front_face, s_hit.front_face),
+    )
+    albedo = jnp.where(w, scene.mesh.albedo[m_hit.idx], albedo)
+    kind = jnp.where(mesh_wins, scene.mesh.mat_kind[m_hit.idx], kind)
+    param = jnp.where(mesh_wins, scene.mesh.mat_param[m_hit.idx], param)
+    return hit, albedo, kind, param

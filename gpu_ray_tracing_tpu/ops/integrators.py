@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from gpu_ray_tracing_tpu.models.spheres import Spheres
 from gpu_ray_tracing_tpu.ops import rng as rng_ops
-from gpu_ray_tracing_tpu.ops.intersect import intersect_spheres
 from gpu_ray_tracing_tpu.ops.materials import scatter
 
 Array = jax.Array
@@ -45,12 +44,14 @@ def sky_color(dirs: Array) -> Array:
 def shade_normals(
     origins: Array,
     dirs: Array,
-    spheres: Spheres,
+    scene,
     t_min: float,
     t_max: float,
 ) -> Array:
     """Normal-shading integrator (BASELINE config 1): 0.5*(n+1) or sky."""
-    hit = intersect_spheres(origins, dirs, spheres, t_min, t_max)
+    from gpu_ray_tracing_tpu.models.scene import as_scene, intersect_scene
+
+    hit, _, _, _ = intersect_scene(origins, dirs, as_scene(scene), t_min, t_max)
     lit = 0.5 * (hit.normal + 1.0)
     return jnp.where(hit.hit[..., None], lit, sky_color(dirs))
 
@@ -58,7 +59,7 @@ def shade_normals(
 def trace_path(
     origins: Array,
     dirs: Array,
-    spheres: Spheres,
+    scene,
     max_depth: int,
     t_min: float,
     t_max: float,
@@ -90,6 +91,10 @@ def trace_path(
     if n_rng != 1:
         raise ValueError("pass exactly one of key=, bounce_seeds=, or pixel_seeds=")
 
+    from gpu_ray_tracing_tpu.models.scene import as_scene, intersect_scene
+
+    scene = as_scene(scene)
+
     batch_shape = dirs.shape[:-1]
     throughput = jnp.ones((*batch_shape, 3), jnp.float32)
     result = jnp.zeros((*batch_shape, 3), jnp.float32)
@@ -97,7 +102,7 @@ def trace_path(
 
     def body(i, carry):
         o, d, throughput, result, live = carry
-        hit = intersect_spheres(o, d, spheres, t_min, t_max)
+        hit, albedo, kind, param = intersect_scene(o, d, scene, t_min, t_max)
 
         if pixel_seeds is not None:
             # Salts 16+3i..18+3i: three independent draws per bounce.
@@ -122,9 +127,6 @@ def trace_path(
             )
             u_reflect = jnp.broadcast_to(rng_ops.wgsl_random_float(s), batch_shape)
 
-        albedo = spheres.albedo[hit.idx]
-        kind = spheres.mat_kind[hit.idx]
-        param = spheres.mat_param[hit.idx]
         new_dir, attenuation, ok = scatter(
             d, hit.normal, hit.front_face, albedo, kind, param, unit_vec, u_reflect
         )

@@ -1,4 +1,4 @@
-"""Sphere intersection: closest-hit over a struct-of-arrays scene.
+"""Intersection: spheres, triangles (Moller-Trumbore), and BVH traversal.
 
 Reference mapping (compute_shader.wgsl):
   - `intersect_spheres` <- sphere_list_hit (wgsl:164-180) + sphere_hit
@@ -130,3 +130,155 @@ def intersect_spheres(
         normal=normal.reshape(*batch_shape, 3),
         front_face=front_face.reshape(batch_shape),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangles.  The reference supports only spheres (sphere.rs:21-26); triangle
+# meshes + BVH are the BASELINE config-4 extension (same "Next Week" lineage
+# the reference README points to, README.md:67-73).
+# ---------------------------------------------------------------------------
+
+
+def _moller_trumbore(o, d, v0, e1, e2, t_min, t_max):
+    """Batched Moller-Trumbore: rays (P, 3) against per-ray triangles (P, 3).
+
+    Returns (t, hit) with the (t_min, t_max) open-interval test; t_max may be
+    a (P,) array (shrinking closest-so-far window).
+    """
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    near_parallel = jnp.abs(det) < 1e-12
+    inv_det = 1.0 / jnp.where(near_parallel, 1.0, det)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = (
+        ~near_parallel
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+        & (t < t_max)
+    )
+    return t, hit
+
+
+def intersect_triangles(origins: Array, dirs: Array, mesh, t_min: float, t_max: float) -> Hit:
+    """Brute-force closest hit over every triangle (reference path for tests
+    and small meshes; BVH below for real scenes)."""
+    batch_shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    p = o.shape[0]
+    f = mesh.num_triangles
+
+    # (P, F) via broadcasting, chunk-free (caller controls P).
+    t, hit = _moller_trumbore(
+        o[:, None, :], d[:, None, :],
+        mesh.v0[None, :, :], mesh.e1[None, :, :], mesh.e2[None, :, :],
+        t_min, t_max,
+    )
+    t_cand = jnp.where(hit, t, jnp.float32(jnp.inf))
+    idx = jnp.argmin(t_cand, axis=-1)
+    t_best = jnp.take_along_axis(t_cand, idx[:, None], axis=-1)[:, 0]
+    any_hit = jnp.isfinite(t_best)
+    t_best = jnp.where(any_hit, t_best, jnp.float32(t_max))
+    return _mesh_hit_record(o, d, mesh, t_best, idx.astype(jnp.int32), any_hit, batch_shape)
+
+
+def _mesh_hit_record(o, d, mesh, t_best, idx, any_hit, batch_shape) -> Hit:
+    t_point = jnp.where(any_hit, t_best, 0.0)
+    point = o + t_point[:, None] * d
+    outward = mesh.normals[idx]
+    front_face = jnp.sum(d * outward, axis=-1) < 0.0
+    normal = jnp.where(front_face[:, None], outward, -outward)
+    return Hit(
+        t=t_best.reshape(batch_shape),
+        idx=idx.reshape(batch_shape),
+        hit=any_hit.reshape(batch_shape),
+        point=point.reshape(*batch_shape, 3),
+        normal=normal.reshape(*batch_shape, 3),
+        front_face=front_face.reshape(batch_shape),
+    )
+
+
+def intersect_bvh(
+    origins: Array,
+    dirs: Array,
+    mesh,
+    bvh,
+    t_min: float,
+    t_max: float,
+    leaf_size: int = 4,
+) -> Hit:
+    """Stackless threaded-BVH closest hit (see ops/bvh.py for the layout).
+
+    Every ray carries one integer cursor; inner-node hit advances to node+1
+    (depth-first layout), miss or finished leaf follows the precomputed miss
+    link.  A lax.while_loop runs until every lane's cursor hits the sentinel;
+    there is no per-lane stack, so the traversal state is O(1) per ray —
+    the shape a vector machine wants.
+    """
+    batch_shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    p = o.shape[0]
+
+    safe_d = jnp.where(jnp.abs(d) < 1e-20, jnp.float32(1e-20), d)
+    inv_d = 1.0 / safe_d
+
+    def cond(carry):
+        node = carry[0]
+        return jnp.any(node >= 0)
+
+    def body(carry):
+        node, t_best, idx_best = carry
+        valid = node >= 0
+        nidx = jnp.where(valid, node, 0)
+
+        bmin = bvh.bbox_min[nidx]  # (P, 3) gather
+        bmax = bvh.bbox_max[nidx]
+        t0 = (bmin - o) * inv_d
+        t1 = (bmax - o) * inv_d
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        # Enter the node only if the slab interval overlaps (t_min, t_best):
+        # the shrinking window culls subtrees behind the closest hit so far.
+        box_hit = valid & (tf >= jnp.maximum(tn, jnp.float32(t_min))) & (tn < t_best)
+
+        ls = bvh.leaf_start[nidx]
+        lc = bvh.leaf_count[nidx]
+        is_leaf = ls >= 0
+        in_leaf = box_hit & is_leaf
+
+        for k in range(leaf_size):
+            tri = ls + k
+            m = in_leaf & (k < lc)
+            tri_safe = jnp.where(m, tri, 0)
+            t, hit = _moller_trumbore(
+                o, d,
+                mesh.v0[tri_safe], mesh.e1[tri_safe], mesh.e2[tri_safe],
+                t_min, t_best,
+            )
+            take = m & hit
+            t_best = jnp.where(take, t, t_best)
+            idx_best = jnp.where(take, tri_safe, idx_best)
+
+        descend = box_hit & ~is_leaf
+        next_node = jnp.where(descend, node + 1, bvh.miss_link[nidx])
+        next_node = jnp.where(valid, next_node, jnp.int32(SENTINEL_NODE))
+        return next_node, t_best, idx_best
+
+    node0 = jnp.zeros((p,), jnp.int32)
+    t0_ = jnp.full((p,), jnp.float32(t_max))
+    idx0 = jnp.full((p,), -1, jnp.int32)
+    _, t_best, idx_best = jax.lax.while_loop(cond, body, (node0, t0_, idx0))
+
+    any_hit = idx_best >= 0
+    idx = jnp.where(any_hit, idx_best, 0)
+    return _mesh_hit_record(o, d, mesh, t_best, idx, any_hit, batch_shape)
+
+
+SENTINEL_NODE = -1
