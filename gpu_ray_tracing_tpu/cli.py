@@ -1,0 +1,229 @@
+"""Command-line interface: offline renders, animations, progressive sessions.
+
+The reference's only entry point is an interactive window (`run()`,
+lib.rs:28, driven by keyboard state camera.rs:125-253).  A TPU renderer is
+headless, so the interaction model becomes explicit commands:
+
+  python -m gpu_ray_tracing_tpu render   --scene one-weekend --out img.png
+  python -m gpu_ray_tracing_tpu animate  --frames 24 --out-dir frames/
+  python -m gpu_ray_tracing_tpu progressive --steps 64 --checkpoint c.npz
+  python -m gpu_ray_tracing_tpu bench    --quick
+
+`progressive` resumes from its checkpoint file if present — the durable
+version of the reference's in-texture accumulation (wgsl:339-363).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _vec3(text: str):
+    parts = [float(x) for x in text.split(",")]
+    if len(parts) != 3:
+        raise argparse.ArgumentTypeError(f"expected x,y,z got {text!r}")
+    return jnp.asarray(parts, jnp.float32)
+
+
+def _add_common(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("--scene", default="one-weekend",
+                    choices=["base", "one-weekend", "one-weekend-full", "mesh"])
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--depth", type=int, default=30)
+    ap.add_argument("--integrator", default="path", choices=["path", "normal"])
+    ap.add_argument("--backend", default="auto", choices=["auto", "jax", "pallas"])
+    ap.add_argument("--rng", default="hash", choices=["hash", "wgsl", "threefry"])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--scene-seed", type=int, default=0)
+    ap.add_argument("--obj", default=None, help="OBJ file for --scene mesh")
+    ap.add_argument("--look-from", type=_vec3, default=None)
+    ap.add_argument("--look-at", type=_vec3, default=None)
+    ap.add_argument("--fov", type=float, default=None)
+    ap.add_argument("--defocus-angle", type=float, default=None)
+    ap.add_argument("--focus-distance", type=float, default=None)
+    ap.add_argument("--gamma", type=float, default=2.2)
+
+
+def _build_scene(args):
+    import gpu_ray_tracing_tpu as rt
+
+    key = jax.random.key(args.scene_seed)
+    if args.scene == "base":
+        return rt.base_scene()
+    if args.scene == "one-weekend":
+        return rt.one_weekend_scene(key).pad_to_multiple(128)
+    if args.scene == "one-weekend-full":
+        return rt.one_weekend_scene(key, grid_min=-11, grid_max=11).pad_to_multiple(128)
+    # mesh scene: ground + mesh object (OBJ or bunny stand-in)
+    from gpu_ray_tracing_tpu.models.mesh import bunny_stand_in, load_obj
+    from gpu_ray_tracing_tpu.models.spheres import LAMBERTIAN, make_spheres
+
+    ground = make_spheres([((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.5, 0.5, 0.5), 0.0)])
+    mesh = load_obj(args.obj) if args.obj else bunny_stand_in(albedo=(0.75, 0.6, 0.45))
+    mesh = rt.transform_mesh(mesh, scale=0.8, translate=(0.0, 0.8, 0.0))
+    return rt.make_scene(ground, mesh)
+
+
+def _build_camera(args):
+    import gpu_ray_tracing_tpu as rt
+
+    cam = rt.CameraSettings.default()
+    if args.scene == "mesh" and args.look_from is None:
+        cam = cam.replace(
+            look_from=jnp.asarray([0.0, 1.2, 3.0]),
+            look_at=jnp.asarray([0.0, 0.7, 0.0]),
+            field_of_view=jnp.float32(50.0),
+            defocus_angle=jnp.float32(0.0),
+        )
+    if args.look_from is not None:
+        cam = cam.replace(look_from=args.look_from)
+    if args.look_at is not None:
+        cam = cam.replace(look_at=args.look_at)
+    if args.fov is not None:
+        cam = cam.replace(field_of_view=jnp.float32(args.fov))
+    if args.defocus_angle is not None:
+        cam = cam.replace(defocus_angle=jnp.float32(args.defocus_angle))
+    if args.focus_distance is not None:
+        cam = cam.replace(focus_distance=jnp.float32(args.focus_distance))
+    return cam
+
+
+def _build_config(args, spp=None):
+    import gpu_ray_tracing_tpu as rt
+
+    backend = args.backend
+    if backend == "auto":
+        scene_is_mesh = args.scene == "mesh"
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and not scene_is_mesh and args.rng == "hash"
+            else "jax"
+        )
+    return rt.RenderConfig(
+        width=args.width, height=args.height, spp=spp or args.spp,
+        max_depth=args.depth, integrator=args.integrator, backend=backend,
+        rng=args.rng,
+    )
+
+
+def cmd_render(args) -> int:
+    import gpu_ray_tracing_tpu as rt
+    from gpu_ray_tracing_tpu.utils.image import write_image
+    from gpu_ray_tracing_tpu.utils.profiling import time_frames
+
+    scene, cam, cfg = _build_scene(args), _build_camera(args), _build_config(args)
+    img = rt.render(scene, cam, cfg, frame_seed=jnp.uint32(args.seed))
+    write_image(args.out, np.asarray(img), args.gamma)
+    stats = time_frames(
+        lambda i: rt.render(scene, cam, cfg, frame_seed=jnp.uint32(args.seed + i)),
+        width=cfg.width, height=cfg.height, spp=cfg.spp,
+        frames=args.bench_frames, warmup=0,
+    ) if args.bench_frames else None
+    print(f"wrote {args.out} ({cfg.width}x{cfg.height}, {cfg.spp} spp, "
+          f"backend={cfg.backend})" + (f" {stats}" if stats else ""))
+    return 0
+
+
+def cmd_animate(args) -> int:
+    import gpu_ray_tracing_tpu as rt
+    from gpu_ray_tracing_tpu.models.camera import orbit_yaw
+    from gpu_ray_tracing_tpu.utils.image import write_image
+
+    scene, cam = _build_scene(args), _build_camera(args)
+    cfg = _build_config(args)
+    track = rt.stack_camera_track(
+        [orbit_yaw(cam, args.orbit_step * f) for f in range(args.frames)]
+    )
+    frames = rt.render_animation(
+        scene, track, cfg,
+        frame_seeds=jnp.arange(args.seed, args.seed + args.frames, dtype=jnp.uint32),
+    )
+    os.makedirs(args.out_dir, exist_ok=True)
+    frames = np.asarray(frames)
+    for f in range(args.frames):
+        write_image(os.path.join(args.out_dir, f"frame_{f:04d}.png"), frames[f], args.gamma)
+    print(f"wrote {args.frames} frames to {args.out_dir}")
+    return 0
+
+
+def cmd_progressive(args) -> int:
+    import gpu_ray_tracing_tpu as rt
+    from gpu_ray_tracing_tpu.utils.checkpoint import load_accum, save_accum
+    from gpu_ray_tracing_tpu.utils.image import write_image
+
+    scene, cam, cfg = _build_scene(args), _build_camera(args), _build_config(args)
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        state = load_accum(args.checkpoint)
+        print(f"resumed from {args.checkpoint} at {int(state.count)} spp")
+    else:
+        state = rt.init_accum(cfg.height, cfg.width)
+    for step in range(args.steps):
+        state = rt.progressive_step(
+            state, scene, cam, cfg, frame_seed=jnp.uint32(args.seed)
+        )
+    state = jax.block_until_ready(state)
+    if args.checkpoint:
+        save_accum(args.checkpoint, state)
+    if args.out:
+        write_image(args.out, np.asarray(state.rgb), args.gamma)
+    print(f"{int(state.count)}/{cfg.spp} spp accumulated"
+          + (f"; wrote {args.out}" if args.out else ""))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="gpu_ray_tracing_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("render", help="render one frame to an image file")
+    _add_common(p)
+    p.add_argument("--out", default="render.png")
+    p.add_argument("--bench-frames", type=int, default=0,
+                   help="also time this many frames and print throughput")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("animate", help="render an orbiting camera track")
+    _add_common(p)
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--orbit-step", type=float, default=0.1, help="radians per frame")
+    p.add_argument("--out-dir", default="frames")
+    p.set_defaults(fn=cmd_animate)
+
+    p = sub.add_parser("progressive", help="progressive accumulation with checkpoint/resume")
+    _add_common(p)
+    p.add_argument("--steps", type=int, default=16)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_progressive)
+
+    p = sub.add_parser("bench", help="run the 5-config benchmark suite")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--out", default=None)
+    p.add_argument("--configs", default="1,2,3,4,5")
+    def _bench(args):
+        from benchmarks.run import main as bench_main
+
+        argv2 = []
+        if args.quick:
+            argv2.append("--quick")
+        if args.out:
+            argv2 += ["--out", args.out]
+        argv2 += ["--configs", args.configs]
+        bench_main(argv2)
+        return 0
+    p.set_defaults(fn=_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,128 @@
+"""Tests for image IO, profiling, checkpoint/resume, and the CLI."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpu_ray_tracing_tpu import (
+    CameraSettings,
+    RenderConfig,
+    base_scene,
+    init_accum,
+    progressive_step,
+)
+from gpu_ray_tracing_tpu.utils.checkpoint import load_accum, save_accum
+from gpu_ray_tracing_tpu.utils.image import read_ppm, tonemap, to_uint8, write_image, write_ppm
+from gpu_ray_tracing_tpu.utils.profiling import FrameStats, time_frames
+from tests.test_api import BASE_CAMERA
+
+
+def test_tonemap_gamma():
+    np.testing.assert_allclose(tonemap([0.0, 1.0, 2.0]), [0.0, 1.0, 1.0], atol=1e-6)
+    mid = float(tonemap(np.asarray([0.5]), gamma=2.0)[0])
+    assert abs(mid - 0.5**0.5) < 1e-6
+
+
+def test_to_uint8_rounds():
+    np.testing.assert_array_equal(to_uint8([0.0, 0.5, 1.0]), [0, 128, 255])
+
+
+def test_ppm_roundtrip(tmp_path):
+    img = np.random.default_rng(0).random((7, 9, 3)).astype(np.float32)
+    path = os.path.join(tmp_path, "x.ppm")
+    write_ppm(path, img, gamma=1.0)
+    back = read_ppm(path)
+    assert back.shape == (7, 9, 3)
+    np.testing.assert_allclose(back / 255.0, np.clip(img, 0, 1), atol=1.0 / 255)
+
+
+def test_write_image_png(tmp_path):
+    path = os.path.join(tmp_path, "x.png")
+    write_image(path, np.zeros((4, 4, 3), np.float32))
+    assert os.path.exists(path)
+
+
+def test_frame_stats_math():
+    s = FrameStats(frames=10, seconds=2.0, width=100, height=100, spp=2)
+    assert s.ms_per_frame == 200.0
+    assert s.mrays_per_sec == 100 * 100 * 2 * 10 / 2.0 / 1e6
+    assert s.spp_per_sec == 10.0
+    json.loads(str(s))
+
+
+def test_time_frames_runs():
+    f = jax.jit(lambda i: jnp.full((8, 8), i, jnp.float32))
+    stats = time_frames(lambda i: f(i), width=8, height=8, spp=1, frames=3)
+    assert stats.frames == 3 and stats.seconds > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    scene = base_scene()
+    cfg = RenderConfig(width=32, height=24, spp=8, max_depth=4)
+    state = init_accum(cfg.height, cfg.width)
+    for _ in range(3):
+        state = progressive_step(state, scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(1))
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_accum(path, state)
+    restored = load_accum(path)
+    assert int(restored.count) == 3
+    np.testing.assert_array_equal(np.asarray(restored.rgb), np.asarray(state.rgb))
+    # Resume produces the identical continuation.
+    a = progressive_step(state, scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(1))
+    b = progressive_step(restored, scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(1))
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+
+
+def test_cli_render(tmp_path):
+    from gpu_ray_tracing_tpu.cli import main
+
+    out = os.path.join(tmp_path, "img.png")
+    rc = main([
+        "render", "--scene", "base", "--width", "48", "--height", "36",
+        "--spp", "2", "--depth", "4", "--out", out,
+    ])
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_cli_progressive_resume(tmp_path):
+    from gpu_ray_tracing_tpu.cli import main
+
+    ckpt = os.path.join(tmp_path, "c.npz")
+    out = os.path.join(tmp_path, "p.png")
+    common = [
+        "progressive", "--scene", "base", "--width", "32", "--height", "24",
+        "--spp", "64", "--depth", "4", "--steps", "2", "--checkpoint", ckpt,
+    ]
+    assert main(common) == 0
+    st = load_accum(ckpt)
+    assert int(st.count) == 2
+    assert main(common + ["--out", out]) == 0
+    st = load_accum(ckpt)
+    assert int(st.count) == 4  # resumed, not restarted
+    assert os.path.exists(out)
+
+
+def test_cli_animate(tmp_path):
+    from gpu_ray_tracing_tpu.cli import main
+
+    out_dir = os.path.join(tmp_path, "frames")
+    rc = main([
+        "animate", "--scene", "base", "--width", "32", "--height", "24",
+        "--spp", "1", "--depth", "3", "--frames", "2", "--out-dir", out_dir,
+    ])
+    assert rc == 0
+    assert len(os.listdir(out_dir)) == 2
+
+
+def test_cli_mesh_scene(tmp_path):
+    from gpu_ray_tracing_tpu.cli import main
+
+    out = os.path.join(tmp_path, "mesh.png")
+    rc = main([
+        "render", "--scene", "mesh", "--width", "40", "--height", "30",
+        "--spp", "1", "--depth", "3", "--integrator", "normal", "--out", out,
+    ])
+    assert rc == 0 and os.path.exists(out)
