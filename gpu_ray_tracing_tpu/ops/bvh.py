@@ -73,13 +73,42 @@ def build_bvh(
     bounds_min: np.ndarray,
     bounds_max: np.ndarray,
     leaf_size: int = 4,
+    method: str = "auto",
 ) -> tuple[BVH, np.ndarray]:
-    """Median-split BVH over arbitrary primitives.
+    """BVH over arbitrary primitives.
 
     centroids/bounds_*: (F, 3) per-primitive.  Returns (bvh, order) where
     `order` is the permutation that reorders primitives into leaf-contiguous
     BVH order (apply it to your primitive arrays before traversal).
+
+    method: 'native' (C++ binned SAH, gpu_ray_tracing_tpu/native/),
+    'numpy' (median split below), or 'auto' (native when it compiled).
+    Both emit the identical threaded-layout contract.
     """
+    if method not in ("auto", "native", "numpy"):
+        raise ValueError(f"unknown BVH build method {method!r}")
+    if method != "numpy":
+        from gpu_ray_tracing_tpu import native
+
+        if native.available():
+            nb, nx, miss, ls, lc, order = native.build_bvh_sah(
+                np.asarray(centroids, np.float32),
+                np.asarray(bounds_min, np.float32),
+                np.asarray(bounds_max, np.float32),
+                leaf_size,
+            )
+            return (
+                BVH(
+                    bbox_min=jnp.asarray(nb),
+                    bbox_max=jnp.asarray(nx),
+                    miss_link=jnp.asarray(miss),
+                    leaf_start=jnp.asarray(ls),
+                    leaf_count=jnp.asarray(lc),
+                ),
+                order,
+            )
+        if method == "native":
+            raise RuntimeError(f"native BVH builder unavailable: {native.build_error()}")
     centroids = np.asarray(centroids, np.float64)
     bounds_min = np.asarray(bounds_min, np.float64)
     bounds_max = np.asarray(bounds_max, np.float64)
@@ -135,7 +164,9 @@ def build_bvh(
     return bvh, np.asarray(order, np.int64)
 
 
-def build_mesh_bvh(mesh: TriangleMesh, leaf_size: int = 4) -> tuple[TriangleMesh, BVH]:
+def build_mesh_bvh(
+    mesh: TriangleMesh, leaf_size: int = 4, method: str = "auto"
+) -> tuple[TriangleMesh, BVH]:
     """Build a BVH over a mesh; returns (reordered mesh, bvh)."""
     v0 = np.asarray(mesh.v0, np.float64)
     v1 = v0 + np.asarray(mesh.e1, np.float64)
@@ -143,7 +174,7 @@ def build_mesh_bvh(mesh: TriangleMesh, leaf_size: int = 4) -> tuple[TriangleMesh
     bmin = np.minimum(np.minimum(v0, v1), v2)
     bmax = np.maximum(np.maximum(v0, v1), v2)
     centroids = (v0 + v1 + v2) / 3.0
-    bvh, order = build_bvh(centroids, bmin, bmax, leaf_size)
+    bvh, order = build_bvh(centroids, bmin, bmax, leaf_size, method)
     reordered = TriangleMesh(
         v0=mesh.v0[order],
         e1=mesh.e1[order],
