@@ -108,10 +108,14 @@ def config4(quick: bool) -> dict:
         look_from=jnp.asarray([0.0, 1.2, 3.0]), look_at=jnp.asarray([0.0, 0.7, 0.0])
     )
     res = (320, 240) if quick else (640, 480)
-    cfg = RenderConfig(width=res[0], height=res[1], spp=1, max_depth=8, backend="jax")
+    backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+    cfg = RenderConfig(width=res[0], height=res[1], spp=1, max_depth=8, backend=backend)
     fn = lambda i: render(scene, cam, cfg, frame_seed=jnp.uint32(i))
     stats = time_frames(fn, width=res[0], height=res[1], spp=1, frames=2 if quick else 5)
-    return _emit("4_mesh_bvh", stats, {"triangles": scene.mesh.num_triangles})
+    return _emit(
+        "4_mesh_bvh", stats,
+        {"triangles": scene.mesh.num_triangles, "backend": backend},
+    )
 
 
 def config5(quick: bool) -> dict:

@@ -117,14 +117,8 @@ def _render_one_sample(
         if config.backend == "pallas":
             from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
 
-            sc = as_scene(spheres)
-            if sc.mesh is not None:
-                raise ValueError(
-                    "backend='pallas' does not support triangle meshes yet; "
-                    "use backend='jax' for mesh scenes"
-                )
             return render_pallas(
-                sc.spheres, camera, width=w, height=h,
+                spheres, camera, width=w, height=h,
                 sample_index=sample_index, frame_seed=frame_seed,
                 max_depth=config.max_depth, t_min=config.t_min,
                 t_max=config.t_max,

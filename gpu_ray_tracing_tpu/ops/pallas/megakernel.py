@@ -73,11 +73,156 @@ def scene_planes(spheres: Spheres) -> Array:
     return planes
 
 
-def _closest_hit(scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz):
-    """Vectorized shrinking-window sphere scan (wgsl:164-221).
+# Mesh plane rows ((20, F) SMEM array; see mesh_planes).
+_MV0X, _MV0Y, _MV0Z, _ME1X, _ME1Y, _ME1Z, _ME2X, _ME2Y, _ME2Z = range(9)
+_MNX, _MNY, _MNZ, _MALR, _MALG, _MALB, _MKIND, _MPARAM = range(9, 17)
+_MESH_ROWS = 20
 
-    Returns (t, hit, nx, ny, nz (face normal), front, alr, alg, alb, kind,
-    param) as (R, 128) planes.
+# BVH node plane rows: f32 (8, M) bounds; i32 (4, M) links.
+_BMINX, _BMINY, _BMINZ, _BMAXX, _BMAXY, _BMAXZ = range(6)
+_LMISS, _LSTART, _LCOUNT = range(3)
+
+
+def mesh_planes(mesh) -> Array:
+    """Pack a TriangleMesh into the (20, F) f32 SMEM scalar layout."""
+    f = mesh.num_triangles
+    planes = jnp.zeros((_MESH_ROWS, f), jnp.float32)
+    for row, arr in [
+        (_MV0X, mesh.v0[:, 0]), (_MV0Y, mesh.v0[:, 1]), (_MV0Z, mesh.v0[:, 2]),
+        (_ME1X, mesh.e1[:, 0]), (_ME1Y, mesh.e1[:, 1]), (_ME1Z, mesh.e1[:, 2]),
+        (_ME2X, mesh.e2[:, 0]), (_ME2Y, mesh.e2[:, 1]), (_ME2Z, mesh.e2[:, 2]),
+        (_MNX, mesh.normals[:, 0]), (_MNY, mesh.normals[:, 1]), (_MNZ, mesh.normals[:, 2]),
+        (_MALR, mesh.albedo[:, 0]), (_MALG, mesh.albedo[:, 1]), (_MALB, mesh.albedo[:, 2]),
+        (_MKIND, mesh.mat_kind.astype(jnp.float32)),
+        (_MPARAM, mesh.mat_param),
+    ]:
+        planes = planes.at[row].set(arr)
+    return planes
+
+
+def bvh_planes(bvh) -> tuple[Array, Array]:
+    """Pack a threaded BVH into ((8, M) f32 bounds, (4, M) i32 links)."""
+    m = bvh.num_nodes
+    fplanes = jnp.zeros((8, m), jnp.float32)
+    fplanes = fplanes.at[_BMINX].set(bvh.bbox_min[:, 0])
+    fplanes = fplanes.at[_BMINY].set(bvh.bbox_min[:, 1])
+    fplanes = fplanes.at[_BMINZ].set(bvh.bbox_min[:, 2])
+    fplanes = fplanes.at[_BMAXX].set(bvh.bbox_max[:, 0])
+    fplanes = fplanes.at[_BMAXY].set(bvh.bbox_max[:, 1])
+    fplanes = fplanes.at[_BMAXZ].set(bvh.bbox_max[:, 2])
+    iplanes = jnp.zeros((4, m), jnp.int32)
+    iplanes = iplanes.at[_LMISS].set(bvh.miss_link)
+    iplanes = iplanes.at[_LSTART].set(bvh.leaf_start)
+    iplanes = iplanes.at[_LCOUNT].set(bvh.leaf_count)
+    return fplanes, iplanes
+
+
+def _traverse_mesh(
+    mesh_ref, bvhf_ref, bvhi_ref,
+    t_min, ox, oy, oz, dx, dy, dz,
+    carry,
+):
+    """Tile-coherent stackless BVH traversal + scalar-broadcast leaf scan.
+
+    One SCALAR cursor per tile walks the threaded BVH (ops/bvh.py layout):
+    the tile descends when ANY lane's slab test overlaps its shrinking
+    closest-hit window; leaf triangles run vectorized Moller-Trumbore with
+    the per-lane window doing the fine rejection.  Coherent tiles (primary
+    rays) visit only their frustum's subtree; the worst case degrades to the
+    brute-force scan, never worse than the reference's O(F) per ray.
+
+    `carry` is (tb, nxp, nyp, nzp, ar, ag, ab, kp, pp): the shared closest-
+    hit state, with OUTWARD normals in the n-planes; sphere results already
+    folded in by the caller.
+    """
+    safe = lambda v: jnp.where(jnp.abs(v) < 1e-20, jnp.float32(1e-20), v)
+    ivx, ivy, ivz = 1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz)
+
+    def leaf_body(k, carry):
+        tb, nxp, nyp, nzp, ar, ag, ab, kp, pp = carry[0]
+        tri = carry[1] + k
+        v0x, v0y, v0z = mesh_ref[_MV0X, tri], mesh_ref[_MV0Y, tri], mesh_ref[_MV0Z, tri]
+        e1x, e1y, e1z = mesh_ref[_ME1X, tri], mesh_ref[_ME1Y, tri], mesh_ref[_ME1Z, tri]
+        e2x, e2y, e2z = mesh_ref[_ME2X, tri], mesh_ref[_ME2Y, tri], mesh_ref[_ME2Z, tri]
+        # Moller-Trumbore with scalar triangle data broadcast over the tile.
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        ok_det = jnp.abs(det) > 1e-12
+        inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        better = (
+            ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > t_min) & (t < tb)
+        )
+        tb = jnp.where(better, t, tb)
+        nxp = jnp.where(better, mesh_ref[_MNX, tri], nxp)
+        nyp = jnp.where(better, mesh_ref[_MNY, tri], nyp)
+        nzp = jnp.where(better, mesh_ref[_MNZ, tri], nzp)
+        ar = jnp.where(better, mesh_ref[_MALR, tri], ar)
+        ag = jnp.where(better, mesh_ref[_MALG, tri], ag)
+        ab = jnp.where(better, mesh_ref[_MALB, tri], ab)
+        kp = jnp.where(better, mesh_ref[_MKIND, tri], kp)
+        pp = jnp.where(better, mesh_ref[_MPARAM, tri], pp)
+        return (tb, nxp, nyp, nzp, ar, ag, ab, kp, pp), carry[1]
+
+    def cond(state):
+        return state[0] >= 0
+
+    def body(state):
+        cursor, carry = state
+        tb = carry[0]
+        bnx = bvhf_ref[_BMINX, cursor]
+        bny = bvhf_ref[_BMINY, cursor]
+        bnz = bvhf_ref[_BMINZ, cursor]
+        bxx = bvhf_ref[_BMAXX, cursor]
+        bxy = bvhf_ref[_BMAXY, cursor]
+        bxz = bvhf_ref[_BMAXZ, cursor]
+        # Slab test per lane against the shrinking window.
+        t0x, t1x = (bnx - ox) * ivx, (bxx - ox) * ivx
+        t0y, t1y = (bny - oy) * ivy, (bxy - oy) * ivy
+        t0z, t1z = (bnz - oz) * ivz, (bxz - oz) * ivz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        lane_hit = (tf >= jnp.maximum(tn, jnp.float32(t_min))) & (tn < tb)
+        enter = jnp.max(lane_hit.astype(jnp.float32)) > 0.5  # any() as scalar
+
+        ls = bvhi_ref[_LSTART, cursor]
+        lc = bvhi_ref[_LCOUNT, cursor]
+        is_leaf = ls >= 0
+        trip = jnp.where(enter & is_leaf, lc, 0)
+        carry, _ = jax.lax.fori_loop(0, trip, leaf_body, (carry, ls))
+
+        descend = enter & ~is_leaf
+        cursor = jnp.where(descend, cursor + 1, bvhi_ref[_LMISS, cursor])
+        return cursor, carry
+
+    _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+    return carry
+
+
+def _closest_hit(
+    scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
+    mesh_refs=None,
+):
+    """Vectorized shrinking-window sphere scan (wgsl:164-221), plus the
+    tile-coherent mesh BVH traversal when `mesh_refs` is given.
+
+    Returns (t, hit, px, py, pz, nx, ny, nz (face normal), front, alr, alg,
+    alb, kind, param) as (R, 128) planes.
     """
     a = dx * dx + dy * dy + dz * dz
     inv_a = 1.0 / a
@@ -125,15 +270,25 @@ def _closest_hit(scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz):
         0, n_spheres, body, init
     )
 
+    # Sphere OUTWARD normals at the sphere-stage t (valid wherever a sphere
+    # currently holds the window; mesh hits below overwrite closer lanes).
+    ts = jnp.where(tb < big, tb, 1.0)
+    inv_r = 1.0 / jnp.where(rp != 0.0, rp, 1.0)
+    nx = (ox + ts * dx - cxp) * inv_r
+    ny = (oy + ts * dy - cyp) * inv_r
+    nz = (oz + ts * dz - czp) * inv_r
+
+    if mesh_refs is not None:
+        tb, nx, ny, nz, ar, ag, ab, kp, pp = _traverse_mesh(
+            *mesh_refs, t_min, ox, oy, oz, dx, dy, dz,
+            (tb, nx, ny, nz, ar, ag, ab, kp, pp),
+        )
+
     hit = tb < big
     t = jnp.where(hit, tb, 1.0)  # benign t for misses (no 1e35 overflow)
     px = ox + t * dx
     py = oy + t * dy
     pz = oz + t * dz
-    inv_r = 1.0 / jnp.where(rp != 0.0, rp, 1.0)
-    nx = (px - cxp) * inv_r
-    ny = (py - cyp) * inv_r
-    nz = (pz - czp) * inv_r
     front = dx * nx + dy * ny + dz * nz < 0.0  # (wgsl:159)
     sign = jnp.where(front, 1.0, -1.0)
     nx, ny, nz = nx * sign, ny * sign, nz * sign  # flip toward ray (wgsl:160)
@@ -236,10 +391,10 @@ def _kernel(
     cam_ref,  # (1, 24) f32 SMEM camera scalars
     ints_ref,  # (1, 8) u32 SMEM: [sample_index, frame_seed, y_offset, ...]
     scene_ref,  # (16, N) f32 SMEM scene
-    outr_ref, outg_ref, outb_ref,
-    *,
+    *rest,  # [mesh_ref (20,F), bvhf_ref (8,M), bvhi_ref (4,M)] + out refs
     width: int,
     n_spheres: int,
+    has_mesh: bool,
     max_depth: int,
     t_min: float,
     t_max: float,
@@ -251,6 +406,13 @@ def _kernel(
     per-ray data ever crosses HBM: inputs are ~200 bytes of scalars, the
     output is the tile's RGB.
     """
+    if has_mesh:
+        mesh_refs = rest[:3]
+        outr_ref, outg_ref, outb_ref = rest[3:]
+    else:
+        mesh_refs = None
+        outr_ref, outg_ref, outb_ref = rest
+
     i = pl.program_id(0)
     j = pl.program_id(1)
     shape = (outr_ref.shape[0], outr_ref.shape[1])
@@ -295,7 +457,8 @@ def _kernel(
 
     if mode == "normal":
         _, hit, _, _, _, nx, ny, nz, _, _, _, _, _, _ = _closest_hit(
-            scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz
+            scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
+            mesh_refs=mesh_refs,
         )
         skr, skg, skb = _sky(dx, dy, dz)
         outr_ref[:] = jnp.where(hit, 0.5 * (nx + 1.0), skr)
@@ -309,7 +472,8 @@ def _kernel(
         (ox, oy, oz, dx, dy, dz, tr, tg, tb_, rr, rg, rb, live_f) = carry
         live = live_f > 0.5
         (_, hit, px, py, pz, nx, ny, nz, front, ar, ag, ab, kp, pp) = _closest_hit(
-            scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz
+            scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
+            mesh_refs=mesh_refs,
         )
         salt_base = jnp.uint32(16) + jnp.uint32(3) * jnp.asarray(i_b, jnp.uint32)
         sx, sy, sz, attr, attg, attb, ok = _scatter(
@@ -379,8 +543,14 @@ def camera_vector(camera) -> Array:
     ).reshape(1, 24)
 
 
+# SMEM budget gates (the chip exposes ~1 MB of SMEM; the mesh + BVH scalar
+# planes must fit alongside the sphere scene with headroom).
+MAX_PALLAS_TRIANGLES = 8192
+MAX_PALLAS_BVH_NODES = 8192
+
+
 def render_pallas(
-    spheres: Spheres,
+    scene_or_spheres,
     camera,
     *,
     width: int,
@@ -397,10 +567,28 @@ def render_pallas(
     """Render one 1-spp pass fully on-chip; returns (height, width, 3) RGB.
 
     The only HBM traffic is the output image: ray generation, the sphere
-    scan, materials, and the bounce loop all run inside one kernel.
-    `y_offset`/`width` address a row shard of a larger frame (the sharded
-    renderer passes the shard's global row offset).
+    scan, the mesh BVH traversal, materials, and the bounce loop all run
+    inside one kernel.  `y_offset`/`width` address a row shard of a larger
+    frame (the sharded renderer passes the shard's global row offset).
+
+    Accepts a Spheres SoA or a Scene; mesh scenes must have a BVH and fit the
+    SMEM budget (MAX_PALLAS_TRIANGLES / MAX_PALLAS_BVH_NODES).
     """
+    from gpu_ray_tracing_tpu.models.scene import as_scene
+
+    sc = as_scene(scene_or_spheres)
+    spheres = sc.spheres
+    if sc.mesh is not None:
+        if sc.bvh is None:
+            raise ValueError("pallas mesh rendering requires a BVH (make_scene builds one)")
+        if sc.mesh.num_triangles > MAX_PALLAS_TRIANGLES:
+            raise ValueError(
+                f"mesh has {sc.mesh.num_triangles} triangles; the pallas SMEM "
+                f"budget caps at {MAX_PALLAS_TRIANGLES} — use backend='jax'"
+            )
+        if sc.bvh.num_nodes > MAX_PALLAS_BVH_NODES:
+            raise ValueError("BVH too large for pallas SMEM; use backend='jax'")
+
     h_pad = -(-height // TILE_ROWS) * TILE_ROWS
     w_pad = -(-width // 128) * 128
     grid = (h_pad // TILE_ROWS, w_pad // 128)
@@ -428,18 +616,31 @@ def render_pallas(
     smem = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
 
+    has_mesh = sc.mesh is not None
+    in_specs = [smem((1, 24)), smem((1, 4)), smem((_SCENE_ROWS, n))]
+    args = [cam_vec, ints, scene]
+    if has_mesh:
+        mplanes = mesh_planes(sc.mesh)
+        bvhf, bvhi = bvh_planes(sc.bvh)
+        in_specs += [
+            smem((_MESH_ROWS, sc.mesh.num_triangles)),
+            smem((8, sc.bvh.num_nodes)),
+            smem((4, sc.bvh.num_nodes)),
+        ]
+        args += [mplanes, bvhf, bvhi]
+
     kernel = functools.partial(
-        _kernel, width=width, n_spheres=n, max_depth=max_depth,
-        t_min=float(t_min), t_max=float(t_max), mode=mode,
+        _kernel, width=width, n_spheres=n, has_mesh=has_mesh,
+        max_depth=max_depth, t_min=float(t_min), t_max=float(t_max), mode=mode,
     )
     outr, outg, outb = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem((1, 24)), smem((1, 4)), smem((_SCENE_ROWS, n))],
+        in_specs=in_specs,
         out_specs=(tile_spec, tile_spec, tile_spec),
         out_shape=(out_shape, out_shape, out_shape),
         interpret=interpret,
-    )(cam_vec, ints, scene)
+    )(*args)
 
     return jnp.stack(
         [outr[:height, :width], outg[:height, :width], outb[:height, :width]],

@@ -66,7 +66,7 @@ def _local_sample(spheres, camera, config: RenderConfig, sample_index, frame_see
             from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
 
             return render_pallas(
-                spheres, camera, width=w, height=local_h,
+                spheres, camera, width=w, height=local_h,  # spheres may be a Scene
                 sample_index=sample_index, frame_seed=frame_seed,
                 max_depth=config.max_depth, t_min=config.t_min,
                 t_max=config.t_max,

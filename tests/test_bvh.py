@@ -129,12 +129,14 @@ def test_render_mesh_scene_end_to_end():
     assert np.abs(imgn - imgs).max() > 0.1
 
 
-def test_pallas_backend_rejects_mesh():
-    import pytest
-
+def test_pallas_backend_renders_mesh():
+    """Mesh scenes run through the megakernel's in-kernel BVH traversal."""
     import gpu_ray_tracing_tpu as rt
 
-    scene = make_scene(base_scene(), box())
-    cfg = rt.RenderConfig(width=16, height=16, spp=1, backend="pallas")
-    with pytest.raises(ValueError):
+    scene = make_scene(base_scene(), transform_mesh(box(), translate=(0.5, 0.0, -1.0)))
+    cfg = rt.RenderConfig(width=32, height=16, spp=1, max_depth=3, backend="pallas")
+    img = np.asarray(
         rt.render(scene, rt.CameraSettings.default(), cfg, frame_seed=jnp.uint32(0))
+    )
+    assert img.shape == (16, 32, 3)
+    assert np.all(np.isfinite(img))

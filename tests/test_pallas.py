@@ -105,3 +105,63 @@ def test_pallas_requires_hash_rng():
         RenderConfig(backend="pallas", rng="threefry")
     with pytest.raises(ValueError):
         RenderConfig(backend="pallas", rng="wgsl")
+
+
+def test_pallas_mesh_scene_matches_jax():
+    """Tile-coherent in-kernel BVH traversal == the XLA traversal."""
+    from gpu_ray_tracing_tpu import make_scene, transform_mesh
+    from gpu_ray_tracing_tpu.models.mesh import icosphere
+    from gpu_ray_tracing_tpu.models.spheres import LAMBERTIAN, METAL, make_spheres
+
+    spheres = make_spheres(
+        [
+            ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.5, 0.5, 0.5), 0.0),
+            ((-1.5, 0.5, -1.0), 0.5, METAL, (0.9, 0.9, 0.9), 0.05),
+        ]
+    )
+    mesh = transform_mesh(
+        icosphere(2, albedo=(0.8, 0.4, 0.2)), scale=0.7, translate=(0.0, 0.7, 0.0)
+    )
+    scene = make_scene(spheres, mesh)
+    cam = CameraSettings(
+        look_from=jnp.asarray([0.0, 1.0, 3.0]),
+        look_at=jnp.asarray([0.0, 0.5, 0.0]),
+        vup=jnp.asarray([0.0, 1.0, 0.0]),
+        field_of_view=jnp.float32(45.0),
+        defocus_angle=jnp.float32(0.0),
+        focus_distance=jnp.float32(3.0),
+    )
+    for integ in ("normal", "path"):
+        cfg_p = _cfg(width=64, height=48, max_depth=5, integrator=integ, backend="pallas")
+        cfg_j = _cfg(width=64, height=48, max_depth=5, integrator=integ, backend="jax")
+        a = np.asarray(render(scene, cam, cfg_p, frame_seed=jnp.uint32(1)))
+        b = np.asarray(render(scene, cam, cfg_j, frame_seed=jnp.uint32(1)))
+        assert np.all(np.isfinite(a)), integ
+        assert_images_match(a, b, flip_frac=0.02, mean_tol=2e-3)
+
+
+def test_pallas_mesh_size_cap():
+    from gpu_ray_tracing_tpu import make_scene
+    from gpu_ray_tracing_tpu.models.mesh import icosphere
+    from gpu_ray_tracing_tpu.models.scene import Scene
+    from gpu_ray_tracing_tpu.ops.pallas import megakernel as mk
+
+    old = mk.MAX_PALLAS_TRIANGLES
+    mk.MAX_PALLAS_TRIANGLES = 100
+    try:
+        scene = make_scene(base_scene(), icosphere(2))
+        cfg = _cfg(backend="pallas")
+        with pytest.raises(ValueError):
+            render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(0))
+    finally:
+        mk.MAX_PALLAS_TRIANGLES = old
+
+
+def test_pallas_mesh_requires_bvh():
+    from gpu_ray_tracing_tpu.models.mesh import box
+    from gpu_ray_tracing_tpu.models.scene import Scene
+
+    scene = Scene(spheres=base_scene(), mesh=box(), bvh=None)
+    cfg = _cfg(backend="pallas")
+    with pytest.raises(ValueError):
+        render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(0))
