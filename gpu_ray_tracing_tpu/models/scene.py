@@ -30,7 +30,7 @@ Array = jax.Array
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["spheres", "mesh", "bvh"],
+    data_fields=["spheres", "mesh", "bvh", "sphere_bvh"],
     meta_fields=["bvh_leaf_size"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -38,13 +38,20 @@ class Scene:
     """Sphere geometry plus an optional triangle mesh with its BVH.
 
     `mesh`/`bvh` are None for sphere-only scenes (the reference's entire
-    repertoire); `bvh_leaf_size` is static metadata for the traversal loop.
+    repertoire); `sphere_bvh` (spheres reordered leaf-contiguously) lets the
+    megakernel cull the sphere scan on large scenes; `bvh_leaf_size` is
+    static metadata for the traversal loop.
     """
 
     spheres: Spheres
     mesh: TriangleMesh | None = None
     bvh: BVH | None = None
+    sphere_bvh: BVH | None = None
     bvh_leaf_size: int = 4
+
+
+#: Sphere count above which make_scene builds a sphere BVH by default.
+SPHERE_BVH_THRESHOLD = 128
 
 
 def make_scene(
@@ -53,14 +60,30 @@ def make_scene(
     *,
     bvh_leaf_size: int = 4,
     use_bvh: bool = True,
+    sphere_bvh: bool | None = None,
 ) -> Scene:
-    """Assemble a scene; builds the mesh BVH (host-side) when a mesh is given."""
+    """Assemble a scene; builds BVHs host-side.
+
+    sphere_bvh: True/False forces; None builds one when the active sphere
+    count exceeds SPHERE_BVH_THRESHOLD (reordering the spheres).
+    """
+    from gpu_ray_tracing_tpu.ops.bvh import build_sphere_bvh
+
+    s_bvh = None
+    if sphere_bvh is None:
+        sphere_bvh = use_bvh and int((spheres.radii > 0).sum()) > SPHERE_BVH_THRESHOLD
+    if sphere_bvh:
+        spheres, s_bvh = build_sphere_bvh(spheres)
+
     if mesh is None:
-        return Scene(spheres=spheres)
+        return Scene(spheres=spheres, sphere_bvh=s_bvh)
     if use_bvh:
         mesh, bvh = build_mesh_bvh(mesh, leaf_size=bvh_leaf_size)
-        return Scene(spheres=spheres, mesh=mesh, bvh=bvh, bvh_leaf_size=bvh_leaf_size)
-    return Scene(spheres=spheres, mesh=mesh, bvh=None)
+        return Scene(
+            spheres=spheres, mesh=mesh, bvh=bvh, sphere_bvh=s_bvh,
+            bvh_leaf_size=bvh_leaf_size,
+        )
+    return Scene(spheres=spheres, mesh=mesh, bvh=None, sphere_bvh=s_bvh)
 
 
 def as_scene(scene_or_spheres) -> Scene:

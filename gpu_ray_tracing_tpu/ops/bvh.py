@@ -187,6 +187,38 @@ def build_mesh_bvh(
     return reordered, bvh
 
 
+def build_sphere_bvh(spheres, leaf_size: int = 32, method: str = "auto"):
+    """BVH over the ACTIVE spheres of a Spheres SoA.
+
+    Returns (reordered spheres, bvh): active spheres permuted into
+    leaf-contiguous order with any inactive pad slots (radius <= 0) kept at
+    the tail, outside every leaf range.  Accelerates the megakernel's sphere
+    scan for large scenes (the reference's linear wgsl:164-180 scan is the
+    equivalent being replaced).
+    """
+    import dataclasses as _dc
+
+    from gpu_ray_tracing_tpu.models.spheres import Spheres  # local: avoid cycle
+
+    radii = np.asarray(spheres.radii)
+    active = np.flatnonzero(radii > 0.0)
+    inactive = np.flatnonzero(radii <= 0.0)
+    if active.size == 0:
+        raise ValueError("no active spheres to build a BVH over")
+    centers = np.asarray(spheres.centers, np.float64)[active]
+    r = radii[active][:, None].astype(np.float64)
+    bvh, order = build_bvh(centers, centers - r, centers + r, leaf_size, method)
+    perm = np.concatenate([active[order], inactive])
+    reordered = Spheres(
+        centers=spheres.centers[perm],
+        radii=spheres.radii[perm],
+        albedo=spheres.albedo[perm],
+        mat_kind=spheres.mat_kind[perm],
+        mat_param=spheres.mat_param[perm],
+    )
+    return reordered, bvh
+
+
 def validate_bvh(bvh: BVH, num_primitives: int) -> None:
     """Structural sanity checks (tests + debugging aid)."""
     m = bvh.num_nodes

@@ -117,26 +117,71 @@ def bvh_planes(bvh) -> tuple[Array, Array]:
     return fplanes, iplanes
 
 
+def _traverse_bvh(bvhf_ref, bvhi_ref, t_min, ox, oy, oz, dx, dy, dz, carry, leaf_scan):
+    """Tile-coherent stackless BVH traversal (generic over the leaf scan).
+
+    One SCALAR cursor per tile walks the threaded BVH (ops/bvh.py layout):
+    the tile descends when ANY lane's slab test overlaps its shrinking
+    closest-hit window (carry[0] must be the per-lane window tb); leaves run
+    `leaf_scan(leaf_start, leaf_count, carry)`.  Coherent tiles (primary
+    rays) visit only their frustum's subtree; the worst case degrades to the
+    brute-force scan, never worse than the reference's O(N) per ray.
+    """
+    safe = lambda v: jnp.where(jnp.abs(v) < 1e-20, jnp.float32(1e-20), v)
+    ivx, ivy, ivz = 1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz)
+
+    def cond(state):
+        return state[0] >= 0
+
+    def body(state):
+        cursor, carry = state
+        tb = carry[0]
+        bnx = bvhf_ref[_BMINX, cursor]
+        bny = bvhf_ref[_BMINY, cursor]
+        bnz = bvhf_ref[_BMINZ, cursor]
+        bxx = bvhf_ref[_BMAXX, cursor]
+        bxy = bvhf_ref[_BMAXY, cursor]
+        bxz = bvhf_ref[_BMAXZ, cursor]
+        # Slab test per lane against the shrinking window.
+        t0x, t1x = (bnx - ox) * ivx, (bxx - ox) * ivx
+        t0y, t1y = (bny - oy) * ivy, (bxy - oy) * ivy
+        t0z, t1z = (bnz - oz) * ivz, (bxz - oz) * ivz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        lane_hit = (tf >= jnp.maximum(tn, jnp.float32(t_min))) & (tn < tb)
+        enter = jnp.max(lane_hit.astype(jnp.float32)) > 0.5  # any() as scalar
+
+        ls = bvhi_ref[_LSTART, cursor]
+        lc = bvhi_ref[_LCOUNT, cursor]
+        is_leaf = ls >= 0
+        trip = jnp.where(enter & is_leaf, lc, 0)
+        carry = leaf_scan(ls, trip, carry)
+
+        descend = enter & ~is_leaf
+        cursor = jnp.where(descend, cursor + 1, bvhi_ref[_LMISS, cursor])
+        return cursor, carry
+
+    _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+    return carry
+
+
 def _traverse_mesh(
     mesh_ref, bvhf_ref, bvhi_ref,
     t_min, ox, oy, oz, dx, dy, dz,
     carry,
 ):
-    """Tile-coherent stackless BVH traversal + scalar-broadcast leaf scan.
-
-    One SCALAR cursor per tile walks the threaded BVH (ops/bvh.py layout):
-    the tile descends when ANY lane's slab test overlaps its shrinking
-    closest-hit window; leaf triangles run vectorized Moller-Trumbore with
-    the per-lane window doing the fine rejection.  Coherent tiles (primary
-    rays) visit only their frustum's subtree; the worst case degrades to the
-    brute-force scan, never worse than the reference's O(F) per ray.
+    """Mesh BVH traversal: scalar-broadcast Moller-Trumbore leaf scan.
 
     `carry` is (tb, nxp, nyp, nzp, ar, ag, ab, kp, pp): the shared closest-
     hit state, with OUTWARD normals in the n-planes; sphere results already
     folded in by the caller.
     """
-    safe = lambda v: jnp.where(jnp.abs(v) < 1e-20, jnp.float32(1e-20), v)
-    ivx, ivy, ivz = 1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz)
 
     def leaf_body(k, carry):
         tb, nxp, nyp, nzp, ar, ag, ab, kp, pp = carry[0]
@@ -173,50 +218,19 @@ def _traverse_mesh(
         pp = jnp.where(better, mesh_ref[_MPARAM, tri], pp)
         return (tb, nxp, nyp, nzp, ar, ag, ab, kp, pp), carry[1]
 
-    def cond(state):
-        return state[0] >= 0
-
-    def body(state):
-        cursor, carry = state
-        tb = carry[0]
-        bnx = bvhf_ref[_BMINX, cursor]
-        bny = bvhf_ref[_BMINY, cursor]
-        bnz = bvhf_ref[_BMINZ, cursor]
-        bxx = bvhf_ref[_BMAXX, cursor]
-        bxy = bvhf_ref[_BMAXY, cursor]
-        bxz = bvhf_ref[_BMAXZ, cursor]
-        # Slab test per lane against the shrinking window.
-        t0x, t1x = (bnx - ox) * ivx, (bxx - ox) * ivx
-        t0y, t1y = (bny - oy) * ivy, (bxy - oy) * ivy
-        t0z, t1z = (bnz - oz) * ivz, (bxz - oz) * ivz
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.minimum(t0z, t1z),
-        )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z),
-        )
-        lane_hit = (tf >= jnp.maximum(tn, jnp.float32(t_min))) & (tn < tb)
-        enter = jnp.max(lane_hit.astype(jnp.float32)) > 0.5  # any() as scalar
-
-        ls = bvhi_ref[_LSTART, cursor]
-        lc = bvhi_ref[_LCOUNT, cursor]
-        is_leaf = ls >= 0
-        trip = jnp.where(enter & is_leaf, lc, 0)
+    def leaf_scan(ls, trip, carry):
         carry, _ = jax.lax.fori_loop(0, trip, leaf_body, (carry, ls))
+        return carry
 
-        descend = enter & ~is_leaf
-        cursor = jnp.where(descend, cursor + 1, bvhi_ref[_LMISS, cursor])
-        return cursor, carry
-
-    _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
-    return carry
+    return _traverse_bvh(
+        bvhf_ref, bvhi_ref, t_min, ox, oy, oz, dx, dy, dz, carry, leaf_scan
+    )
 
 
 def _closest_hit(
     scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
     mesh_refs=None,
+    sphere_bvh_refs=None,
 ):
     """Vectorized shrinking-window sphere scan (wgsl:164-221), plus the
     tile-coherent mesh BVH traversal when `mesh_refs` is given.
@@ -266,9 +280,19 @@ def _closest_hit(
         return tb, cxp, cyp, czp, rp, ar, ag, ab, kp, pp
 
     init = (t0, zero, zero, zero, zero, zero, zero, zero, zero, zero)
-    tb, cxp, cyp, czp, rp, ar, ag, ab, kp, pp = jax.lax.fori_loop(
-        0, n_spheres, body, init
-    )
+    if sphere_bvh_refs is None:
+        carry10 = jax.lax.fori_loop(0, n_spheres, body, init)
+    else:
+        # Sphere BVH: same tile-coherent traversal, leaf scan = the sphere
+        # body over the leaf's contiguous range.
+        def leaf_scan(ls, trip, carry):
+            return jax.lax.fori_loop(0, trip, lambda k, c: body(ls + k, c), carry)
+
+        carry10 = _traverse_bvh(
+            sphere_bvh_refs[0], sphere_bvh_refs[1], t_min,
+            ox, oy, oz, dx, dy, dz, init, leaf_scan,
+        )
+    tb, cxp, cyp, czp, rp, ar, ag, ab, kp, pp = carry10
 
     # Sphere OUTWARD normals at the sphere-stage t (valid wherever a sphere
     # currently holds the window; mesh hits below overwrite closer lanes).
@@ -391,10 +415,11 @@ def _kernel(
     cam_ref,  # (1, 24) f32 SMEM camera scalars
     ints_ref,  # (1, 8) u32 SMEM: [sample_index, frame_seed, y_offset, ...]
     scene_ref,  # (16, N) f32 SMEM scene
-    *rest,  # [mesh_ref (20,F), bvhf_ref (8,M), bvhi_ref (4,M)] + out refs
+    *rest,  # [mesh+bvh refs] + [sphere-bvh refs] + out refs (see has_* flags)
     width: int,
     n_spheres: int,
     has_mesh: bool,
+    has_sphere_bvh: bool,
     max_depth: int,
     t_min: float,
     t_max: float,
@@ -406,12 +431,16 @@ def _kernel(
     per-ray data ever crosses HBM: inputs are ~200 bytes of scalars, the
     output is the tile's RGB.
     """
+    rest = list(rest)
+    mesh_refs = None
+    sphere_bvh_refs = None
     if has_mesh:
-        mesh_refs = rest[:3]
-        outr_ref, outg_ref, outb_ref = rest[3:]
-    else:
-        mesh_refs = None
-        outr_ref, outg_ref, outb_ref = rest
+        mesh_refs = tuple(rest[:3])
+        rest = rest[3:]
+    if has_sphere_bvh:
+        sphere_bvh_refs = tuple(rest[:2])
+        rest = rest[2:]
+    outr_ref, outg_ref, outb_ref = rest
 
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -458,7 +487,7 @@ def _kernel(
     if mode == "normal":
         _, hit, _, _, _, nx, ny, nz, _, _, _, _, _, _ = _closest_hit(
             scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
-            mesh_refs=mesh_refs,
+            mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
         )
         skr, skg, skb = _sky(dx, dy, dz)
         outr_ref[:] = jnp.where(hit, 0.5 * (nx + 1.0), skr)
@@ -473,7 +502,7 @@ def _kernel(
         live = live_f > 0.5
         (_, hit, px, py, pz, nx, ny, nz, front, ar, ag, ab, kp, pp) = _closest_hit(
             scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
-            mesh_refs=mesh_refs,
+            mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
         )
         salt_base = jnp.uint32(16) + jnp.uint32(3) * jnp.asarray(i_b, jnp.uint32)
         sx, sy, sz, attr, attg, attb, ok = _scatter(
@@ -617,6 +646,7 @@ def render_pallas(
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
 
     has_mesh = sc.mesh is not None
+    has_sphere_bvh = sc.sphere_bvh is not None
     in_specs = [smem((1, 24)), smem((1, 4)), smem((_SCENE_ROWS, n))]
     args = [cam_vec, ints, scene]
     if has_mesh:
@@ -628,9 +658,17 @@ def render_pallas(
             smem((4, sc.bvh.num_nodes)),
         ]
         args += [mplanes, bvhf, bvhi]
+    if has_sphere_bvh:
+        sbf, sbi = bvh_planes(sc.sphere_bvh)
+        in_specs += [
+            smem((8, sc.sphere_bvh.num_nodes)),
+            smem((4, sc.sphere_bvh.num_nodes)),
+        ]
+        args += [sbf, sbi]
 
     kernel = functools.partial(
         _kernel, width=width, n_spheres=n, has_mesh=has_mesh,
+        has_sphere_bvh=has_sphere_bvh,
         max_depth=max_depth, t_min=float(t_min), t_max=float(t_max), mode=mode,
     )
     outr, outg, outb = pl.pallas_call(

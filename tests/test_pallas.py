@@ -165,3 +165,31 @@ def test_pallas_mesh_requires_bvh():
     cfg = _cfg(backend="pallas")
     with pytest.raises(ValueError):
         render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(0))
+
+
+def test_pallas_sphere_bvh_matches_bruteforce():
+    """make_scene auto-builds a sphere BVH above the threshold; the culled
+    kernel must match the brute-force scan."""
+    from gpu_ray_tracing_tpu import make_scene
+
+    spheres = one_weekend_scene(jax.random.key(0))
+    scene = make_scene(spheres)
+    assert scene.sphere_bvh is not None  # 197 > threshold
+    cam = CameraSettings.default()
+    cfg = _cfg(width=64, height=40, max_depth=6, backend="pallas")
+    a = np.asarray(render(scene, cam, cfg, frame_seed=jnp.uint32(2)))
+    b = np.asarray(render(spheres, cam, cfg, frame_seed=jnp.uint32(2)))
+    assert np.all(np.isfinite(a))
+    assert_images_match(a, b, flip_frac=0.02, mean_tol=2e-3)
+
+
+def test_sphere_bvh_structure():
+    from gpu_ray_tracing_tpu.ops.bvh import build_sphere_bvh, validate_bvh
+
+    spheres = one_weekend_scene(jax.random.key(1)).pad_to_multiple(128)
+    reordered, bvh = build_sphere_bvh(spheres)
+    n_active = int(np.asarray(spheres.radii > 0).sum())
+    validate_bvh(bvh, n_active)
+    # Pads stay at the tail, outside all leaves.
+    r = np.asarray(reordered.radii)
+    assert np.all(r[:n_active] > 0) and np.all(r[n_active:] == 0)
