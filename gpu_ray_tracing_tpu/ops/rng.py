@@ -8,9 +8,12 @@ Reference mapping (compute_shader.wgsl:50-63 and friends):
   - `seed_from_f32`        <- the u32(camera.random_seed * 4294967295.0)
                               expansion at wgsl:311,353
 
-The WGSL hash exists for bit-parity golden tests; the default RNG is JAX's
-counter-based threefry (`jax.random`), because the reference sampler has
-visible defects we only reproduce behind `parity=True` (SURVEY D2/D4 quirks).
+The WGSL hash chains exist for bit-parity golden tests (the reference's
+sampler defects are reproduced only behind `parity=True` — SURVEY D2/D4/D7
+quirks).  The DEFAULT RNG is the counter-based "hash" mode below: the same
+integer hash core with proper per-(pixel, sample, salt) seed derivation,
+position-equivariant so sharding/tiling cannot change the stream.
+jax.random/threefry remains available as a third mode.
 
 All functions are shape-polymorphic and work on uint32 arrays of any shape;
 uint32 arithmetic in JAX wraps, matching WGSL semantics.

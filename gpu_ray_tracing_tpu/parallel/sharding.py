@@ -36,7 +36,7 @@ from gpu_ray_tracing_tpu.api import _trace_chunked
 from gpu_ray_tracing_tpu.models.camera import Camera, CameraSettings, derive_camera
 from gpu_ray_tracing_tpu.models.spheres import Spheres
 from gpu_ray_tracing_tpu.ops import integrators, rays
-from gpu_ray_tracing_tpu.ops.accumulate import AccumState, fold_sample
+from gpu_ray_tracing_tpu.ops.accumulate import AccumState
 from gpu_ray_tracing_tpu.parallel.mesh import ROW_AXIS, SPP_AXIS
 from gpu_ray_tracing_tpu.utils.config import RenderConfig
 

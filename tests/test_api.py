@@ -228,3 +228,19 @@ def test_invalid_config_rejected():
         RenderConfig(spp=0)
     with pytest.raises(ValueError):
         RenderConfig(parity=True, rng="threefry")
+
+
+def test_render_vmappable_over_cameras():
+    """The API claim: render is vmappable (e.g. a batch of camera poses)."""
+    import gpu_ray_tracing_tpu as rt
+    from gpu_ray_tracing_tpu.models.camera import derive_camera, orbit_yaw
+
+    scene = base_scene()
+    cfg = _cfg(width=24, height=16, spp=1, max_depth=3)
+    cams = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[derive_camera(cam_ops.orbit_yaw(BASE_CAMERA, 0.2 * i), 24, 16) for i in range(3)],
+    )
+    imgs = jax.vmap(lambda c: render(scene, c, cfg, frame_seed=jnp.uint32(0)))(cams)
+    assert imgs.shape == (3, 16, 24, 3)
+    assert not np.array_equal(np.asarray(imgs[0]), np.asarray(imgs[2]))

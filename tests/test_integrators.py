@@ -162,3 +162,24 @@ def test_trace_requires_exactly_one_rng():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_parity_rim_defocus_quirk():
+    """parity=True samples the defocus disk RIM (wgsl:327-331): all lens
+    offsets have radius exactly defocus_radius; parity=False fills the disk."""
+    from gpu_ray_tracing_tpu.models.camera import CameraSettings, derive_camera
+    from gpu_ray_tracing_tpu.ops.rays import generate_rays_wgsl
+
+    settings = CameraSettings.default()  # defocus_angle 0.6 deg
+    cam = derive_camera(settings, 64, 64)
+    disk_r = float(jnp.linalg.norm(cam.defocus_disk_u))
+
+    for parity, expect_rim in [(True, True), (False, False)]:
+        o, _ = generate_rays_wgsl(cam, 64, 64, jnp.uint32(5), jnp.uint32(9), parity)
+        offsets = np.asarray(o) - np.asarray(cam.center)
+        radii = np.linalg.norm(offsets, axis=-1)
+        if expect_rim:
+            np.testing.assert_allclose(radii, disk_r, rtol=1e-3)
+        else:
+            assert radii.min() < 0.5 * disk_r  # interior points exist
+            assert radii.max() <= disk_r * 1.001

@@ -88,3 +88,24 @@ def test_pixel_seeds_match_get_ray_derivation():
                 ^ ((sample_index * 25 + frame_seed) & m)
             ) & m
             assert int(seeds[y, x]) == _hash_py(mixed), (x, y)
+
+
+def test_uniform_hash_24bit_construction():
+    """uniform_hash = (hash2 >> 8) / 2^24 — exactly representable f32s."""
+    from gpu_ray_tracing_tpu.ops.rng import hash2, uniform_hash
+
+    seeds = jnp.arange(0, 4096, dtype=jnp.uint32)
+    u = np.asarray(uniform_hash(seeds, 3))
+    bits = np.asarray(hash2(seeds, 3)) >> 8
+    np.testing.assert_array_equal(u, bits.astype(np.float32) / (1 << 24))
+    assert u.min() >= 0.0 and u.max() < 1.0
+    assert abs(u.mean() - 0.5) < 0.02
+
+
+def test_uniform_hash_salts_decorrelated():
+    from gpu_ray_tracing_tpu.ops.rng import uniform_hash
+
+    seeds = jnp.arange(0, 10000, dtype=jnp.uint32)
+    a = np.asarray(uniform_hash(seeds, 1))
+    b = np.asarray(uniform_hash(seeds, 2))
+    assert abs(np.corrcoef(a, b)[0, 1]) < 0.05

@@ -133,3 +133,13 @@ def test_indivisible_height_rejected(scene):
     mesh = make_mesh(8, 1)
     with pytest.raises(ValueError):
         render_sharded(scene, BASE_CAMERA, _cfg(height=50), mesh)
+
+
+def test_sharded_pallas_backend(scene):
+    """The sharded path drives the megakernel per shard (interpret on CPU),
+    with the row-shard y_offset keeping the global RNG stream."""
+    mesh = make_mesh(4, 1)
+    cfg = _cfg(backend="pallas")
+    a = np.asarray(render_sharded(scene, BASE_CAMERA, cfg, mesh, frame_seed=jnp.uint32(5)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(5)))
+    assert_images_match(a, b)
