@@ -123,7 +123,10 @@ def config5(quick: bool) -> dict:
     scene = one_weekend_scene(jax.random.key(0)).pad_to_multiple(128)
     backend = "pallas" if jax.default_backend() == "tpu" else "jax"
     res = (480, 270) if jax.default_backend() == "cpu" else (1920, 1080)
-    cfg = RenderConfig(width=res[0], height=res[1], spp=1024, max_depth=20, backend=backend)
+    # Unbiased Russian roulette from bounce 5: the production setting for
+    # long progressive accumulation (config option, off by default).
+    cfg = RenderConfig(width=res[0], height=res[1], spp=1024, max_depth=20,
+                       backend=backend, russian_roulette_depth=5)
     state = init_accum(cfg.height, cfg.width)
 
     def fn(i):

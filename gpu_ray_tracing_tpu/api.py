@@ -82,7 +82,8 @@ def _trace_chunked(
             return integrators.shade_normals(o, d, spheres, config.t_min, config.t_max)
         return integrators.trace_path(
             o, d, spheres, config.max_depth, config.t_min, config.t_max,
-            parity=config.parity, pixel_seeds=seeds, **rng_kw,
+            parity=config.parity, pixel_seeds=seeds,
+            russian_roulette_depth=config.russian_roulette_depth, **rng_kw,
         )
 
     if block == p:
@@ -123,6 +124,7 @@ def _render_one_sample(
                 max_depth=config.max_depth, t_min=config.t_min,
                 t_max=config.t_max,
                 mode="normal" if config.integrator == "normal" else "path",
+                russian_roulette_depth=config.russian_roulette_depth,
             )
         origins, dirs, seeds = rays.generate_rays_hash(
             camera, w, h, sample_index, frame_seed

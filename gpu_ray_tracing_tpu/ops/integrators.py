@@ -68,6 +68,7 @@ def trace_path(
     bounce_seeds: Array | None = None,
     pixel_seeds: Array | None = None,
     parity: bool = False,
+    russian_roulette_depth: int = 0,
 ) -> Array:
     """Path-trace a batch of rays; returns linear RGB of shape dirs.shape.
 
@@ -139,6 +140,30 @@ def trace_path(
         o = jnp.where(scattered[..., None], hit.point, o)
         d = jnp.where(scattered[..., None], new_dir, d)
         live = scattered
+
+        if russian_roulette_depth > 0:
+            # Unbiased stochastic termination: survive with p = max channel
+            # throughput (clamped), divide by p on survival.  Salt space
+            # 1000+i is disjoint from the scatter salts, so enabling RR does
+            # not perturb the base sample stream.
+            if pixel_seeds is not None:
+                u_rr = rng_ops.uniform_hash(pixel_seeds, jnp.uint32(1000) + jnp.asarray(i, jnp.uint32))
+            elif key is not None:
+                u_rr = jax.random.uniform(
+                    jax.random.fold_in(jax.random.fold_in(key, 1000), i), batch_shape
+                )
+            else:
+                u_rr = jnp.broadcast_to(
+                    rng_ops.wgsl_random_float(bounce_seeds[i] + jnp.uint32(977)), batch_shape
+                )
+            p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+            apply_rr = i >= russian_roulette_depth
+            survive = (~apply_rr) | (u_rr < p)
+            scale = jnp.where(apply_rr, 1.0 / p, 1.0)
+            throughput = jnp.where(
+                (live & survive)[..., None], throughput * scale[..., None], throughput
+            )
+            live = live & survive
         return o, d, throughput, result, live
 
     o, d, throughput, result, live = jax.lax.fori_loop(

@@ -424,6 +424,7 @@ def _kernel(
     t_min: float,
     t_max: float,
     mode: str,
+    rr_depth: int = 0,
 ):
     """One (TILE_ROWS x 128)-pixel image tile: ray gen -> trace -> write.
 
@@ -525,9 +526,22 @@ def _kernel(
         dx = jnp.where(scattered, sx, dx)
         dy = jnp.where(scattered, sy, dy)
         dz = jnp.where(scattered, sz, dz)
+        live_out = scattered
+        if rr_depth > 0:
+            # Russian roulette (matches ops/integrators salt space 1000+i).
+            u_rr = _uniform(seeds, jnp.uint32(1000) + jnp.asarray(i_b, jnp.uint32))
+            pmax = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb_)), 0.05, 1.0)
+            apply_f = (i_b >= rr_depth).astype(jnp.float32)
+            survive = (u_rr < pmax) | (apply_f < 0.5)
+            inv_p = 1.0 + apply_f * (1.0 / pmax - 1.0)
+            keep = live_out & survive
+            tr = jnp.where(keep, tr * inv_p, tr)
+            tg = jnp.where(keep, tg * inv_p, tg)
+            tb_ = jnp.where(keep, tb_ * inv_p, tb_)
+            live_out = keep
         return (
             ox, oy, oz, dx, dy, dz, tr, tg, tb_, rr, rg, rb,
-            scattered.astype(jnp.float32),
+            live_out.astype(jnp.float32),
         )
 
     ones = jnp.ones(shape, jnp.float32)
@@ -590,6 +604,7 @@ def render_pallas(
     t_min: float,
     t_max: float = 3.4e35,
     mode: str = "path",  # 'path' | 'normal'
+    russian_roulette_depth: int = 0,
     y_offset: Array | int = 0,
     interpret: bool | None = None,
 ) -> Array:
@@ -670,6 +685,7 @@ def render_pallas(
         _kernel, width=width, n_spheres=n, has_mesh=has_mesh,
         has_sphere_bvh=has_sphere_bvh,
         max_depth=max_depth, t_min=float(t_min), t_max=float(t_max), mode=mode,
+        rr_depth=russian_roulette_depth,
     )
     outr, outg, outb = pl.pallas_call(
         kernel,

@@ -71,6 +71,7 @@ def _local_sample(spheres, camera, config: RenderConfig, sample_index, frame_see
                 max_depth=config.max_depth, t_min=config.t_min,
                 t_max=config.t_max,
                 mode="normal" if config.integrator == "normal" else "path",
+                russian_roulette_depth=config.russian_roulette_depth,
                 y_offset=y0,
             )
         origins, dirs, seeds = rays.generate_rays_hash(

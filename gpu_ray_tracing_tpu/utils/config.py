@@ -58,6 +58,12 @@ class RenderConfig:
     # exhausted rays -> black).
     parity: bool = False
 
+    # Russian-roulette path termination: 0 disables (the reference always
+    # runs to max_depth); k > 0 stochastically kills low-throughput paths
+    # from bounce k on, dividing surviving throughput by the survival
+    # probability (unbiased).  Large speedups at high max_depth.
+    russian_roulette_depth: int = 0
+
     t_min: float = 1.0e-3
     t_max: float = 3.4e35
 

@@ -244,3 +244,30 @@ def test_render_vmappable_over_cameras():
     imgs = jax.vmap(lambda c: render(scene, c, cfg, frame_seed=jnp.uint32(0)))(cams)
     assert imgs.shape == (3, 16, 24, 3)
     assert not np.array_equal(np.asarray(imgs[0]), np.asarray(imgs[2]))
+
+
+def test_russian_roulette_unbiased():
+    """RR termination must not bias the estimator: mean image over many
+    frames matches the non-RR mean within Monte Carlo noise."""
+    scene = base_scene()
+    cfg_off = _cfg(width=32, height=24, spp=8, max_depth=16)
+    cfg_on = _cfg(width=32, height=24, spp=8, max_depth=16, russian_roulette_depth=3)
+    a = np.mean([np.asarray(render(scene, BASE_CAMERA, cfg_off, frame_seed=jnp.uint32(k)))
+                 for k in range(12)], axis=0)
+    b = np.mean([np.asarray(render(scene, BASE_CAMERA, cfg_on, frame_seed=jnp.uint32(k)))
+                 for k in range(12)], axis=0)
+    assert abs(float(a.mean() - b.mean())) < 0.01
+    np.testing.assert_allclose(a, b, atol=0.12)
+
+
+def test_russian_roulette_pallas_matches_jax():
+    scene = base_scene()
+    cfg_p = _cfg(width=32, height=24, spp=2, max_depth=12,
+                 russian_roulette_depth=3, backend="pallas")
+    cfg_j = _cfg(width=32, height=24, spp=2, max_depth=12,
+                 russian_roulette_depth=3, backend="jax")
+    from tests.test_sharding import assert_images_match
+
+    a = np.asarray(render(scene, BASE_CAMERA, cfg_p, frame_seed=jnp.uint32(4)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg_j, frame_seed=jnp.uint32(4)))
+    assert_images_match(a, b, flip_frac=0.02, mean_tol=2e-3)
