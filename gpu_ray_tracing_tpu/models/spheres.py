@@ -30,6 +30,10 @@ Array = jax.Array
 LAMBERTIAN = 0
 METAL = 1
 DIELECTRIC = 2
+# Extension beyond the reference (its shader has exactly three BSDFs,
+# wgsl:272-284): emissive surfaces radiate albedo * mat_param and terminate
+# the path — area lights for dark scenes (see RenderConfig.sky_intensity).
+EMISSIVE = 3
 
 
 @partial(
@@ -110,7 +114,11 @@ def pack_materials(spheres: Spheres) -> np.ndarray:
     lambertian -> (r, g, b, -2.0)           sphere.rs:53,81,126
     metal      -> (r, g, b, fuzz)           sphere.rs:96,134
     dielectric -> (ior, 0, 0, 2.0)          sphere.rs:105,118
+
+    EMISSIVE has no encoding in the reference convention and is rejected.
     """
+    if bool(np.any(np.asarray(spheres.mat_kind) == EMISSIVE)):
+        raise ValueError("the reference albedo.w codec cannot express EMISSIVE")
     albedo = np.asarray(spheres.albedo)
     kind = np.asarray(spheres.mat_kind)
     param = np.asarray(spheres.mat_param)

@@ -25,7 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from gpu_ray_tracing_tpu.models.spheres import Spheres
+from gpu_ray_tracing_tpu.models.spheres import EMISSIVE, Spheres
 from gpu_ray_tracing_tpu.ops import rng as rng_ops
 from gpu_ray_tracing_tpu.ops.materials import scatter
 
@@ -69,6 +69,7 @@ def trace_path(
     pixel_seeds: Array | None = None,
     parity: bool = False,
     russian_roulette_depth: int = 0,
+    sky_intensity: float = 1.0,
 ) -> Array:
     """Path-trace a batch of rays; returns linear RGB of shape dirs.shape.
 
@@ -133,9 +134,21 @@ def trace_path(
         )
 
         missed = live & ~hit.hit
-        result = jnp.where(missed[..., None], result + throughput * sky_color(d), result)
+        result = jnp.where(
+            missed[..., None],
+            result + throughput * sky_color(d) * jnp.float32(sky_intensity),
+            result,
+        )
+        # Emissive surfaces radiate albedo * param and end the path
+        # (extension beyond the reference's three BSDFs).
+        emissive = live & hit.hit & (kind == EMISSIVE)
+        result = jnp.where(
+            emissive[..., None],
+            result + throughput * albedo * param[..., None],
+            result,
+        )
         # Absorbed rays (metal below surface) contribute black (wgsl:278).
-        scattered = live & hit.hit & ok
+        scattered = live & hit.hit & ok & (kind != EMISSIVE)
         throughput = jnp.where(scattered[..., None], throughput * attenuation, throughput)
         o = jnp.where(scattered[..., None], hit.point, o)
         d = jnp.where(scattered[..., None], new_dir, d)
@@ -173,7 +186,11 @@ def trace_path(
     if parity:
         # Reference quirk: depth-exhausted rays still get sky * throughput
         # (no exhaustion test after the loop, wgsl:293-296).
-        result = jnp.where(live[..., None], result + throughput * sky_color(d), result)
+        result = jnp.where(
+            live[..., None],
+            result + throughput * sky_color(d) * jnp.float32(sky_intensity),
+            result,
+        )
     return result
 
 

@@ -425,6 +425,7 @@ def _kernel(
     t_max: float,
     mode: str,
     rr_depth: int = 0,
+    sky_intensity: float = 1.0,
 ):
     """One (TILE_ROWS x 128)-pixel image tile: ray gen -> trace -> write.
 
@@ -512,11 +513,19 @@ def _kernel(
 
         missed = live & ~hit
         skr, skg, skb = _sky(dx, dy, dz)
-        rr = jnp.where(missed, rr + tr * skr, rr)
-        rg = jnp.where(missed, rg + tg * skg, rg)
-        rb = jnp.where(missed, rb + tb_ * skb, rb)
+        sky_s = jnp.float32(sky_intensity)
+        rr = jnp.where(missed, rr + tr * skr * sky_s, rr)
+        rg = jnp.where(missed, rg + tg * skg * sky_s, rg)
+        rb = jnp.where(missed, rb + tb_ * skb * sky_s, rb)
 
-        scattered = live & hit & ok
+        # Emissive surfaces radiate albedo * param and end the path.
+        is_emis = kp >= 2.5
+        emis = live & hit & is_emis
+        rr = jnp.where(emis, rr + tr * ar * pp, rr)
+        rg = jnp.where(emis, rg + tg * ag * pp, rg)
+        rb = jnp.where(emis, rb + tb_ * ab * pp, rb)
+
+        scattered = live & hit & ok & ~is_emis
         tr = jnp.where(scattered, tr * attr, tr)
         tg = jnp.where(scattered, tg * attg, tg)
         tb_ = jnp.where(scattered, tb_ * attb, tb_)
@@ -605,6 +614,7 @@ def render_pallas(
     t_max: float = 3.4e35,
     mode: str = "path",  # 'path' | 'normal'
     russian_roulette_depth: int = 0,
+    sky_intensity: float = 1.0,
     y_offset: Array | int = 0,
     interpret: bool | None = None,
 ) -> Array:
@@ -685,7 +695,7 @@ def render_pallas(
         _kernel, width=width, n_spheres=n, has_mesh=has_mesh,
         has_sphere_bvh=has_sphere_bvh,
         max_depth=max_depth, t_min=float(t_min), t_max=float(t_max), mode=mode,
-        rr_depth=russian_roulette_depth,
+        rr_depth=russian_roulette_depth, sky_intensity=float(sky_intensity),
     )
     outr, outg, outb = pl.pallas_call(
         kernel,

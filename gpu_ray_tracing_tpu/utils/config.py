@@ -58,6 +58,11 @@ class RenderConfig:
     # exhausted rays -> black).
     parity: bool = False
 
+    # Sky (miss shader) brightness multiplier: 1.0 is the reference's
+    # white->blue gradient (wgsl:293-296); 0.0 gives a black background for
+    # scenes lit purely by EMISSIVE surfaces.
+    sky_intensity: float = 1.0
+
     # Russian-roulette path termination: 0 disables (the reference always
     # runs to max_depth); k > 0 stochastically kills low-throughput paths
     # from bounce k on, dividing surviving throughput by the survival

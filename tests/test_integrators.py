@@ -183,3 +183,54 @@ def test_parity_rim_defocus_quirk():
         else:
             assert radii.min() < 0.5 * disk_r  # interior points exist
             assert radii.max() <= disk_r * 1.001
+
+
+def test_emissive_sphere_radiates():
+    """A dark scene lit by an emissive sphere: light pixels at the source,
+    illuminated floor nearby, black elsewhere."""
+    from gpu_ray_tracing_tpu.models.spheres import EMISSIVE
+
+    scene = make_spheres(
+        [
+            ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.7, 0.7, 0.7), 0.0),
+            ((0.0, 1.5, -3.0), 0.8, EMISSIVE, (1.0, 0.9, 0.7), 4.0),
+        ]
+    )
+    # Direct hit on the light: exactly albedo * intensity.
+    out = _trace([[0, 1.5, 0]], [[0, 0, -1]], scene, depth=4, key=jax.random.key(0))
+    np.testing.assert_allclose(out[0], [4.0, 3.6, 2.8], atol=1e-4)
+    # Floor below the light picks up bounce light (sky off).
+    out2 = trace_path(
+        jnp.asarray([[0.0, 3.0, -3.0]], jnp.float32),
+        jnp.asarray([[0.3, -1.0, 0.0]], jnp.float32),
+        scene, 6, TMIN, TMAX, key=jax.random.key(1), sky_intensity=0.0,
+    )
+    # Statistically: average many keys; some paths bounce into the light.
+    outs = [
+        np.asarray(trace_path(
+            jnp.asarray([[0.0, 3.0, -3.0]], jnp.float32),
+            jnp.asarray([[0.3, -1.0, 0.0]], jnp.float32),
+            scene, 6, TMIN, TMAX, key=jax.random.key(k), sky_intensity=0.0,
+        ))[0]
+        for k in range(64)
+    ]
+    mean = np.mean(outs, axis=0)
+    assert mean.max() > 0.01  # some illumination reaches the floor
+    # A ray pointing away from everything in a skyless scene is black.
+    out3 = np.asarray(trace_path(
+        jnp.asarray([[0.0, 3.0, 10.0]], jnp.float32),
+        jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32),
+        scene, 4, TMIN, TMAX, key=jax.random.key(2), sky_intensity=0.0,
+    ))
+    np.testing.assert_allclose(out3[0], 0.0, atol=1e-6)
+
+
+def test_sky_intensity_scales_miss():
+    scene = base_scene()
+    full = _trace([[0, 5, 0]], [[0, 1, 0]], scene, key=jax.random.key(0))
+    half = np.asarray(trace_path(
+        jnp.asarray([[0.0, 5.0, 0.0]], jnp.float32),
+        jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32),
+        scene, 8, TMIN, TMAX, key=jax.random.key(0), sky_intensity=0.5,
+    ))
+    np.testing.assert_allclose(half[0], full[0] * 0.5, atol=1e-6)

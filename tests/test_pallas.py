@@ -193,3 +193,25 @@ def test_sphere_bvh_structure():
     # Pads stay at the tail, outside all leaves.
     r = np.asarray(reordered.radii)
     assert np.all(r[:n_active] > 0) and np.all(r[n_active:] == 0)
+
+
+def test_pallas_emissive_matches_jax():
+    """Emissive + dark-sky scene agrees across backends."""
+    from gpu_ray_tracing_tpu.models.spheres import EMISSIVE, LAMBERTIAN, make_spheres
+
+    scene = make_spheres(
+        [
+            ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.7, 0.7, 0.7), 0.0),
+            ((0.0, 1.2, -2.0), 0.6, EMISSIVE, (1.0, 0.8, 0.5), 5.0),
+        ]
+    )
+    cfg_p = _cfg(width=48, height=32, spp=4, max_depth=6, backend="pallas")
+    cfg_j = _cfg(width=48, height=32, spp=4, max_depth=6, backend="jax")
+    import dataclasses
+
+    cfg_p = dataclasses.replace(cfg_p, sky_intensity=0.0)
+    cfg_j = dataclasses.replace(cfg_j, sky_intensity=0.0)
+    a = np.asarray(render(scene, BASE_CAMERA, cfg_p, frame_seed=jnp.uint32(3)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg_j, frame_seed=jnp.uint32(3)))
+    assert a.max() > 1.0  # the light is visible and HDR
+    assert_images_match(a, b, flip_frac=0.02, mean_tol=2e-3)
