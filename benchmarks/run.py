@@ -82,7 +82,7 @@ def config2(quick: bool) -> dict:
 
 def config3(quick: bool) -> dict:
     """One-Weekend final scene (~480 spheres), 50-bounce path trace."""
-    scene = one_weekend_scene(jax.random.key(0), grid_min=-11, grid_max=11).pad_to_multiple(128)
+    scene = make_scene(one_weekend_scene(jax.random.key(0), grid_min=-11, grid_max=11))
     backend = "pallas" if jax.default_backend() == "tpu" else "jax"
     res = (320, 180) if jax.default_backend() == "cpu" else (1280, 720)
     cfg = RenderConfig(width=res[0], height=res[1], spp=1, max_depth=50, backend=backend)
@@ -90,7 +90,8 @@ def config3(quick: bool) -> dict:
     stats = time_frames(fn, width=res[0], height=res[1], spp=1, frames=2 if quick else 5)
     return _emit(
         "3_one_weekend_480sph_d50", stats,
-        {"spheres": scene.count, "backend": backend, "resolution": f"{res[0]}x{res[1]}"},
+        {"spheres": scene.spheres.count, "backend": backend,
+         "resolution": f"{res[0]}x{res[1]}"},
     )
 
 
@@ -120,7 +121,7 @@ def config4(quick: bool) -> dict:
 
 def config5(quick: bool) -> dict:
     """Progressive 1080p accumulation toward 1024 spp (spp/sec)."""
-    scene = one_weekend_scene(jax.random.key(0)).pad_to_multiple(128)
+    scene = make_scene(one_weekend_scene(jax.random.key(0)))
     backend = "pallas" if jax.default_backend() == "tpu" else "jax"
     res = (480, 270) if jax.default_backend() == "cpu" else (1920, 1080)
     # Unbiased Russian roulette from bounce 5: the production setting for
