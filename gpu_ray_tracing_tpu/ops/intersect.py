@@ -73,9 +73,19 @@ def intersect_spheres(
     r = spheres.radii  # (N,)
     active = r > 0.0
 
-    # MXU-friendly inner products: (P,3) @ (3,N).
-    dc = jnp.dot(d, c.T, preferred_element_type=jnp.float32)  # (P, N) = d . c
-    oc_dot_c = jnp.dot(o, c.T, preferred_element_type=jnp.float32)  # (P, N) = o . c
+    # MXU-friendly inner products: (P,3) @ (3,N).  Precision HIGHEST is
+    # load-bearing: TPU matmuls default to bf16 passes, which perturbs the
+    # quadratic enough to flip hits on most sphere silhouettes (found by
+    # benchmarks/parity_check.py — 79% of pixels diverged from the CPU
+    # goldens before this).
+    dc = jnp.dot(
+        d, c.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (P, N) = d . c
+    oc_dot_c = jnp.dot(
+        o, c.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (P, N) = o . c
 
     od = jnp.sum(o * d, axis=-1, keepdims=True)  # (P, 1)
     oo = jnp.sum(o * o, axis=-1, keepdims=True)  # (P, 1)
