@@ -84,7 +84,7 @@ def _trace_chunked(
             o, d, spheres, config.max_depth, config.t_min, config.t_max,
             parity=config.parity, pixel_seeds=seeds,
             russian_roulette_depth=config.russian_roulette_depth,
-            sky_intensity=config.sky_intensity, **rng_kw,
+            sky_intensity=config.sky_intensity, nee=config.nee, **rng_kw,
         )
 
     if block == p:
@@ -126,7 +126,7 @@ def _render_one_sample(
                 t_max=config.t_max,
                 mode="normal" if config.integrator == "normal" else "path",
                 russian_roulette_depth=config.russian_roulette_depth,
-                sky_intensity=config.sky_intensity,
+                sky_intensity=config.sky_intensity, nee=config.nee,
             )
         origins, dirs, seeds = rays.generate_rays_hash(
             camera, w, h, sample_index, frame_seed

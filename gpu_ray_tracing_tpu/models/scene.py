@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from gpu_ray_tracing_tpu.models.mesh import TriangleMesh
-from gpu_ray_tracing_tpu.models.spheres import Spheres
+from gpu_ray_tracing_tpu.models.spheres import EMISSIVE, Spheres
 from gpu_ray_tracing_tpu.ops.bvh import BVH, build_mesh_bvh
 from gpu_ray_tracing_tpu.ops.intersect import (
     Hit,
@@ -30,7 +30,45 @@ Array = jax.Array
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["spheres", "mesh", "bvh", "sphere_bvh"],
+    data_fields=["centers", "radii", "emission"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class Lights:
+    """Emissive-sphere light list for next-event estimation.
+
+    Extracted host-side by make_scene (light count must be static under
+    jit).  emission = albedo * mat_param per light.
+    """
+
+    centers: Array  # (L, 3)
+    radii: Array  # (L,)
+    emission: Array  # (L, 3)
+
+    @property
+    def count(self) -> int:
+        return self.centers.shape[0]
+
+
+def extract_lights(spheres: Spheres) -> Lights | None:
+    """Collect the active emissive spheres (None if there are none)."""
+    import numpy as np
+
+    kind = np.asarray(spheres.mat_kind)
+    radii = np.asarray(spheres.radii)
+    idx = np.flatnonzero((kind == EMISSIVE) & (radii > 0))
+    if idx.size == 0:
+        return None
+    return Lights(
+        centers=spheres.centers[idx],
+        radii=spheres.radii[idx],
+        emission=spheres.albedo[idx] * spheres.mat_param[idx][:, None],
+    )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["spheres", "mesh", "bvh", "sphere_bvh", "lights"],
     meta_fields=["bvh_leaf_size"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +85,7 @@ class Scene:
     mesh: TriangleMesh | None = None
     bvh: BVH | None = None
     sphere_bvh: BVH | None = None
+    lights: Lights | None = None
     bvh_leaf_size: int = 4
 
 
@@ -74,16 +113,17 @@ def make_scene(
         sphere_bvh = use_bvh and int((spheres.radii > 0).sum()) > SPHERE_BVH_THRESHOLD
     if sphere_bvh:
         spheres, s_bvh = build_sphere_bvh(spheres)
+    lights = extract_lights(spheres)
 
     if mesh is None:
-        return Scene(spheres=spheres, sphere_bvh=s_bvh)
+        return Scene(spheres=spheres, sphere_bvh=s_bvh, lights=lights)
     if use_bvh:
         mesh, bvh = build_mesh_bvh(mesh, leaf_size=bvh_leaf_size)
         return Scene(
             spheres=spheres, mesh=mesh, bvh=bvh, sphere_bvh=s_bvh,
-            bvh_leaf_size=bvh_leaf_size,
+            lights=lights, bvh_leaf_size=bvh_leaf_size,
         )
-    return Scene(spheres=spheres, mesh=mesh, bvh=None, sphere_bvh=s_bvh)
+    return Scene(spheres=spheres, mesh=mesh, bvh=None, sphere_bvh=s_bvh, lights=lights)
 
 
 def as_scene(scene_or_spheres) -> Scene:

@@ -70,6 +70,7 @@ def trace_path(
     parity: bool = False,
     russian_roulette_depth: int = 0,
     sky_intensity: float = 1.0,
+    nee: bool = False,
 ) -> Array:
     """Path-trace a batch of rays; returns linear RGB of shape dirs.shape.
 
@@ -94,16 +95,23 @@ def trace_path(
         raise ValueError("pass exactly one of key=, bounce_seeds=, or pixel_seeds=")
 
     from gpu_ray_tracing_tpu.models.scene import as_scene, intersect_scene
+    from gpu_ray_tracing_tpu.models.spheres import LAMBERTIAN
 
     scene = as_scene(scene)
+    if nee and (scene.lights is None or scene.lights.count == 0):
+        raise ValueError(
+            "nee=True needs a Scene with emissive lights; build it with "
+            "make_scene so the light list is extracted"
+        )
 
     batch_shape = dirs.shape[:-1]
     throughput = jnp.ones((*batch_shape, 3), jnp.float32)
     result = jnp.zeros((*batch_shape, 3), jnp.float32)
     live = jnp.ones(batch_shape, dtype=bool)
+    prev_diffuse0 = jnp.zeros(batch_shape, dtype=bool)
 
     def body(i, carry):
-        o, d, throughput, result, live = carry
+        o, d, throughput, result, live, prev_diffuse = carry
         hit, albedo, kind, param = intersect_scene(o, d, scene, t_min, t_max)
 
         if pixel_seeds is not None:
@@ -140,19 +148,122 @@ def trace_path(
             result,
         )
         # Emissive surfaces radiate albedo * param and end the path
-        # (extension beyond the reference's three BSDFs).
+        # (extension beyond the reference's three BSDFs).  Under NEE, a
+        # BSDF ray leaving a DIFFUSE surface must not count emission again —
+        # the shadow ray already sampled that light directly.
         emissive = live & hit.hit & (kind == EMISSIVE)
+        emissive_counted = emissive & ~prev_diffuse if nee else emissive
         result = jnp.where(
-            emissive[..., None],
+            emissive_counted[..., None],
             result + throughput * albedo * param[..., None],
             result,
         )
+
+        if nee:
+            # Next-event estimation: from each diffuse hit, sample emissive
+            # spheres by uniform cone (solid-angle) sampling and cast shadow
+            # rays.  Estimator: Le * (albedo/pi) * cos_i / pdf with
+            # pdf = 1 / (2 pi (1 - cos_max)) [times the pick pdf] ->
+            # contribution = Le * albedo * cos_i * 2 (1 - cos_max) * weight.
+            # Small light counts loop over ALL lights (weight 1, lowest
+            # variance; salts match the megakernel); larger counts pick one
+            # per lane (weight L).
+            lights = scene.lights
+            num_l = lights.count
+
+            def _nee_draws(salt_off):
+                salt2 = (
+                    jnp.uint32(2000)
+                    + jnp.uint32(3) * jnp.asarray(i, jnp.uint32)
+                    + jnp.uint32(salt_off)
+                )
+                if pixel_seeds is not None:
+                    return (
+                        rng_ops.uniform_hash(pixel_seeds, salt2),
+                        rng_ops.uniform_hash(pixel_seeds, salt2 + jnp.uint32(1)),
+                        rng_ops.uniform_hash(pixel_seeds, salt2 + jnp.uint32(2)),
+                    )
+                if key is not None:
+                    kn = jax.random.fold_in(
+                        jax.random.fold_in(key, 2000 + salt_off), i
+                    )
+                    un = jax.random.uniform(kn, (3, *batch_shape), jnp.float32)
+                    return un[0], un[1], un[2]
+                sN = rng_ops.wgsl_hash(
+                    bounce_seeds[i] + jnp.uint32(4241) + jnp.uint32(salt_off)
+                )
+                return (
+                    jnp.broadcast_to(rng_ops.uniform_hash(sN, 0), batch_shape),
+                    jnp.broadcast_to(rng_ops.uniform_hash(sN, 1), batch_shape),
+                    jnp.broadcast_to(rng_ops.uniform_hash(sN, 2), batch_shape),
+                )
+
+            pnt = hit.point
+            diffuse_hit = live & hit.hit & (kind == LAMBERTIAN)
+
+            def _nee_light_term(li, weight, u1n, u2n, result, lc, lr, le):
+                dc = lc - pnt
+                d2 = jnp.sum(dc * dc, axis=-1)
+                d2s = jnp.maximum(d2, 1e-12)
+                inside = d2 <= lr * lr * 1.0001
+                cos_max = jnp.sqrt(jnp.clip(1.0 - (lr * lr) / d2s, 0.0, 1.0))
+                cos_t = 1.0 - u1n * (1.0 - cos_max)
+                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+                phi = u2n * jnp.float32(2.0 * jnp.pi)
+                wl = dc / jnp.sqrt(d2s)[..., None]
+                pick = jnp.abs(wl[..., 0:1]) > 0.9
+                a_ax = jnp.where(
+                    pick,
+                    jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
+                    jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+                )
+                u_ax = jnp.cross(a_ax, wl)
+                u_ax = u_ax / jnp.maximum(
+                    jnp.linalg.norm(u_ax, axis=-1, keepdims=True), 1e-12
+                )
+                v_ax = jnp.cross(wl, u_ax)
+                omega = (
+                    u_ax * (jnp.cos(phi) * sin_t)[..., None]
+                    + v_ax * (jnp.sin(phi) * sin_t)[..., None]
+                    + wl * cos_t[..., None]
+                )
+                cos_i = jnp.sum(hit.normal * omega, axis=-1)
+                h_l = jnp.sum(dc * omega, axis=-1)
+                disc_l = h_l * h_l - (d2 - lr * lr)
+                t_l = h_l - jnp.sqrt(jnp.maximum(disc_l, 0.0))
+
+                shadow_hit, _, _, _ = intersect_scene(pnt, omega, scene, t_min, t_max)
+                visible = shadow_hit.t >= t_l * (1.0 - 1e-3)
+
+                valid = diffuse_hit & (cos_i > 0.0) & ~inside & (disc_l > 0.0) & visible
+                wgt = (cos_i * 2.0 * (1.0 - cos_max) * jnp.float32(weight))[..., None]
+                return jnp.where(
+                    valid[..., None], result + throughput * albedo * le * wgt, result
+                )
+
+            if num_l <= 4:
+                for l_static in range(num_l):
+                    u_l, u1n, u2n = _nee_draws(16 * l_static)
+                    result = _nee_light_term(
+                        l_static, 1.0, u1n, u2n, result,
+                        jnp.broadcast_to(lights.centers[l_static], (*batch_shape, 3)),
+                        jnp.broadcast_to(lights.radii[l_static], batch_shape),
+                        jnp.broadcast_to(lights.emission[l_static], (*batch_shape, 3)),
+                    )
+            else:
+                u_l, u1n, u2n = _nee_draws(0)
+                li = jnp.clip((u_l * num_l).astype(jnp.int32), 0, num_l - 1)
+                result = _nee_light_term(
+                    li, num_l, u1n, u2n, result,
+                    lights.centers[li], lights.radii[li], lights.emission[li],
+                )
         # Absorbed rays (metal below surface) contribute black (wgsl:278).
         scattered = live & hit.hit & ok & (kind != EMISSIVE)
         throughput = jnp.where(scattered[..., None], throughput * attenuation, throughput)
         o = jnp.where(scattered[..., None], hit.point, o)
         d = jnp.where(scattered[..., None], new_dir, d)
         live = scattered
+        prev_diffuse = scattered & (kind == LAMBERTIAN)
 
         if russian_roulette_depth > 0:
             # Unbiased stochastic termination: survive with p = max channel
@@ -177,10 +288,10 @@ def trace_path(
                 (live & survive)[..., None], throughput * scale[..., None], throughput
             )
             live = live & survive
-        return o, d, throughput, result, live
+        return o, d, throughput, result, live, prev_diffuse
 
-    o, d, throughput, result, live = jax.lax.fori_loop(
-        0, max_depth, body, (origins, dirs, throughput, result, live)
+    o, d, throughput, result, live, _ = jax.lax.fori_loop(
+        0, max_depth, body, (origins, dirs, throughput, result, live, prev_diffuse0)
     )
 
     if parity:

@@ -100,6 +100,21 @@ def mesh_planes(mesh) -> Array:
     return planes
 
 
+def lights_planes(lights) -> Array:
+    """Pack a Lights list into the (8, L) f32 SMEM layout:
+    rows cx, cy, cz, radius, emission r/g/b, pad."""
+    m = lights.count
+    planes = jnp.zeros((8, m), jnp.float32)
+    planes = planes.at[0].set(lights.centers[:, 0])
+    planes = planes.at[1].set(lights.centers[:, 1])
+    planes = planes.at[2].set(lights.centers[:, 2])
+    planes = planes.at[3].set(lights.radii)
+    planes = planes.at[4].set(lights.emission[:, 0])
+    planes = planes.at[5].set(lights.emission[:, 1])
+    planes = planes.at[6].set(lights.emission[:, 2])
+    return planes
+
+
 def bvh_planes(bvh) -> tuple[Array, Array]:
     """Pack a threaded BVH into ((8, M) f32 bounds, (4, M) i32 links)."""
     m = bvh.num_nodes
@@ -426,6 +441,7 @@ def _kernel(
     mode: str,
     rr_depth: int = 0,
     sky_intensity: float = 1.0,
+    num_lights: int = 0,  # > 0 enables in-kernel next-event estimation
 ):
     """One (TILE_ROWS x 128)-pixel image tile: ray gen -> trace -> write.
 
@@ -436,16 +452,23 @@ def _kernel(
     rest = list(rest)
     mesh_refs = None
     sphere_bvh_refs = None
+    lights_ref = None
     if has_mesh:
         mesh_refs = tuple(rest[:3])
         rest = rest[3:]
     if has_sphere_bvh:
         sphere_bvh_refs = tuple(rest[:2])
         rest = rest[2:]
+    if num_lights > 0:
+        lights_ref = rest[0]
+        rest = rest[1:]
     outr_ref, outg_ref, outb_ref = rest
 
     i = pl.program_id(0)
     j = pl.program_id(1)
+    # Hoisted: program_id cannot be called inside lax loop bodies in
+    # interpret mode (no CPU lowering rule); the NEE light pick uses this.
+    tile_id_u32 = (i * 7919 + j).astype(jnp.uint32)
     shape = (outr_ref.shape[0], outr_ref.shape[1])
 
     y = i * shape[0] + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -498,10 +521,11 @@ def _kernel(
         return
 
     def body(i_b, carry):
-        # live is carried as a f32 mask: Mosaic rejects i1 vectors in loop
-        # carries ("unsupported target bitwidth for truncation").
-        (ox, oy, oz, dx, dy, dz, tr, tg, tb_, rr, rg, rb, live_f) = carry
+        # live/prev-diffuse are carried as f32 masks: Mosaic rejects i1
+        # vectors in loop carries ("unsupported target bitwidth").
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb_, rr, rg, rb, live_f, pd_f) = carry
         live = live_f > 0.5
+        prev_diffuse = pd_f > 0.5
         (_, hit, px, py, pz, nx, ny, nz, front, ar, ag, ab, kp, pp) = _closest_hit(
             scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
             mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
@@ -518,14 +542,99 @@ def _kernel(
         rg = jnp.where(missed, rg + tg * skg * sky_s, rg)
         rb = jnp.where(missed, rb + tb_ * skb * sky_s, rb)
 
-        # Emissive surfaces radiate albedo * param and end the path.
+        # Emissive surfaces radiate albedo * param and end the path.  Under
+        # NEE a BSDF ray from a diffuse surface must not re-count emission.
         is_emis = kp >= 2.5
         emis = live & hit & is_emis
+        if num_lights > 0:
+            emis = emis & ~prev_diffuse
         rr = jnp.where(emis, rr + tr * ar * pp, rr)
         rg = jnp.where(emis, rg + tg * ag * pp, rg)
         rb = jnp.where(emis, rb + tb_ * ab * pp, rb)
 
+        if num_lights > 0:
+            # Next-event estimation.  Per-lane light selection would need a
+            # per-lane gather from SMEM (unsupported), so for small light
+            # counts we loop over ALL lights (deterministic, lowest variance,
+            # no tile artifacts); above the cap we pick one light per TILE
+            # per bounce (unbiased; the xL factor cancels the pick pdf).
+            i_u = jnp.asarray(i_b, jnp.uint32)
+            is_lam = kp < 0.5
+            nee_base = live & hit & is_lam
+
+            def light_contribution(li, pick_weight, salt_off, rr, rg, rb):
+                lcx, lcy, lcz = lights_ref[0, li], lights_ref[1, li], lights_ref[2, li]
+                lrad = lights_ref[3, li]
+                ler, leg, leb = lights_ref[4, li], lights_ref[5, li], lights_ref[6, li]
+
+                salt2 = jnp.uint32(2000) + jnp.uint32(3) * i_u + jnp.uint32(salt_off)
+                u1n = _uniform(seeds, salt2 + jnp.uint32(1))
+                u2n = _uniform(seeds, salt2 + jnp.uint32(2))
+
+                dcx, dcy, dcz = lcx - px, lcy - py, lcz - pz
+                d2 = dcx * dcx + dcy * dcy + dcz * dcz
+                d2s = jnp.maximum(d2, 1e-12)
+                inv_dl = jax.lax.rsqrt(d2s)
+                wlx, wly, wlz = dcx * inv_dl, dcy * inv_dl, dcz * inv_dl
+                cos_max = jnp.sqrt(jnp.clip(1.0 - (lrad * lrad) / d2s, 0.0, 1.0))
+                cos_t = 1.0 - u1n * (1.0 - cos_max)
+                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+                phi = u2n * jnp.float32(2.0 * jnp.pi)
+                # Orthonormal basis around wl; cross(a, wl), a = (axx, axy, 0).
+                pickx = jnp.abs(wlx) > 0.9
+                axx = jnp.where(pickx, 0.0, 1.0)
+                axy = jnp.where(pickx, 1.0, 0.0)
+                uax = axy * wlz
+                uay = -axx * wlz
+                uaz = axx * wly - axy * wlx
+                uinv = jax.lax.rsqrt(jnp.maximum(uax * uax + uay * uay + uaz * uaz, 1e-12))
+                uax, uay, uaz = uax * uinv, uay * uinv, uaz * uinv
+                vax = wly * uaz - wlz * uay
+                vay = wlz * uax - wlx * uaz
+                vaz = wlx * uay - wly * uax
+                cp, sp = jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t
+                omx = uax * cp + vax * sp + wlx * cos_t
+                omy = uay * cp + vay * sp + wly * cos_t
+                omz = uaz * cp + vaz * sp + wlz * cos_t
+                cos_i = nx * omx + ny * omy + nz * omz
+                h_l = dcx * omx + dcy * omy + dcz * omz
+                disc_l = h_l * h_l - (d2 - lrad * lrad)
+                t_l = h_l - jnp.sqrt(jnp.maximum(disc_l, 0.0))
+
+                (t_s, hit_s, _, _, _, _, _, _, _, _, _, _, _, _) = _closest_hit(
+                    scene_ref, n_spheres, t_min, t_max, px, py, pz, omx, omy, omz,
+                    mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
+                )
+                # t_s is clamped to 1.0 on miss; treat miss as visible.
+                visible = (~hit_s) | (t_s >= t_l * (1.0 - 1e-3))
+
+                inside = d2 <= lrad * lrad * 1.0001
+                valid = (
+                    nee_base & (cos_i > 0.0) & ~inside & (disc_l > 0.0) & visible
+                )
+                wgt = cos_i * 2.0 * (1.0 - cos_max) * jnp.float32(pick_weight)
+                rr = jnp.where(valid, rr + tr * ar * (ler * wgt), rr)
+                rg = jnp.where(valid, rg + tg * ag * (leg * wgt), rg)
+                rb = jnp.where(valid, rb + tb_ * ab * (leb * wgt), rb)
+                return rr, rg, rb
+
+            if num_lights <= 4:
+                for l_static in range(num_lights):
+                    rr, rg, rb = light_contribution(
+                        jnp.int32(l_static), 1.0, 16 * l_static, rr, rg, rb
+                    )
+            else:
+                tile_seed = rng_ops.hash2(
+                    ints_ref[0, 0].astype(jnp.uint32)
+                    ^ rng_ops.wgsl_hash(ints_ref[0, 1].astype(jnp.uint32))
+                    + tile_id_u32,
+                    jnp.uint32(3000) + i_u,
+                )
+                li = (rng_ops.hash2(tile_seed, 0) % jnp.uint32(num_lights)).astype(jnp.int32)
+                rr, rg, rb = light_contribution(li, num_lights, 0, rr, rg, rb)
+
         scattered = live & hit & ok & ~is_emis
+        new_pd = scattered & (kp < 0.5)
         tr = jnp.where(scattered, tr * attr, tr)
         tg = jnp.where(scattered, tg * attg, tg)
         tb_ = jnp.where(scattered, tb_ * attb, tb_)
@@ -550,7 +659,7 @@ def _kernel(
             live_out = keep
         return (
             ox, oy, oz, dx, dy, dz, tr, tg, tb_, rr, rg, rb,
-            live_out.astype(jnp.float32),
+            live_out.astype(jnp.float32), new_pd.astype(jnp.float32),
         )
 
     ones = jnp.ones(shape, jnp.float32)
@@ -558,6 +667,7 @@ def _kernel(
     carry = (
         jnp.int32(0),
         ox, oy, oz, dx, dy, dz, ones, ones, ones, zeros, zeros, zeros, ones,
+        zeros,
     )
 
     def cond(c):
@@ -615,6 +725,7 @@ def render_pallas(
     mode: str = "path",  # 'path' | 'normal'
     russian_roulette_depth: int = 0,
     sky_intensity: float = 1.0,
+    nee: bool = False,
     y_offset: Array | int = 0,
     interpret: bool | None = None,
 ) -> Array:
@@ -691,11 +802,22 @@ def render_pallas(
         ]
         args += [sbf, sbi]
 
+    num_lights = 0
+    if nee:
+        if sc.lights is None or sc.lights.count == 0:
+            raise ValueError(
+                "nee=True needs a Scene with emissive lights (make_scene)"
+            )
+        num_lights = sc.lights.count
+        in_specs += [smem((8, num_lights))]
+        args += [lights_planes(sc.lights)]
+
     kernel = functools.partial(
         _kernel, width=width, n_spheres=n, has_mesh=has_mesh,
         has_sphere_bvh=has_sphere_bvh,
         max_depth=max_depth, t_min=float(t_min), t_max=float(t_max), mode=mode,
         rr_depth=russian_roulette_depth, sky_intensity=float(sky_intensity),
+        num_lights=num_lights,
     )
     outr, outg, outb = pl.pallas_call(
         kernel,

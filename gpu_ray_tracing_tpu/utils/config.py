@@ -63,6 +63,13 @@ class RenderConfig:
     # scenes lit purely by EMISSIVE surfaces.
     sky_intensity: float = 1.0
 
+    # Next-event estimation: sample emissive-sphere lights directly with
+    # shadow rays at every diffuse bounce (massively less noise in scenes
+    # lit by small lights; ~2x per-bounce cost).  Requires a Scene built via
+    # make_scene (the static light list).  Off by default: the reference is
+    # a pure BSDF-sampling tracer.
+    nee: bool = False
+
     # Russian-roulette path termination: 0 disables (the reference always
     # runs to max_depth); k > 0 stochastically kills low-throughput paths
     # from bounce k on, dividing surviving throughput by the survival

@@ -271,3 +271,84 @@ def test_russian_roulette_pallas_matches_jax():
     a = np.asarray(render(scene, BASE_CAMERA, cfg_p, frame_seed=jnp.uint32(4)))
     b = np.asarray(render(scene, BASE_CAMERA, cfg_j, frame_seed=jnp.uint32(4)))
     assert_images_match(a, b, flip_frac=0.02, mean_tol=2e-3)
+
+
+def _light_scene():
+    import dataclasses
+
+    from gpu_ray_tracing_tpu import make_scene
+    from gpu_ray_tracing_tpu.models.spheres import EMISSIVE, LAMBERTIAN, make_spheres
+
+    spheres = make_spheres(
+        [
+            ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.7, 0.7, 0.7), 0.0),
+            ((0.0, 2.0, -2.0), 0.15, EMISSIVE, (1.0, 0.9, 0.7), 60.0),
+            ((0.8, 0.4, -1.5), 0.4, LAMBERTIAN, (0.3, 0.5, 0.8), 0.0),
+        ]
+    )
+    return make_scene(spheres)
+
+
+def test_nee_unbiased_and_lower_variance():
+    """NEE must estimate the same image with far less variance."""
+    import dataclasses
+
+    scene = _light_scene()
+    base = _cfg(width=40, height=30, spp=8, max_depth=6)
+    cfg_off = dataclasses.replace(base, sky_intensity=0.0)
+    cfg_on = dataclasses.replace(base, sky_intensity=0.0, nee=True)
+    offs = [np.asarray(render(scene, BASE_CAMERA, cfg_off, frame_seed=jnp.uint32(k)))
+            for k in range(16)]
+    ons = [np.asarray(render(scene, BASE_CAMERA, cfg_on, frame_seed=jnp.uint32(k)))
+           for k in range(16)]
+    mean_off, mean_on = np.mean(offs, axis=0), np.mean(ons, axis=0)
+    # Same estimator target (within MC noise of the noisier non-NEE runs).
+    assert abs(float(mean_off.mean() - mean_on.mean())) < 0.01
+    # And dramatically less frame-to-frame variance on lit diffuse pixels.
+    var_off = np.var(np.stack(offs), axis=0).mean()
+    var_on = np.var(np.stack(ons), axis=0).mean()
+    assert var_on < var_off / 3.0
+
+
+def test_nee_pallas_matches_jax_statistically():
+    import dataclasses
+
+    scene = _light_scene()
+    cfg = dataclasses.replace(
+        _cfg(width=40, height=30, spp=16, max_depth=6), sky_intensity=0.0, nee=True
+    )
+    a = np.mean([np.asarray(render(scene, BASE_CAMERA, dataclasses.replace(cfg, backend="pallas"),
+                                   frame_seed=jnp.uint32(k))) for k in range(8)], axis=0)
+    b = np.mean([np.asarray(render(scene, BASE_CAMERA, dataclasses.replace(cfg, backend="jax"),
+                                   frame_seed=jnp.uint32(k))) for k in range(8)], axis=0)
+    # Different light-pick granularity (per-lane vs per-tile) -> compare means.
+    np.testing.assert_allclose(a.mean(), b.mean(), atol=0.01)
+    np.testing.assert_allclose(a, b, atol=0.25)
+
+
+def test_nee_requires_scene_lights():
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(), nee=True)
+    with pytest.raises(ValueError):
+        render(base_scene(), BASE_CAMERA, cfg, frame_seed=jnp.uint32(0))
+
+
+def test_nee_direct_view_of_light_unchanged():
+    """Emission seen directly by the camera must not double count."""
+    import dataclasses
+
+    scene = _light_scene()
+    # Aim straight at the light so it covers pixels at this tiny resolution.
+    cam = BASE_CAMERA.replace(look_at=jnp.asarray([0.0, 2.0, -2.0], jnp.float32))
+    base = _cfg(width=32, height=24, spp=4, max_depth=4)
+    a = np.asarray(render(scene, cam,
+                          dataclasses.replace(base, sky_intensity=0.0),
+                          frame_seed=jnp.uint32(0)))
+    b = np.asarray(render(scene, cam,
+                          dataclasses.replace(base, sky_intensity=0.0, nee=True),
+                          frame_seed=jnp.uint32(0)))
+    # Pixels that see the light directly have identical radiance.
+    bright = a.max(axis=-1) > 30.0
+    assert bright.sum() > 0
+    np.testing.assert_allclose(a[bright], b[bright], atol=1e-4)
