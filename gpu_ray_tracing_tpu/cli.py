@@ -33,7 +33,8 @@ def _vec3(text: str):
 
 def _add_common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--scene", default="one-weekend",
-                    choices=["base", "one-weekend", "one-weekend-full", "mesh"])
+                    choices=["base", "one-weekend", "one-weekend-full", "mesh",
+                             "night"])
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--spp", type=int, default=16)
@@ -42,6 +43,11 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--backend", default="auto", choices=["auto", "jax", "pallas"])
     ap.add_argument("--rng", default="hash", choices=["hash", "wgsl", "threefry"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--nee", action="store_true",
+                    help="next-event estimation (needs emissive lights)")
+    ap.add_argument("--sky-intensity", type=float, default=1.0)
+    ap.add_argument("--russian-roulette", type=int, default=0, metavar="DEPTH",
+                    help="RR termination from this bounce (0 = off)")
     ap.add_argument("--scene-seed", type=int, default=0)
     ap.add_argument("--obj", default=None, help="OBJ file for --scene mesh")
     ap.add_argument("--look-from", type=_vec3, default=None)
@@ -62,6 +68,19 @@ def _build_scene(args):
         return rt.one_weekend_scene(key).pad_to_multiple(128)
     if args.scene == "one-weekend-full":
         return rt.one_weekend_scene(key, grid_min=-11, grid_max=11).pad_to_multiple(128)
+    if args.scene == "night":
+        from gpu_ray_tracing_tpu.models.spheres import (
+            DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL, make_spheres,
+        )
+
+        return rt.make_scene(make_spheres([
+            ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.65, 0.65, 0.65), 0.0),
+            ((0.0, 2.6, -1.0), 0.7, EMISSIVE, (1.0, 0.85, 0.6), 8.0),
+            ((-2.4, 0.5, -0.5), 0.5, METAL, (0.9, 0.9, 0.95), 0.03),
+            ((2.0, 0.5, -1.0), 0.5, DIELECTRIC, (1, 1, 1), 1.5),
+            ((0.0, 0.5, -1.0), 0.5, LAMBERTIAN, (0.2, 0.4, 0.8), 0.0),
+            ((-4.5, 1.2, -4.0), 0.8, EMISSIVE, (0.4, 0.6, 1.0), 6.0),
+        ]))
     # mesh scene: ground + mesh object (OBJ or bunny stand-in)
     from gpu_ray_tracing_tpu.models.mesh import bunny_stand_in, load_obj
     from gpu_ray_tracing_tpu.models.spheres import LAMBERTIAN, make_spheres
@@ -76,6 +95,13 @@ def _build_camera(args):
     import gpu_ray_tracing_tpu as rt
 
     cam = rt.CameraSettings.default()
+    if args.scene == "night" and args.look_from is None:
+        cam = cam.replace(
+            look_from=jnp.asarray([0.0, 1.3, 4.0]),
+            look_at=jnp.asarray([0.0, 0.7, -1.0]),
+            field_of_view=jnp.float32(45.0),
+            defocus_angle=jnp.float32(0.0),
+        )
     if args.scene == "mesh" and args.look_from is None:
         cam = cam.replace(
             look_from=jnp.asarray([0.0, 1.2, 3.0]),
@@ -101,16 +127,16 @@ def _build_config(args, spp=None):
 
     backend = args.backend
     if backend == "auto":
-        scene_is_mesh = args.scene == "mesh"
         backend = (
             "pallas"
-            if jax.default_backend() == "tpu" and not scene_is_mesh and args.rng == "hash"
+            if jax.default_backend() == "tpu" and args.rng == "hash"
             else "jax"
         )
     return rt.RenderConfig(
         width=args.width, height=args.height, spp=spp or args.spp,
         max_depth=args.depth, integrator=args.integrator, backend=backend,
-        rng=args.rng,
+        rng=args.rng, nee=args.nee, sky_intensity=args.sky_intensity,
+        russian_roulette_depth=args.russian_roulette,
     )
 
 
