@@ -38,6 +38,7 @@ from gpu_ray_tracing_tpu.models.mesh import (
 from gpu_ray_tracing_tpu.models.scene import Scene, make_scene
 from gpu_ray_tracing_tpu.models.spheres import (
     DIELECTRIC,
+    EMISSIVE,
     LAMBERTIAN,
     METAL,
     Spheres,
@@ -55,6 +56,7 @@ __all__ = [
     "Camera",
     "CameraSettings",
     "DIELECTRIC",
+    "EMISSIVE",
     "LAMBERTIAN",
     "METAL",
     "REFERENCE_CONFIG",

@@ -48,8 +48,8 @@ class Spheres:
     centers   (N, 3) f32   sphere centers
     radii     (N,)   f32   radii; radius <= 0 marks an inactive pad slot
     albedo    (N, 3) f32   surface color (dielectric ignores it; kept 1.0)
-    mat_kind  (N,)   i32   LAMBERTIAN / METAL / DIELECTRIC
-    mat_param (N,)   f32   metal fuzz, or dielectric refraction index
+    mat_kind  (N,)   i32   LAMBERTIAN / METAL / DIELECTRIC / EMISSIVE
+    mat_param (N,)   f32   metal fuzz, dielectric ior, or emission intensity
 
     The SoA layout means the intersection kernel reads dense (N,) lanes and the
     closest-hit reduction is a masked argmin — there is no per-sphere struct

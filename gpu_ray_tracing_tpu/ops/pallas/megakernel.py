@@ -242,6 +242,93 @@ def _traverse_mesh(
     )
 
 
+def _closest_t(
+    scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
+    mesh_refs=None, sphere_bvh_refs=None,
+):
+    """Shadow-ray variant of the closest hit: t and hit mask only.
+
+    Carries a single plane through the scans (no attribute/normal planes),
+    roughly halving the per-primitive op count — occlusion tests don't need
+    to know WHAT blocked the ray, only how close it is.
+    """
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+    od = ox * dx + oy * dy + oz * dz
+    oo = ox * ox + oy * oy + oz * oz
+    big = jnp.float32(t_max)
+
+    def sphere_body(j, tb):
+        cx = scene_ref[_CX, j]
+        cy = scene_ref[_CY, j]
+        cz = scene_ref[_CZ, j]
+        c2r2 = scene_ref[_C2R2, j]
+        active = scene_ref[_ACTIVE, j]
+        h = cx * dx + cy * dy + cz * dz - od
+        cc = c2r2 - 2.0 * (cx * ox + cy * oy + cz * oz) + oo
+        disc = h * h - a * cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        rn = (h - sq) * inv_a
+        rf = (h + sq) * inv_a
+        nok = (rn > t_min) & (rn < tb)
+        fok = (rf > t_min) & (rf < tb)
+        root = jnp.where(nok, rn, rf)
+        better = (disc >= 0.0) & (nok | fok) & (active > 0.0)
+        return jnp.where(better, root, tb)
+
+    tb0 = jnp.full(ox.shape, big, jnp.float32)
+    if sphere_bvh_refs is None:
+        tb = jax.lax.fori_loop(0, n_spheres, sphere_body, tb0)
+    else:
+        def leaf_scan_s(ls, trip, carry):
+            tb = jax.lax.fori_loop(0, trip, lambda k, t: sphere_body(ls + k, t), carry[0])
+            return (tb,)
+
+        (tb,) = _traverse_bvh(
+            sphere_bvh_refs[0], sphere_bvh_refs[1], t_min,
+            ox, oy, oz, dx, dy, dz, (tb0,), leaf_scan_s,
+        )
+
+    if mesh_refs is not None:
+        mesh_ref, bvhf_ref, bvhi_ref = mesh_refs
+
+        def tri_body(k, carry):
+            tb, base = carry
+            tri = base + k
+            v0x, v0y, v0z = mesh_ref[_MV0X, tri], mesh_ref[_MV0Y, tri], mesh_ref[_MV0Z, tri]
+            e1x, e1y, e1z = mesh_ref[_ME1X, tri], mesh_ref[_ME1Y, tri], mesh_ref[_ME1Z, tri]
+            e2x, e2y, e2z = mesh_ref[_ME2X, tri], mesh_ref[_ME2Y, tri], mesh_ref[_ME2Z, tri]
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            ok_det = jnp.abs(det) > 1e-12
+            inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
+            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            better = (
+                ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > t_min) & (t < tb)
+            )
+            return jnp.where(better, t, tb), base
+
+        def leaf_scan_m(ls, trip, carry):
+            tb, _ = jax.lax.fori_loop(0, trip, tri_body, (carry[0], ls))
+            return (tb,)
+
+        (tb,) = _traverse_bvh(
+            bvhf_ref, bvhi_ref, t_min, ox, oy, oz, dx, dy, dz, (tb,), leaf_scan_m,
+        )
+
+    hit = tb < big
+    return jnp.where(hit, tb, 1.0), hit
+
+
 def _closest_hit(
     scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
     mesh_refs=None,
@@ -601,7 +688,7 @@ def _kernel(
                 disc_l = h_l * h_l - (d2 - lrad * lrad)
                 t_l = h_l - jnp.sqrt(jnp.maximum(disc_l, 0.0))
 
-                (t_s, hit_s, _, _, _, _, _, _, _, _, _, _, _, _) = _closest_hit(
+                t_s, hit_s = _closest_t(
                     scene_ref, n_spheres, t_min, t_max, px, py, pz, omx, omy, omz,
                     mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
                 )

@@ -234,3 +234,36 @@ def test_sky_intensity_scales_miss():
         scene, 8, TMIN, TMAX, key=jax.random.key(0), sky_intensity=0.5,
     ))
     np.testing.assert_allclose(half[0], full[0] * 0.5, atol=1e-6)
+
+
+def test_nee_estimator_matches_analytic_irradiance():
+    """For a lambertian point directly below an unoccluded spherical light,
+    E[outgoing radiance] = Le * albedo * sin^2(theta_max) (the cosine-weighted
+    integral over the spherical cap).  Validates the 2(1-cos_max) estimator
+    constant end-to-end."""
+    import dataclasses
+
+    from gpu_ray_tracing_tpu import make_scene
+    from gpu_ray_tracing_tpu.models.spheres import EMISSIVE, LAMBERTIAN, make_spheres
+    from gpu_ray_tracing_tpu.ops.integrators import trace_path
+
+    albedo, le, lr, h = 0.6, 5.0, 0.5, 2.0
+    scene = make_scene(make_spheres([
+        ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (albedo,) * 3, 0.0),
+        ((0.0, h, 0.0), lr, EMISSIVE, (1.0, 1.0, 1.0), le),
+    ]))
+    # Rays hitting the floor at the origin, straight down from just above.
+    n = 4096
+    o = jnp.tile(jnp.asarray([[0.0, 0.5, 0.0]], jnp.float32), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32), (n, 1))
+    # Depth 1: only the NEE direct term contributes (bounce ray needs depth 2
+    # to reach the light, and sky is off).
+    seeds = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)
+    out = np.asarray(trace_path(
+        o, d, scene, 1, 1e-3, 3.4e35, pixel_seeds=seeds, sky_intensity=0.0, nee=True
+    ))
+    # Light is at height h above the hit point (floor sphere r=1000 apex at
+    # y=0, hit at y~0): distance d0 = h, sin^2 = lr^2/d0^2.
+    expected = le * albedo * (lr * lr) / (h * h)
+    measured = out.mean(axis=0)
+    np.testing.assert_allclose(measured, expected, rtol=0.05)
