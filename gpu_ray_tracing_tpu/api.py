@@ -253,9 +253,10 @@ def render_progressive(
     """Run progressive accumulation for num_frames (default: to convergence).
 
     Equivalent to the reference's steady-state frame loop with a static
-    camera.  Each frame uses a distinct RNG stream (fold_in(key, frame) /
-    frame_seed + frame), standing in for the fresh rand::random() per frame
-    (camera.rs:346).
+    camera.  Sample decorrelation comes from the accumulated count acting as
+    the sample index inside progressive_step (hash/wgsl modes) or from
+    fold_in(key, frame) (threefry) — the explicit version of the reference's
+    fresh rand::random() per frame (camera.rs:346).
     """
     frames = config.spp if num_frames is None else num_frames
     state = init_accum(config.height, config.width)
@@ -265,7 +266,7 @@ def render_progressive(
         return progressive_step(
             st, spheres, camera, config,
             key=jax.random.fold_in(key, f) if key is not None else None,
-            frame_seed=None if frame_seed is None else frame_seed,
+            frame_seed=frame_seed,
             reset=False,
         )
 

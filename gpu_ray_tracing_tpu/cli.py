@@ -147,13 +147,13 @@ def cmd_render(args) -> int:
 
     scene, cam, cfg = _build_scene(args), _build_camera(args), _build_config(args)
     img = rt.render(scene, cam, cfg, frame_seed=jnp.uint32(args.seed))
-    write_image(args.out, np.asarray(img), args.gamma)
+    out_path = write_image(args.out, np.asarray(img), args.gamma)
     stats = time_frames(
         lambda i: rt.render(scene, cam, cfg, frame_seed=jnp.uint32(args.seed + i)),
         width=cfg.width, height=cfg.height, spp=cfg.spp,
         frames=args.bench_frames, warmup=0,
     ) if args.bench_frames else None
-    print(f"wrote {args.out} ({cfg.width}x{cfg.height}, {cfg.spp} spp, "
+    print(f"wrote {out_path} ({cfg.width}x{cfg.height}, {cfg.spp} spp, "
           f"backend={cfg.backend})" + (f" {stats}" if stats else ""))
     return 0
 

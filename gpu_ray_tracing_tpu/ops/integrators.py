@@ -103,6 +103,14 @@ def trace_path(
             "nee=True needs a Scene with emissive lights; build it with "
             "make_scene so the light list is extracted"
         )
+    if nee and scene.mesh is not None:
+        import numpy as _np
+
+        if bool(_np.any(_np.asarray(scene.mesh.mat_kind) == EMISSIVE)):
+            raise ValueError(
+                "nee=True cannot sample EMISSIVE mesh faces (the light list "
+                "covers spheres only); use sphere lights or nee=False"
+            )
 
     batch_shape = dirs.shape[:-1]
     throughput = jnp.ones((*batch_shape, 3), jnp.float32)
@@ -171,37 +179,51 @@ def trace_path(
             lights = scene.lights
             num_l = lights.count
 
-            def _nee_draws(salt_off):
+            def _nee_draws(salt_off, n_draws=3):
+                # Salt layout: 2000 + 37*bounce + 7*light + {0,1,2}.  Strides
+                # 37/7 keep every (bounce, light, channel) triple distinct for
+                # depth < ~1000 and <= 5 lights (7*l + c < 37), so no draw is
+                # ever reused across a path.
                 salt2 = (
                     jnp.uint32(2000)
-                    + jnp.uint32(3) * jnp.asarray(i, jnp.uint32)
+                    + jnp.uint32(37) * jnp.asarray(i, jnp.uint32)
                     + jnp.uint32(salt_off)
                 )
                 if pixel_seeds is not None:
-                    return (
-                        rng_ops.uniform_hash(pixel_seeds, salt2),
-                        rng_ops.uniform_hash(pixel_seeds, salt2 + jnp.uint32(1)),
-                        rng_ops.uniform_hash(pixel_seeds, salt2 + jnp.uint32(2)),
+                    return tuple(
+                        rng_ops.uniform_hash(pixel_seeds, salt2 + jnp.uint32(k))
+                        for k in range(n_draws)
                     )
                 if key is not None:
                     kn = jax.random.fold_in(
                         jax.random.fold_in(key, 2000 + salt_off), i
                     )
-                    un = jax.random.uniform(kn, (3, *batch_shape), jnp.float32)
-                    return un[0], un[1], un[2]
+                    un = jax.random.uniform(kn, (n_draws, *batch_shape), jnp.float32)
+                    return tuple(un[k] for k in range(n_draws))
                 sN = rng_ops.wgsl_hash(
                     bounce_seeds[i] + jnp.uint32(4241) + jnp.uint32(salt_off)
                 )
-                return (
-                    jnp.broadcast_to(rng_ops.uniform_hash(sN, 0), batch_shape),
-                    jnp.broadcast_to(rng_ops.uniform_hash(sN, 1), batch_shape),
-                    jnp.broadcast_to(rng_ops.uniform_hash(sN, 2), batch_shape),
+                return tuple(
+                    jnp.broadcast_to(rng_ops.uniform_hash(sN, k), batch_shape)
+                    for k in range(n_draws)
                 )
 
             pnt = hit.point
             diffuse_hit = live & hit.hit & (kind == LAMBERTIAN)
 
-            def _nee_light_term(li, weight, u1n, u2n, result, lc, lr, le):
+            # A shading point inside any light's radius cannot cone-sample
+            # that light; such lanes fall back to pure BSDF sampling (their
+            # prev_diffuse stays False below so BSDF-hit emission counts) —
+            # unbiased either way, no dark ring around embedded lights.
+            all_d2 = jnp.sum(
+                (lights.centers[None, :, :] - pnt[..., None, :]) ** 2, axis=-1
+            )
+            inside_any = jnp.any(
+                all_d2 <= (lights.radii[None, :] ** 2) * 1.0001, axis=-1
+            )
+            nee_ok = diffuse_hit & ~inside_any
+
+            def _nee_light_term(weight, u1n, u2n, result, lc, lr, le):
                 dc = lc - pnt
                 d2 = jnp.sum(dc * dc, axis=-1)
                 d2s = jnp.maximum(d2, 1e-12)
@@ -235,7 +257,7 @@ def trace_path(
                 shadow_hit, _, _, _ = intersect_scene(pnt, omega, scene, t_min, t_max)
                 visible = shadow_hit.t >= t_l * (1.0 - 1e-3)
 
-                valid = diffuse_hit & (cos_i > 0.0) & ~inside & (disc_l > 0.0) & visible
+                valid = nee_ok & (cos_i > 0.0) & ~inside & (disc_l > 0.0) & visible
                 wgt = (cos_i * 2.0 * (1.0 - cos_max) * jnp.float32(weight))[..., None]
                 return jnp.where(
                     valid[..., None], result + throughput * albedo * le * wgt, result
@@ -243,9 +265,9 @@ def trace_path(
 
             if num_l <= 4:
                 for l_static in range(num_l):
-                    u_l, u1n, u2n = _nee_draws(16 * l_static)
+                    u1n, u2n = _nee_draws(7 * l_static + 1, n_draws=2)
                     result = _nee_light_term(
-                        l_static, 1.0, u1n, u2n, result,
+                        1.0, u1n, u2n, result,
                         jnp.broadcast_to(lights.centers[l_static], (*batch_shape, 3)),
                         jnp.broadcast_to(lights.radii[l_static], batch_shape),
                         jnp.broadcast_to(lights.emission[l_static], (*batch_shape, 3)),
@@ -254,7 +276,7 @@ def trace_path(
                 u_l, u1n, u2n = _nee_draws(0)
                 li = jnp.clip((u_l * num_l).astype(jnp.int32), 0, num_l - 1)
                 result = _nee_light_term(
-                    li, num_l, u1n, u2n, result,
+                    num_l, u1n, u2n, result,
                     lights.centers[li], lights.radii[li], lights.emission[li],
                 )
         # Absorbed rays (metal below surface) contribute black (wgsl:278).
@@ -263,7 +285,11 @@ def trace_path(
         o = jnp.where(scattered[..., None], hit.point, o)
         d = jnp.where(scattered[..., None], new_dir, d)
         live = scattered
-        prev_diffuse = scattered & (kind == LAMBERTIAN)
+        if nee:
+            # Only lanes that actually ran NEE suppress BSDF-hit emission.
+            prev_diffuse = scattered & (kind == LAMBERTIAN) & ~inside_any
+        else:
+            prev_diffuse = scattered & (kind == LAMBERTIAN)
 
         if russian_roulette_depth > 0:
             # Unbiased stochastic termination: survive with p = max channel

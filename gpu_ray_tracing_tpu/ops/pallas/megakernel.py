@@ -21,7 +21,10 @@ written for the TPU vector unit instead of a SIMT grid:
     per-thread `break`, wgsl:289).
   - RNG is the framework's counter-based hash stream (ops/rng.py), seeded
     per pixel — draw-for-draw identical to the pure-JAX 'hash' integrator,
-    so the two backends produce the same image up to fp rounding.
+    so the two backends produce the same image up to fp rounding.  (One
+    exception: NEE with more than 4 lights picks the sampled light per TILE
+    here vs per lane in the jax path — same estimator, different noise
+    pattern — because per-lane SMEM gathers don't exist.)
 
 Ray generation (the reference's get_ray, wgsl:305-331) is fused into the
 kernel too: a 2D grid of (TILE_ROWS, 128) image tiles derives pixel ids from
@@ -647,14 +650,29 @@ def _kernel(
             # per bounce (unbiased; the xL factor cancels the pick pdf).
             i_u = jnp.asarray(i_b, jnp.uint32)
             is_lam = kp < 0.5
-            nee_base = live & hit & is_lam
+            # Shading points inside any light's radius fall back to BSDF
+            # sampling (matches ops/integrators.py; avoids the dark ring
+            # around embedded lights).
+            inside_any = jnp.zeros(live.shape, dtype=bool)
+            if num_lights <= 4:
+                for l_chk in range(num_lights):
+                    dxc = lights_ref[0, l_chk] - px
+                    dyc = lights_ref[1, l_chk] - py
+                    dzc = lights_ref[2, l_chk] - pz
+                    r_chk = lights_ref[3, l_chk]
+                    inside_any = inside_any | (
+                        dxc * dxc + dyc * dyc + dzc * dzc <= r_chk * r_chk * 1.0001
+                    )
+            nee_base = live & hit & is_lam & ~inside_any
 
             def light_contribution(li, pick_weight, salt_off, rr, rg, rb):
                 lcx, lcy, lcz = lights_ref[0, li], lights_ref[1, li], lights_ref[2, li]
                 lrad = lights_ref[3, li]
                 ler, leg, leb = lights_ref[4, li], lights_ref[5, li], lights_ref[6, li]
 
-                salt2 = jnp.uint32(2000) + jnp.uint32(3) * i_u + jnp.uint32(salt_off)
+                # Salt layout 2000 + 37*bounce + 7*light + {1,2}: collision-
+                # free across (bounce, light, channel); matches the jax path.
+                salt2 = jnp.uint32(2000) + jnp.uint32(37) * i_u + jnp.uint32(salt_off)
                 u1n = _uniform(seeds, salt2 + jnp.uint32(1))
                 u2n = _uniform(seeds, salt2 + jnp.uint32(2))
 
@@ -708,7 +726,7 @@ def _kernel(
             if num_lights <= 4:
                 for l_static in range(num_lights):
                     rr, rg, rb = light_contribution(
-                        jnp.int32(l_static), 1.0, 16 * l_static, rr, rg, rb
+                        jnp.int32(l_static), 1.0, 7 * l_static, rr, rg, rb
                     )
             else:
                 tile_seed = rng_ops.hash2(
@@ -721,7 +739,10 @@ def _kernel(
                 rr, rg, rb = light_contribution(li, num_lights, 0, rr, rg, rb)
 
         scattered = live & hit & ok & ~is_emis
-        new_pd = scattered & (kp < 0.5)
+        if num_lights > 0 and num_lights <= 4:
+            new_pd = scattered & (kp < 0.5) & ~inside_any
+        else:
+            new_pd = scattered & (kp < 0.5)
         tr = jnp.where(scattered, tr * attr, tr)
         tg = jnp.where(scattered, tg * attg, tg)
         tb_ = jnp.where(scattered, tb_ * attb, tb_)
@@ -895,6 +916,14 @@ def render_pallas(
             raise ValueError(
                 "nee=True needs a Scene with emissive lights (make_scene)"
             )
+        if sc.mesh is not None:
+            import numpy as _np
+
+            if bool(_np.any(_np.asarray(sc.mesh.mat_kind) == 3)):
+                raise ValueError(
+                    "nee=True cannot sample EMISSIVE mesh faces (the light "
+                    "list covers spheres only); use sphere lights or nee=False"
+                )
         num_lights = sc.lights.count
         in_specs += [smem((8, num_lights))]
         args += [lights_planes(sc.lights)]

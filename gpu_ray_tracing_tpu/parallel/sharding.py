@@ -72,7 +72,7 @@ def _local_sample(spheres, camera, config: RenderConfig, sample_index, frame_see
                 t_max=config.t_max,
                 mode="normal" if config.integrator == "normal" else "path",
                 russian_roulette_depth=config.russian_roulette_depth,
-                sky_intensity=config.sky_intensity,
+                sky_intensity=config.sky_intensity, nee=config.nee,
                 y_offset=y0,
             )
         origins, dirs, seeds = rays.generate_rays_hash(

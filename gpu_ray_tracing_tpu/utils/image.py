@@ -42,14 +42,19 @@ def read_ppm(path: str) -> np.ndarray:
     return np.frombuffer(parts[3], np.uint8)[: w * h * 3].reshape(h, w, 3)
 
 
-def write_image(path: str, linear_rgb, gamma: float = 2.2) -> None:
-    """Write PNG if PIL is available and the path ends in .png, else PPM."""
+def write_image(path: str, linear_rgb, gamma: float = 2.2) -> str:
+    """Write PNG if PIL is available and the path ends in .png, else PPM.
+
+    Returns the path actually written (a .ppm fallback when PIL is missing,
+    so callers report the real file)."""
     if path.endswith(".png"):
         try:
             from PIL import Image
         except ImportError:
-            write_ppm(path[:-4] + ".ppm", linear_rgb, gamma)
-            return
+            fallback = path[:-4] + ".ppm"
+            write_ppm(fallback, linear_rgb, gamma)
+            return fallback
         Image.fromarray(to_uint8(tonemap(linear_rgb, gamma))).save(path)
-        return
+        return path
     write_ppm(path, linear_rgb, gamma)
+    return path
