@@ -23,6 +23,7 @@ from gpu_ray_tracing_tpu.ops.intersect import (
     intersect_bvh,
     intersect_spheres,
     intersect_triangles,
+    nearest_t_spheres,
 )
 
 Array = jax.Array
@@ -172,3 +173,28 @@ def intersect_scene(
     kind = jnp.where(mesh_wins, scene.mesh.mat_kind[m_hit.idx], kind)
     param = jnp.where(mesh_wins, scene.mesh.mat_param[m_hit.idx], param)
     return hit, albedo, kind, param
+
+
+def nearest_t_scene(
+    origins: Array,
+    dirs: Array,
+    scene: Scene,
+    t_min: float,
+    t_max: float,
+) -> Array:
+    """Shadow-ray query: nearest hit t across all geometry (t_max on miss).
+
+    Cheaper than intersect_scene — no material resolution, no hit-record
+    construction; occlusion testing only needs the distance.
+    """
+    t = nearest_t_spheres(origins, dirs, scene.spheres, t_min, t_max)
+    if scene.mesh is None:
+        return t
+    if scene.bvh is not None:
+        m_hit = intersect_bvh(
+            origins, dirs, scene.mesh, scene.bvh, t_min, t_max,
+            leaf_size=scene.bvh_leaf_size,
+        )
+    else:
+        m_hit = intersect_triangles(origins, dirs, scene.mesh, t_min, t_max)
+    return jnp.minimum(t, jnp.where(m_hit.hit, m_hit.t, jnp.float32(t_max)))

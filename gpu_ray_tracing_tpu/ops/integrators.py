@@ -254,8 +254,10 @@ def trace_path(
                 disc_l = h_l * h_l - (d2 - lr * lr)
                 t_l = h_l - jnp.sqrt(jnp.maximum(disc_l, 0.0))
 
-                shadow_hit, _, _, _ = intersect_scene(pnt, omega, scene, t_min, t_max)
-                visible = shadow_hit.t >= t_l * (1.0 - 1e-3)
+                from gpu_ray_tracing_tpu.models.scene import nearest_t_scene
+
+                shadow_t = nearest_t_scene(pnt, omega, scene, t_min, t_max)
+                visible = shadow_t >= t_l * (1.0 - 1e-3)
 
                 valid = nee_ok & (cos_i > 0.0) & ~inside & (disc_l > 0.0) & visible
                 wgt = (cos_i * 2.0 * (1.0 - cos_max) * jnp.float32(weight))[..., None]

@@ -292,3 +292,39 @@ def intersect_bvh(
 
 
 SENTINEL_NODE = -1
+
+
+def nearest_t_spheres(origins: Array, dirs: Array, spheres: Spheres, t_min: float, t_max: float) -> Array:
+    """Shadow-ray variant of intersect_spheres: nearest valid t only (t_max
+    when nothing hits).  Skips the winner gather and hit-record construction
+    occlusion tests discard."""
+    batch_shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    c = spheres.centers
+    r = spheres.radii
+    active = r > 0.0
+
+    dc = jnp.dot(d, c.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    oc_dot_c = jnp.dot(o, c.T, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    od = jnp.sum(o * d, axis=-1, keepdims=True)
+    oo = jnp.sum(o * o, axis=-1, keepdims=True)
+    a = jnp.sum(d * d, axis=-1, keepdims=True)
+    c2 = jnp.sum(c * c, axis=-1)
+
+    h = dc - od
+    cc = (c2 - r * r)[None, :] - 2.0 * oc_dot_c + oo
+    disc = h * h - a * cc
+    disc_pos = disc > 0.0
+    sqrt_disc = jnp.where(disc_pos, jnp.sqrt(jnp.where(disc_pos, disc, 1.0)), 0.0)
+    inv_a = 1.0 / a
+    root_near = (h - sqrt_disc) * inv_a
+    root_far = (h + sqrt_disc) * inv_a
+    near_ok = (root_near > t_min) & (root_near < t_max)
+    far_ok = (root_far > t_min) & (root_far < t_max)
+    root = jnp.where(near_ok, root_near, root_far)
+    valid = (disc >= 0.0) & (near_ok | far_ok) & active[None, :]
+    t = jnp.min(jnp.where(valid, root, jnp.float32(t_max)), axis=-1)
+    return t.reshape(batch_shape)
