@@ -50,13 +50,18 @@ def main() -> None:
     # Warmup / compile.
     frame(jnp.uint32(0)).block_until_ready()
 
-    iters = 30
-    t0 = time.perf_counter()
-    out = None
-    for i in range(iters):
-        out = frame(jnp.uint32(i))
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    # Median of repeated windows: single-window timings at the ~0.2 ms/frame
+    # scale swing with dispatch pipelining and tunnel state.
+    iters, repeats = 30, 5
+    times = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(iters):
+            out = frame(jnp.uint32(r * iters + i))
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
 
     rays = width * height * iters
     mrays_per_sec = rays / dt / 1e6
