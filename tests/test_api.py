@@ -352,3 +352,13 @@ def test_nee_direct_view_of_light_unchanged():
     bright = a.max(axis=-1) > 30.0
     assert bright.sum() > 0
     np.testing.assert_allclose(a[bright], b[bright], atol=1e-4)
+
+
+def test_animation_pallas_backend():
+    scene = base_scene()
+    cfg = _cfg(width=32, height=16, spp=1, max_depth=3, backend="pallas")
+    track = stack_camera_track([cam_ops.orbit_yaw(BASE_CAMERA, 0.2 * f) for f in range(2)])
+    frames = np.asarray(render_animation(
+        scene, track, cfg, frame_seeds=jnp.arange(2, dtype=jnp.uint32)))
+    assert frames.shape == (2, 16, 32, 3)
+    assert np.all(np.isfinite(frames))

@@ -143,3 +143,16 @@ def test_sharded_pallas_backend(scene):
     a = np.asarray(render_sharded(scene, BASE_CAMERA, cfg, mesh, frame_seed=jnp.uint32(5)))
     b = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(5)))
     assert_images_match(a, b)
+
+
+def test_progressive_sharded_pallas(scene):
+    """Sharded progressive accumulation through the megakernel."""
+    mesh = make_mesh(4, 1)
+    cfg = _cfg(spp=4, backend="pallas")
+    state = shard_accum_state(init_accum(cfg.height, cfg.width), mesh)
+    for _ in range(2):
+        state = progressive_step_sharded(
+            state, scene, BASE_CAMERA, cfg, mesh, frame_seed=jnp.uint32(3)
+        )
+    assert int(state.count) == 2
+    assert np.all(np.isfinite(np.asarray(state.rgb)))
