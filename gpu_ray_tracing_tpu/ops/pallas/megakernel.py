@@ -53,7 +53,11 @@ Array = jax.Array
 _CX, _CY, _CZ, _RAD, _C2R2, _ALR, _ALG, _ALB, _KIND, _PARAM, _ACTIVE = range(11)
 _SCENE_ROWS = 16  # padded to a sublane multiple
 
-TILE_ROWS = 32  # pixels per tile = TILE_ROWS * 128
+# Pixels per tile = TILE_ROWS * 128.  Swept on v5e: 32 beats 16 on primary
+# rays (5.9 vs 7.5 ms at 1080p), mesh path (122 vs 145 ms), and 1080p d20+RR
+# (69 vs 79 ms); 16 only wins deep-bounce 720p d50 (78 vs 88 ms) where finer
+# early-exit granularity pays.  128 is worse everywhere tested.
+TILE_ROWS = 32
 
 
 def scene_planes(spheres: Spheres) -> Array:
