@@ -32,6 +32,7 @@ from gpu_ray_tracing_tpu.models.mesh import (
     icosphere,
     load_obj,
     make_mesh,
+    merge_meshes,
     torus,
     transform_mesh,
 )
@@ -70,6 +71,7 @@ __all__ = [
     "load_obj",
     "make_mesh",
     "make_scene",
+    "merge_meshes",
     "torus",
     "transform_mesh",
     "derive_camera",

@@ -39,8 +39,8 @@ class TriangleMesh:
     e1, e2   (F, 3) f32  edge vectors (v1-v0, v2-v0)
     normals  (F, 3) f32  unit geometric normals (cross(e1, e2) normalized)
     albedo   (F, 3) f32  per-face surface color
-    mat_kind (F,)   i32  LAMBERTIAN / METAL / DIELECTRIC per face
-    mat_param(F,)   f32  fuzz or ior per face
+    mat_kind (F,)   i32  LAMBERTIAN / METAL / DIELECTRIC / EMISSIVE per face
+    mat_param(F,)   f32  fuzz, ior, or emission intensity per face
 
     Faces are stored struct-of-arrays (like Spheres) so intersection reads
     dense lanes; ops/bvh.build_bvh reorders faces into BVH-leaf order.
@@ -233,3 +233,22 @@ def bunny_stand_in(**mat_kw) -> TriangleMesh:
     asset is unavailable offline.  Pass a local bunny .obj to `load_obj`
     for the genuine article."""
     return icosphere(4, **mat_kw)
+
+
+def merge_meshes(*meshes: TriangleMesh) -> TriangleMesh:
+    """Concatenate meshes into one triangle soup (materials kept per face).
+
+    Scenes hold a single mesh (one BVH); compose multi-object scenes by
+    transforming each part and merging before make_scene.
+    """
+    if not meshes:
+        raise ValueError("merge_meshes needs at least one mesh")
+    return TriangleMesh(
+        v0=jnp.concatenate([m.v0 for m in meshes]),
+        e1=jnp.concatenate([m.e1 for m in meshes]),
+        e2=jnp.concatenate([m.e2 for m in meshes]),
+        normals=jnp.concatenate([m.normals for m in meshes]),
+        albedo=jnp.concatenate([m.albedo for m in meshes]),
+        mat_kind=jnp.concatenate([m.mat_kind for m in meshes]),
+        mat_param=jnp.concatenate([m.mat_param for m in meshes]),
+    )

@@ -106,3 +106,60 @@ def test_obj_quad_fan_and_negative_indices(tmp_path):
         f.write("v -1 -1 -2\nv 1 -1 -2\nv 1 1 -2\nv -1 1 -2\nf -4/-4 -3/-3 -2/-2 -1/-1\n")
     m = load_obj(path)
     assert m.num_triangles == 2
+
+
+def test_merge_meshes_and_render():
+    from gpu_ray_tracing_tpu import make_scene, merge_meshes, transform_mesh
+    from gpu_ray_tracing_tpu.models.spheres import METAL, base_scene
+    from gpu_ray_tracing_tpu.ops.bvh import validate_bvh
+
+    a = transform_mesh(box(), translate=(-1.0, 0.0, -2.0))
+    b = transform_mesh(icosphere(1, albedo=(0.9, 0.2, 0.2), mat_kind=METAL),
+                       scale=0.5, translate=(1.0, 0.0, -2.0))
+    merged = merge_meshes(a, b)
+    assert merged.num_triangles == a.num_triangles + b.num_triangles
+    scene = make_scene(base_scene(), merged)
+    validate_bvh(scene.bvh, merged.num_triangles)
+    # Rays hit each part.
+    h1 = intersect_triangles(jnp.asarray([[-1.0, 0.0, 0.0]]), jnp.asarray([[0.0, 0.0, -1.0]]), merged, TMIN, TMAX)
+    h2 = intersect_triangles(jnp.asarray([[1.0, 0.0, 0.0]]), jnp.asarray([[0.0, 0.0, -1.0]]), merged, TMIN, TMAX)
+    assert bool(h1.hit[0]) and bool(h2.hit[0])
+
+
+def test_triangle_fuzz_vs_float64_model():
+    """Batched Moller-Trumbore vs an independent float64 scalar model on
+    random rays and triangles."""
+    rng = np.random.default_rng(5)
+    n = 300
+    v0 = rng.uniform(-2, 2, (n, 3))
+    v1 = v0 + rng.normal(scale=1.0, size=(n, 3))
+    v2 = v0 + rng.normal(scale=1.0, size=(n, 3))
+    faces = np.stack([np.arange(n) * 3, np.arange(n) * 3 + 1, np.arange(n) * 3 + 2], -1)
+    verts = np.empty((3 * n, 3))
+    verts[0::3], verts[1::3], verts[2::3] = v0, v1, v2
+    mesh = make_mesh(verts, faces)
+
+    o = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    h = intersect_triangles(jnp.asarray(o), jnp.asarray(d), mesh, TMIN, TMAX)
+
+    # Float64 reference for each (ray, all triangles).
+    for r in range(0, n, 7):  # subsample rays for speed
+        best_t, best_hit = TMAX, False
+        for f in range(n):
+            e1 = (verts[3 * f + 1] - verts[3 * f]).astype(float)
+            e2 = (verts[3 * f + 2] - verts[3 * f]).astype(float)
+            pvec = np.cross(d[r].astype(float), e2)
+            det = e1 @ pvec
+            if abs(det) < 1e-12:
+                continue
+            tvec = o[r].astype(float) - verts[3 * f]
+            u = (tvec @ pvec) / det
+            qvec = np.cross(tvec, e1)
+            v = (d[r].astype(float) @ qvec) / det
+            t = (e2 @ qvec) / det
+            if u >= 0 and v >= 0 and u + v <= 1 and TMIN < t < best_t:
+                best_t, best_hit = t, True
+        assert bool(h.hit[r]) == best_hit, r
+        if best_hit:
+            np.testing.assert_allclose(float(h.t[r]), best_t, rtol=5e-3, atol=1e-4)

@@ -4,6 +4,7 @@ import json
 import os
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -139,3 +140,18 @@ def test_inverse_rendering_example_converges():
     spec.loader.exec_module(mod)
     rc = mod.main(["--steps", "40", "--width", "48", "--height", "36", "--spp", "2", "--lr", "0.1"])
     assert rc in (0, 1)  # ran end to end; convergence quality covered by example
+
+
+def test_accum_state_orbax_compatible(tmp_path):
+    """AccumState is an ordinary pytree: orbax checkpointing round-trips it."""
+    orbax = pytest.importorskip("orbax.checkpoint")
+    scene = base_scene()
+    cfg = RenderConfig(width=16, height=12, spp=4, max_depth=3)
+    state = init_accum(cfg.height, cfg.width)
+    state = progressive_step(state, scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(2))
+    path = os.path.join(tmp_path, "orbax_ckpt")
+    ckptr = orbax.PyTreeCheckpointer()
+    ckptr.save(path, state)
+    restored = ckptr.restore(path, item=state)
+    assert int(restored.count) == 1
+    np.testing.assert_array_equal(np.asarray(restored.rgb), np.asarray(state.rgb))
