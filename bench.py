@@ -7,33 +7,57 @@ The baseline target is BASELINE.json's north star: >= 500 Mrays/sec/chip at
 1080p primary rays on TPU v5e (the reference publishes no numbers of its own
 — BASELINE.md).  The workload is BASELINE config 1's scene (two spheres +
 ground — the primary-ray / bit-stability anchor) at 1920x1080, 1 spp,
-normal-shading integrator, on the XLA backend whose MXU-factored
-intersection is fastest at small sphere counts.
+normal-shading integrator, on the Pallas megakernel backend.
+
+Methodology (rebuilt in round 2 — round 1's numbers were artifacts):
+  - On this platform `block_until_ready()` can return before the work
+    executes, so every timed window forces materialization by float()-ing a
+    checksum that depends on every frame in the window.
+  - The frame loop runs on device (one `lax.scan` window per measurement, the
+    production shape — render_animation/render_progressive are lax loops),
+    so the ~5 ms/dispatch axon-tunnel round trip doesn't masquerade as kernel
+    time.  Per-dispatch latency is reported separately on stderr.
+  - Median of repeated windows; per-window spread is reported, and throughput
+    beyond the chip's HBM-bandwidth bound (~68 Grays/s) raises instead of
+    printing (utils/profiling.check_plausible).
+  - The whole measurement runs in a child process with a timeout: the axon
+    tunnel intermittently wedges (multi-minute stalls), in which case the
+    child is killed and retried once in a fresh process.
 
 Run `python benchmarks/run.py` for the full 5-config suite, including the
-~500-sphere path-traced scenes on the Pallas megakernel.
+~500-sphere path-traced scenes.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
+WIDTH, HEIGHT = 1920, 1080
+CHILD_TIMEOUT_S = 900
+WEDGE_RETRY_WAIT_S = 90
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
+def measure() -> None:
+    import jax
+    import jax.numpy as jnp
 
-def main() -> None:
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
     from gpu_ray_tracing_tpu import CameraSettings, RenderConfig, base_scene, render
+    from gpu_ray_tracing_tpu.utils.profiling import time_device_loop, time_frames
 
-    width, height = 1920, 1080
+    # Tiny op first: distinguishes a chip-claim hang from a compile hang.
+    jnp.ones((8, 128)).block_until_ready()
+    print(f"chip ok: {jax.devices()[0]}", file=sys.stderr)
+
     config = RenderConfig(
-        width=width, height=height, spp=1, integrator="normal", backend="jax"
+        width=WIDTH, height=HEIGHT, spp=1, integrator="normal", backend="pallas"
     )
-    scene = base_scene()
+    scene = jax.device_put(base_scene())
     camera = CameraSettings(
         look_from=jnp.asarray([0.0, 0.5, 2.0]),
         look_at=jnp.asarray([0.0, 0.0, -1.0]),
@@ -42,44 +66,68 @@ def main() -> None:
         defocus_angle=jnp.float32(0.0),
         focus_distance=jnp.float32(3.0),
     )
-    scene = jax.device_put(scene)
 
     def frame(seed):
         return render(scene, camera, config, frame_seed=seed)
 
-    # Warmup / compile.
-    frame(jnp.uint32(0)).block_until_ready()
-
-    # Median of repeated windows: single-window timings at the ~0.2 ms/frame
-    # scale swing with dispatch pipelining and tunnel state.
-    iters, repeats = 30, 5
-    times = []
-    for r in range(repeats):
-        t0 = time.perf_counter()
-        out = None
-        for i in range(iters):
-            out = frame(jnp.uint32(r * iters + i))
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
-
-    rays = width * height * iters
-    mrays_per_sec = rays / dt / 1e6
+    stats = time_device_loop(
+        frame, width=WIDTH, height=HEIGHT, spp=1, frames=20, repeats=5
+    )
     print(
-        f"primary rays: {width}x{height}, {scene.count} sphere slots, "
-        f"{iters} frames in {dt:.3f}s on {jax.devices()[0].platform}",
+        f"device-loop: {stats.ms_per_frame:.3f} ms/frame, "
+        f"windows {[round(w, 3) for w in stats.window_seconds]} s "
+        f"(spread {stats.window_spread:.2f}x), checksum {stats.checksum:.0f}",
         file=sys.stderr,
     )
+
+    # Context: per-host-dispatch latency (tunnel round trip included).
+    lat = time_frames(frame, width=WIDTH, height=HEIGHT, spp=1, frames=5, repeats=3)
+    print(
+        f"per-dispatch latency: {lat.ms_per_frame:.2f} ms/frame "
+        f"(spread {lat.window_spread:.2f}x)",
+        file=sys.stderr,
+    )
+
+    mrays = stats.mrays_per_sec
     print(
         json.dumps(
             {
                 "metric": "primary_ray_throughput_1080p",
-                "value": round(mrays_per_sec, 2),
+                "value": round(mrays, 2),
                 "unit": "Mrays/sec",
-                "vs_baseline": round(mrays_per_sec / 500.0, 4),
+                "vs_baseline": round(mrays / 500.0, 4),
             }
         )
     )
+
+
+def main() -> None:
+    if "--child" in sys.argv:
+        measure()
+        return
+    # Parent: run the measurement in a child process with a wedge timeout.
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                timeout=CHILD_TIMEOUT_S,
+                stdout=subprocess.PIPE,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench child timed out after {CHILD_TIMEOUT_S}s (axon tunnel "
+                f"wedge?); waiting {WEDGE_RETRY_WAIT_S}s and retrying once",
+                file=sys.stderr,
+            )
+            time.sleep(WEDGE_RETRY_WAIT_S)
+            continue
+        if proc.returncode == 0 and proc.stdout.strip():
+            print(proc.stdout.strip().splitlines()[-1])
+            return
+        print(f"bench child failed rc={proc.returncode}", file=sys.stderr)
+        break
+    sys.exit(1)
 
 
 if __name__ == "__main__":

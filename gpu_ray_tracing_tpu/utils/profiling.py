@@ -16,6 +16,27 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
+
+# Physical ceiling used to reject impossible measurements: every reported ray
+# produces at least 12 bytes (3 x f32) of HBM image traffic, and TPU v5e HBM
+# peaks at ~819 GB/s — so no honest number can exceed ~68 Grays/s/chip.
+# (Round-1 published 82 Grays/s for a 16-spp path trace; this guard exists so
+# that class of artifact can never be printed again.)
+HBM_BYTES_PER_SEC = 819e9
+MIN_BYTES_PER_RAY = 12.0
+MAX_PLAUSIBLE_MRAYS = HBM_BYTES_PER_SEC / MIN_BYTES_PER_RAY / 1e6  # ~68,250
+
+
+def check_plausible(mrays_per_sec: float) -> None:
+    """Raise if a throughput number exceeds the chip's HBM-bandwidth bound."""
+    if mrays_per_sec > MAX_PLAUSIBLE_MRAYS:
+        raise RuntimeError(
+            f"measured {mrays_per_sec:.0f} Mrays/s exceeds the physical "
+            f"HBM-bandwidth ceiling (~{MAX_PLAUSIBLE_MRAYS:.0f} Mrays/s at "
+            f"{MIN_BYTES_PER_RAY:.0f} B/ray, {HBM_BYTES_PER_SEC/1e9:.0f} GB/s)"
+            " — the timing did not materialize the work; refusing to report it"
+        )
 
 
 @dataclasses.dataclass
@@ -27,6 +48,12 @@ class FrameStats:
     width: int
     height: int
     spp: int
+    # Sum of the per-frame checksums whose float() forced materialization;
+    # carries proof that the timed work actually executed.
+    checksum: float = 0.0
+    # Per-window wall-clock times when the workload was repeated; `seconds`
+    # is then the median window.  Spread diagnoses tunnel/queue wedges.
+    window_seconds: tuple = ()
 
     @property
     def ms_per_frame(self) -> float:
@@ -46,12 +73,21 @@ class FrameStats:
     def spp_per_sec(self) -> float:
         return self.spp * self.frames / self.seconds
 
+    @property
+    def window_spread(self) -> float:
+        """max/min ratio across repeated windows (1.0 = perfectly stable)."""
+        if len(self.window_seconds) < 2:
+            return 1.0
+        return max(self.window_seconds) / max(min(self.window_seconds), 1e-12)
+
     def to_dict(self) -> dict:
         return {
             "frames": self.frames,
             "ms_per_frame": round(self.ms_per_frame, 3),
             "mrays_per_sec": round(self.mrays_per_sec, 2),
             "spp_per_sec": round(self.spp_per_sec, 2),
+            "checksum": self.checksum,
+            "window_spread": round(self.window_spread, 3),
         }
 
     def __str__(self) -> str:
@@ -66,22 +102,85 @@ def time_frames(
     spp: int,
     frames: int = 10,
     warmup: int = 1,
+    repeats: int = 3,
 ) -> FrameStats:
     """Time `frame_fn(i)` over `frames` iterations (after warmup/compile).
 
-    frame_fn must return a device array; the timer blocks once at the end so
-    dispatch pipelining is measured realistically.
+    Materialization is FORCED inside every timed window: each frame's scalar
+    checksum is accumulated on device and `float()`-ed before the clock is
+    read, so the window cannot close until every frame has actually executed.
+    (On the axon platform `block_until_ready()` returns before the work runs —
+    the round-1 methodology bug — so blocking is not sufficient.)
+
+    Runs `repeats` windows and reports the median; per-window times are kept
+    on the result for variance/wedge diagnosis.  Timing includes one host
+    dispatch per frame — use `time_device_loop` for pure chip throughput.
     """
-    out = None
+    acc = jnp.float32(0)
     for i in range(warmup):
-        out = frame_fn(i)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(frames):
-        out = frame_fn(warmup + i)
-    jax.block_until_ready(out)
-    seconds = time.perf_counter() - t0
-    return FrameStats(frames=frames, seconds=seconds, width=width, height=height, spp=spp)
+        acc = acc + jnp.sum(frame_fn(i))
+    float(acc)
+
+    windows, checksum = [], 0.0
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        acc = jnp.float32(0)
+        for i in range(frames):
+            acc = acc + jnp.sum(frame_fn(warmup + r * frames + i))
+        checksum = float(acc)  # forces execution of every frame in the window
+        windows.append(time.perf_counter() - t0)
+    seconds = sorted(windows)[len(windows) // 2]
+    stats = FrameStats(
+        frames=frames, seconds=seconds, width=width, height=height, spp=spp,
+        checksum=checksum, window_seconds=tuple(windows),
+    )
+    check_plausible(stats.mrays_per_sec)
+    return stats
+
+
+def time_device_loop(
+    frame_fn: Callable[[jax.Array], jax.Array],
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    frames: int = 20,
+    repeats: int = 5,
+) -> FrameStats:
+    """Chip-throughput timing: run `frames` iterations of `frame_fn(seed)`
+    inside ONE jitted `lax.scan` per window, forcing materialization with a
+    float()-ed checksum that depends on every frame.
+
+    This removes the per-frame host->device dispatch (which on the tunneled
+    axon platform costs ~5 ms/frame and swamps a ~1.5 ms kernel) and measures
+    what the chip itself sustains — the number that matters for production
+    rendering, where frame loops live on device (render_animation,
+    render_progressive are lax loops already).
+    """
+
+    @jax.jit
+    def window(seed0):
+        def body(acc, i):
+            return acc + jnp.sum(frame_fn(seed0 + i)), ()
+
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0), jnp.arange(frames, dtype=jnp.uint32)
+        )
+        return acc
+
+    float(window(jnp.uint32(0)))  # compile + warm
+    windows, checksum = [], 0.0
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        checksum = float(window(jnp.uint32(r * frames)))
+        windows.append(time.perf_counter() - t0)
+    seconds = sorted(windows)[len(windows) // 2]
+    stats = FrameStats(
+        frames=frames, seconds=seconds, width=width, height=height, spp=spp,
+        checksum=checksum, window_seconds=tuple(windows),
+    )
+    check_plausible(stats.mrays_per_sec)
+    return stats
 
 
 @contextlib.contextmanager
