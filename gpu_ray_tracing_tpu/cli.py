@@ -122,6 +122,14 @@ def _build_camera(args):
     return cam
 
 
+def _rng_kwargs(args, offset: int = 0) -> dict:
+    """Map --rng/--seed to render()'s RNG arguments: threefry takes a PRNG
+    key, hash/wgsl take a uint32 frame seed."""
+    if args.rng == "threefry":
+        return {"key": jax.random.key(args.seed + offset)}
+    return {"frame_seed": jnp.uint32(args.seed + offset)}
+
+
 def _build_config(args, spp=None):
     import gpu_ray_tracing_tpu as rt
 
@@ -146,10 +154,10 @@ def cmd_render(args) -> int:
     from gpu_ray_tracing_tpu.utils.profiling import time_frames
 
     scene, cam, cfg = _build_scene(args), _build_camera(args), _build_config(args)
-    img = rt.render(scene, cam, cfg, frame_seed=jnp.uint32(args.seed))
+    img = rt.render(scene, cam, cfg, **_rng_kwargs(args))
     out_path = write_image(args.out, np.asarray(img), args.gamma)
     stats = time_frames(
-        lambda i: rt.render(scene, cam, cfg, frame_seed=jnp.uint32(args.seed + i)),
+        lambda i: rt.render(scene, cam, cfg, **_rng_kwargs(args, i)),
         width=cfg.width, height=cfg.height, spp=cfg.spp,
         frames=args.bench_frames, warmup=0,
     ) if args.bench_frames else None
@@ -168,10 +176,15 @@ def cmd_animate(args) -> int:
     track = rt.stack_camera_track(
         [orbit_yaw(cam, args.orbit_step * f) for f in range(args.frames)]
     )
-    frames = rt.render_animation(
-        scene, track, cfg,
-        frame_seeds=jnp.arange(args.seed, args.seed + args.frames, dtype=jnp.uint32),
-    )
+    if args.rng == "threefry":
+        anim_kwargs = {"key": jax.random.key(args.seed)}
+    else:
+        anim_kwargs = {
+            "frame_seeds": jnp.arange(
+                args.seed, args.seed + args.frames, dtype=jnp.uint32
+            )
+        }
+    frames = rt.render_animation(scene, track, cfg, **anim_kwargs)
     os.makedirs(args.out_dir, exist_ok=True)
     frames = np.asarray(frames)
     for f in range(args.frames):
@@ -192,9 +205,11 @@ def cmd_progressive(args) -> int:
     else:
         state = rt.init_accum(cfg.height, cfg.width)
     for step in range(args.steps):
-        state = rt.progressive_step(
-            state, scene, cam, cfg, frame_seed=jnp.uint32(args.seed)
-        )
+        # hash/wgsl: constant frame seed — the accumulated count is the
+        # sample index, matching render(). threefry ignores sample_index, so
+        # it needs a fresh key per step or every step repeats the same draw.
+        kw = _rng_kwargs(args, step if args.rng == "threefry" else 0)
+        state = rt.progressive_step(state, scene, cam, cfg, **kw)
     state = jax.block_until_ready(state)
     if args.checkpoint:
         save_accum(args.checkpoint, state)

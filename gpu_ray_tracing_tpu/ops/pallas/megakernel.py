@@ -657,16 +657,20 @@ def _kernel(
             # Shading points inside any light's radius fall back to BSDF
             # sampling (matches ops/integrators.py; avoids the dark ring
             # around embedded lights).
+            # Checked over ALL lights in every branch (SMEM scalar reads are
+            # cheap): a point inside a light whose NEE sample is invalidated
+            # while its BSDF-hit emission is suppressed via prev_diffuse
+            # would otherwise lose that light entirely (matches
+            # ops/integrators.py, which guards for any light count).
             inside_any = jnp.zeros(live.shape, dtype=bool)
-            if num_lights <= 4:
-                for l_chk in range(num_lights):
-                    dxc = lights_ref[0, l_chk] - px
-                    dyc = lights_ref[1, l_chk] - py
-                    dzc = lights_ref[2, l_chk] - pz
-                    r_chk = lights_ref[3, l_chk]
-                    inside_any = inside_any | (
-                        dxc * dxc + dyc * dyc + dzc * dzc <= r_chk * r_chk * 1.0001
-                    )
+            for l_chk in range(num_lights):
+                dxc = lights_ref[0, l_chk] - px
+                dyc = lights_ref[1, l_chk] - py
+                dzc = lights_ref[2, l_chk] - pz
+                r_chk = lights_ref[3, l_chk]
+                inside_any = inside_any | (
+                    dxc * dxc + dyc * dyc + dzc * dzc <= r_chk * r_chk * 1.0001
+                )
             nee_base = live & hit & is_lam & ~inside_any
 
             def light_contribution(li, pick_weight, salt_off, rr, rg, rb):
@@ -743,7 +747,7 @@ def _kernel(
                 rr, rg, rb = light_contribution(li, num_lights, 0, rr, rg, rb)
 
         scattered = live & hit & ok & ~is_emis
-        if num_lights > 0 and num_lights <= 4:
+        if num_lights > 0:
             new_pd = scattered & (kp < 0.5) & ~inside_any
         else:
             new_pd = scattered & (kp < 0.5)

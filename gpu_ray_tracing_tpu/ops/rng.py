@@ -54,14 +54,17 @@ def wgsl_random_float(value: Array) -> Array:
 def seed_from_f32(seed01: Array) -> Array:
     """u32(seed * 4294967295.0) with WGSL's saturating f32->u32 cast
     (wgsl:311,353).  f32 cannot represent 2^32-1, so the product for seeds
-    near 1.0 rounds to 2^32 and saturates to u32::MAX in WGSL; we clamp to
-    match."""
-    x = jnp.asarray(seed01, jnp.float32) * jnp.float32(_U32_MAX_F)
-    x = jnp.clip(x, 0.0, _U32_MAX_F)
-    # Values >= 2^32 after f32 rounding clamp to the largest exactly-
-    # representable f32 below 2^32.
-    x = jnp.minimum(x, jnp.float32(4294967040.0))
-    return x.astype(jnp.uint32)
+    within ~1 ulp of 1.0 rounds to 2^32, which WGSL saturates to
+    u32::MAX = 4294967295; replicate that explicitly (XLA's out-of-range
+    float->uint cast is platform-dependent, so it can't be relied on)."""
+    x = jnp.maximum(jnp.asarray(seed01, jnp.float32) * jnp.float32(_U32_MAX_F), 0.0)
+    return jnp.where(
+        x >= jnp.float32(4294967296.0),
+        jnp.uint32(0xFFFFFFFF),
+        # Below 2^32 the largest representable f32 is 4294967040, which
+        # converts exactly.
+        jnp.minimum(x, jnp.float32(4294967040.0)).astype(jnp.uint32),
+    )
 
 
 def random_unit_vector(seed: Array) -> Array:

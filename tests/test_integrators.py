@@ -267,3 +267,53 @@ def test_nee_estimator_matches_analytic_irradiance():
     expected = le * albedo * (lr * lr) / (h * h)
     measured = out.mean(axis=0)
     np.testing.assert_allclose(measured, expected, rtol=0.05)
+
+
+def _many_lights_fixture():
+    """A lambertian floor and 6 spherical lights spread over the upper
+    hemisphere, positioned so no light occludes another's shadow ray from
+    the probe point (the pick-one vs loop-over-all comparison then sees
+    identical visibility)."""
+    from gpu_ray_tracing_tpu import make_scene
+    from gpu_ray_tracing_tpu.models.spheres import EMISSIVE, LAMBERTIAN, make_spheres
+
+    albedo = 0.7
+    lights = [
+        ((0.0, 3.0, 0.0), 0.3, 4.0),
+        ((2.5, 2.5, 0.0), 0.2, 6.0),
+        ((-2.5, 2.5, 0.0), 0.25, 3.0),
+        ((0.0, 2.5, 2.5), 0.2, 5.0),
+        ((0.0, 2.5, -2.5), 0.3, 2.0),
+        ((1.8, 2.8, 1.8), 0.15, 8.0),
+    ]
+    floor = ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (albedo,) * 3, 0.0)
+
+    def scene_with(light_subset):
+        rows = [floor] + [
+            (c, r, EMISSIVE, (1.0, 1.0, 1.0), le) for (c, r, le) in light_subset
+        ]
+        return make_scene(make_spheres(rows))
+
+    return lights, scene_with
+
+
+def test_nee_pick_one_light_matches_loop_over_all():
+    """>4 lights takes the pick-one-light estimator branch (weight = L
+    cancels the 1/L pick pdf); its mean must converge to the sum of
+    per-light loop-branch estimates (ops/integrators.py:277)."""
+    lights, scene_with = _many_lights_fixture()
+    n = 16384
+    o = jnp.tile(jnp.asarray([[0.0, 0.5, 0.0]], jnp.float32), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32), (n, 1))
+    seeds = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)
+
+    def direct(scene):
+        # Depth 1 + sky off: only the NEE direct term contributes.
+        return np.asarray(trace_path(
+            o, d, scene, 1, 1e-3, 3.4e35, pixel_seeds=seeds,
+            sky_intensity=0.0, nee=True,
+        )).mean(axis=0)
+
+    picked = direct(scene_with(lights))  # 6 lights -> pick-one branch
+    looped = sum(direct(scene_with([lt])) for lt in lights)  # loop branch
+    np.testing.assert_allclose(picked, looped, rtol=0.08)

@@ -69,21 +69,56 @@ def test_pallas_path_tracer_one_weekend():
 
 
 def test_pallas_spp_accumulation():
+    """render(spp=4) must equal the mean of the four 1-spp passes it folds
+    (sample_index 0..3, same frame seed) — replicated via render_pallas
+    directly, which exposes sample_index."""
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
+
     scene = base_scene()
     cfg = _cfg(spp=4, backend="pallas")
     img = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(1)))
     assert np.all(np.isfinite(img))
-    # Mean of the individual 1-spp samples must match the 4-spp render.
-    samples = []
-    for s in range(4):
-        one = render(
-            scene, BASE_CAMERA, _cfg(spp=1, backend="pallas"),
-            frame_seed=jnp.uint32(1),
-        )
-        samples.append(np.asarray(one))
-    # Note: spp loop advances sample_index internally; replicate via config.
-    # Instead just sanity-check the value range here.
-    assert img.min() >= 0.0 and img.max() <= 1.5
+
+    cam = derive_camera(BASE_CAMERA, cfg.width, cfg.height)
+    samples = [
+        np.asarray(render_pallas(
+            scene, cam, width=cfg.width, height=cfg.height,
+            sample_index=jnp.uint32(s), frame_seed=jnp.uint32(1),
+            max_depth=cfg.max_depth, t_min=cfg.t_min, t_max=cfg.t_max,
+        ))
+        for s in range(4)
+    ]
+    np.testing.assert_allclose(np.mean(samples, axis=0), img, atol=1e-5)
+
+
+def test_pallas_nee_many_lights_matches_jax_mean():
+    """6 emissive lights takes the megakernel's pick-one-per-tile NEE branch;
+    its image mean must agree with the jax path's per-lane pick-one estimator
+    (both unbiased estimators of the same integral)."""
+    from tests.test_integrators import _many_lights_fixture
+
+    lights, scene_with = _many_lights_fixture()
+    scene = scene_with(lights)
+    cam = CameraSettings(
+        look_from=jnp.asarray([0.0, 2.0, 6.0]),
+        look_at=jnp.asarray([0.0, 0.5, 0.0]),
+        vup=jnp.asarray([0.0, 1.0, 0.0]),
+        field_of_view=jnp.float32(50.0),
+        defocus_angle=jnp.float32(0.0),
+        focus_distance=jnp.float32(6.0),
+    )
+    kw = dict(width=64, height=32, spp=8, max_depth=3, nee=True,
+              sky_intensity=0.0)
+    a = np.asarray(render(scene, cam, _cfg(backend="pallas", **kw),
+                          frame_seed=jnp.uint32(5)))
+    b = np.asarray(render(scene, cam, _cfg(backend="jax", **kw),
+                          frame_seed=jnp.uint32(5)))
+    assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+    # Different pick strategies (per tile vs per lane) -> different streams;
+    # compare means, not pixels.
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.1)
+    assert a.mean() > 0.01  # lights actually illuminate the frame
 
 
 def test_pallas_non_tile_aligned_resolution():

@@ -67,8 +67,11 @@ def test_unit_vector_from_uniforms():
 
 def test_seed_from_f32_saturates():
     assert int(rng.seed_from_f32(jnp.float32(0.0))) == 0
-    # Seeds near 1.0 saturate instead of wrapping (WGSL u32() semantics).
-    assert int(rng.seed_from_f32(jnp.float32(1.0))) == 4294967040
+    # 1.0 * 4294967295.0 rounds to 2^32 in f32; WGSL's u32() saturates that
+    # to u32::MAX (not to the largest representable f32 below 2^32).
+    assert int(rng.seed_from_f32(jnp.float32(1.0))) == 4294967295
+    # Just below the rounding threshold, the cast is exact.
+    assert int(rng.seed_from_f32(jnp.float32(0.99999988))) == 4294966784
     mid = int(rng.seed_from_f32(jnp.float32(0.5)))
     assert abs(mid - 2**31) < 2**10
 
