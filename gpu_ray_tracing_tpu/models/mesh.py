@@ -28,7 +28,8 @@ Array = jax.Array
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["v0", "e1", "e2", "normals", "albedo", "mat_kind", "mat_param"],
+    data_fields=["v0", "e1", "e2", "normals", "albedo", "mat_kind", "mat_param",
+                 "n0", "n1", "n2"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -41,6 +42,10 @@ class TriangleMesh:
     albedo   (F, 3) f32  per-face surface color
     mat_kind (F,)   i32  LAMBERTIAN / METAL / DIELECTRIC / EMISSIVE per face
     mat_param(F,)   f32  fuzz, ior, or emission intensity per face
+    n0/n1/n2 (F, 3) f32  per-corner vertex normals for smooth shading, or
+                         None for flat shading (the geometric normal is used).
+                         Shading normal = normalize((1-u-v)*n0 + u*n1 + v*n2)
+                         at barycentric (u, v).
 
     Faces are stored struct-of-arrays (like Spheres) so intersection reads
     dense lanes; ops/bvh.build_bvh reorders faces into BVH-leaf order.
@@ -53,10 +58,17 @@ class TriangleMesh:
     albedo: Array
     mat_kind: Array
     mat_param: Array
+    n0: Array | None = None
+    n1: Array | None = None
+    n2: Array | None = None
 
     @property
     def num_triangles(self) -> int:
         return self.v0.shape[0]
+
+    @property
+    def smooth(self) -> bool:
+        return self.n0 is not None
 
 
 def make_mesh(
@@ -65,8 +77,14 @@ def make_mesh(
     albedo=(0.7, 0.7, 0.7),
     mat_kind: int = LAMBERTIAN,
     mat_param: float = 0.0,
+    smooth: bool = False,
 ) -> TriangleMesh:
-    """Build a TriangleMesh from (V, 3) vertices and (F, 3) vertex indices."""
+    """Build a TriangleMesh from (V, 3) vertices and (F, 3) vertex indices.
+
+    smooth=True computes area-weighted per-vertex normals from the shared
+    topology (the unnormalized face-normal cross products summed per vertex),
+    stored per corner for barycentric interpolation at hit time.
+    """
     vertices = np.asarray(vertices, np.float32)
     faces = np.asarray(faces, np.int64)
     v0 = vertices[faces[:, 0]]
@@ -74,11 +92,26 @@ def make_mesh(
     v2 = vertices[faces[:, 2]]
     e1 = v1 - v0
     e2 = v2 - v0
-    n = np.cross(e1, e2)
-    norm = np.linalg.norm(n, axis=-1, keepdims=True)
-    n = n / np.maximum(norm, 1e-20)
+    cross = np.cross(e1, e2)
+    norm = np.linalg.norm(cross, axis=-1, keepdims=True)
+    n = cross / np.maximum(norm, 1e-20)
     f = faces.shape[0]
     albedo = np.broadcast_to(np.asarray(albedo, np.float32), (f, 3))
+    corner = {}
+    if smooth:
+        # Area-weighted vertex normals: the cross product's magnitude is
+        # twice the face area, so summing raw crosses per vertex weights
+        # larger faces more (the standard smoothing).
+        vn = np.zeros_like(vertices, np.float64)
+        for c in range(3):
+            np.add.at(vn, faces[:, c], cross)
+        vn = vn / np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-20)
+        vn = vn.astype(np.float32)
+        corner = {
+            "n0": jnp.asarray(vn[faces[:, 0]]),
+            "n1": jnp.asarray(vn[faces[:, 1]]),
+            "n2": jnp.asarray(vn[faces[:, 2]]),
+        }
     return TriangleMesh(
         v0=jnp.asarray(v0),
         e1=jnp.asarray(e1),
@@ -87,6 +120,7 @@ def make_mesh(
         albedo=jnp.asarray(albedo),
         mat_kind=jnp.full((f,), mat_kind, jnp.int32),
         mat_param=jnp.full((f,), mat_param, jnp.float32),
+        **corner,
     )
 
 
@@ -243,6 +277,16 @@ def merge_meshes(*meshes: TriangleMesh) -> TriangleMesh:
     """
     if not meshes:
         raise ValueError("merge_meshes needs at least one mesh")
+    corner = {}
+    if any(m.smooth for m in meshes):
+        # Flat parts get degenerate corner normals (n0=n1=n2=face normal),
+        # so interpolation reproduces flat shading exactly on them.
+        corner = {
+            f"n{c}": jnp.concatenate(
+                [getattr(m, f"n{c}") if m.smooth else m.normals for m in meshes]
+            )
+            for c in range(3)
+        }
     return TriangleMesh(
         v0=jnp.concatenate([m.v0 for m in meshes]),
         e1=jnp.concatenate([m.e1 for m in meshes]),
@@ -251,4 +295,5 @@ def merge_meshes(*meshes: TriangleMesh) -> TriangleMesh:
         albedo=jnp.concatenate([m.albedo for m in meshes]),
         mat_kind=jnp.concatenate([m.mat_kind for m in meshes]),
         mat_param=jnp.concatenate([m.mat_param for m in meshes]),
+        **corner,
     )

@@ -175,6 +175,10 @@ def build_mesh_bvh(
     bmax = np.maximum(np.maximum(v0, v1), v2)
     centroids = (v0 + v1 + v2) / 3.0
     bvh, order = build_bvh(centroids, bmin, bmax, leaf_size, method)
+    corner = (
+        {f"n{c}": getattr(mesh, f"n{c}")[order] for c in range(3)}
+        if mesh.smooth else {}
+    )
     reordered = TriangleMesh(
         v0=mesh.v0[order],
         e1=mesh.e1[order],
@@ -183,6 +187,7 @@ def build_mesh_bvh(
         albedo=mesh.albedo[order],
         mat_kind=mesh.mat_kind[order],
         mat_param=mesh.mat_param[order],
+        **corner,
     )
     return reordered, bvh
 

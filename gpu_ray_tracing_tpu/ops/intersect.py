@@ -201,7 +201,26 @@ def intersect_triangles(origins: Array, dirs: Array, mesh, t_min: float, t_max: 
 def _mesh_hit_record(o, d, mesh, t_best, idx, any_hit, batch_shape) -> Hit:
     t_point = jnp.where(any_hit, t_best, 0.0)
     point = o + t_point[:, None] * d
-    outward = mesh.normals[idx]
+    if mesh.smooth:
+        # Recompute the winner's barycentrics (cheaper than carrying u, v
+        # through the traversal) and interpolate the corner normals.
+        v0, e1, e2 = mesh.v0[idx], mesh.e1[idx], mesh.e2[idx]
+        pvec = jnp.cross(d, e2)
+        det = jnp.sum(e1 * pvec, axis=-1)
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+        tvec = o - v0
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        v = jnp.sum(d * jnp.cross(tvec, e1), axis=-1) * inv_det
+        outward = (
+            (1.0 - u - v)[:, None] * mesh.n0[idx]
+            + u[:, None] * mesh.n1[idx]
+            + v[:, None] * mesh.n2[idx]
+        )
+        outward = outward / jnp.maximum(
+            jnp.linalg.norm(outward, axis=-1, keepdims=True), 1e-20
+        )
+    else:
+        outward = mesh.normals[idx]
     front_face = jnp.sum(d * outward, axis=-1) < 0.0
     normal = jnp.where(front_face[:, None], outward, -outward)
     return Hit(

@@ -80,31 +80,52 @@ def scene_planes(spheres: Spheres) -> Array:
     return planes
 
 
-# Mesh plane rows ((20, F) SMEM array; see mesh_planes).
-_MV0X, _MV0Y, _MV0Z, _ME1X, _ME1Y, _ME1Z, _ME2X, _ME2Y, _ME2Z = range(9)
-_MNX, _MNY, _MNZ, _MALR, _MALG, _MALB, _MKIND, _MPARAM = range(9, 17)
-_MESH_ROWS = 20
+# VMEM triangle table: 4 triangles per 128-lane row, 32 f32 slots each.
+# SMEM cannot hold bunny-scale meshes (~1 MB total); the table instead lives
+# in VMEM (128 B/triangle -> ~8.8 MB at 69k tris) and the leaf scan loads one
+# row (4 triangles) at a time with a dynamic sublane index, extracting each
+# attribute at a STATIC lane offset (both operations Mosaic supports; dynamic
+# LANE indexing is what it rejects, which is why the per-attribute plane
+# layout used for spheres cannot scale to meshes).
+_TRI_SLOTS = 32
+_TRI_PER_ROW = 128 // _TRI_SLOTS  # 4
+# Slot offsets inside a triangle's 32-lane group.
+_TV0, _TE1, _TE2 = 0, 3, 6
+_TN0, _TN1, _TN2 = 9, 12, 15  # corner normals (n0 alone when flat-shaded)
+_TALB, _TKIND, _TPARAM = 18, 21, 22
 
 # BVH node plane rows: f32 (8, M) bounds; i32 (4, M) links.
 _BMINX, _BMINY, _BMINZ, _BMAXX, _BMAXY, _BMAXZ = range(6)
 _LMISS, _LSTART, _LCOUNT = range(3)
 
 
-def mesh_planes(mesh) -> Array:
-    """Pack a TriangleMesh into the (20, F) f32 SMEM scalar layout."""
+def mesh_table(mesh) -> Array:
+    """Pack a TriangleMesh into the (G, 128) f32 VMEM triangle table.
+
+    Triangle t occupies lanes [32*(t%4), 32*(t%4)+23) of row t//4; rows are
+    padded to a sublane multiple of 8 with degenerate triangles (e1=e2=0 =>
+    the Moller-Trumbore determinant test rejects them), which also makes the
+    4-triangle group scan safe at unaligned leaf boundaries.
+    """
     f = mesh.num_triangles
-    planes = jnp.zeros((_MESH_ROWS, f), jnp.float32)
-    for row, arr in [
-        (_MV0X, mesh.v0[:, 0]), (_MV0Y, mesh.v0[:, 1]), (_MV0Z, mesh.v0[:, 2]),
-        (_ME1X, mesh.e1[:, 0]), (_ME1Y, mesh.e1[:, 1]), (_ME1Z, mesh.e1[:, 2]),
-        (_ME2X, mesh.e2[:, 0]), (_ME2Y, mesh.e2[:, 1]), (_ME2Z, mesh.e2[:, 2]),
-        (_MNX, mesh.normals[:, 0]), (_MNY, mesh.normals[:, 1]), (_MNZ, mesh.normals[:, 2]),
-        (_MALR, mesh.albedo[:, 0]), (_MALG, mesh.albedo[:, 1]), (_MALB, mesh.albedo[:, 2]),
-        (_MKIND, mesh.mat_kind.astype(jnp.float32)),
-        (_MPARAM, mesh.mat_param),
-    ]:
-        planes = planes.at[row].set(arr)
-    return planes
+    if mesh.smooth:
+        n0, n1, n2 = mesh.n0, mesh.n1, mesh.n2
+    else:
+        n0 = n1 = n2 = mesh.normals
+    attrs = jnp.concatenate(
+        [
+            mesh.v0, mesh.e1, mesh.e2, n0, n1, n2, mesh.albedo,
+            mesh.mat_kind.astype(jnp.float32)[:, None],
+            mesh.mat_param[:, None],
+            jnp.zeros((f, _TRI_SLOTS - 23), jnp.float32),
+        ],
+        axis=1,
+    )  # (F, 32)
+    group = _TRI_PER_ROW * 8  # row of 4 x sublane multiple of 8
+    pad = (-f) % group
+    if pad:
+        attrs = jnp.concatenate([attrs, jnp.zeros((pad, _TRI_SLOTS), jnp.float32)])
+    return attrs.reshape(-1, 128)
 
 
 def lights_planes(lights) -> Array:
@@ -193,24 +214,50 @@ def _traverse_bvh(bvhf_ref, bvhi_ref, t_min, ox, oy, oz, dx, dy, dz, carry, leaf
     return carry
 
 
+def _mesh_group_scan(tbl_ref, ls, trip, carry, tri_test):
+    """Run `tri_test(row, base, carry)` over every 4-triangle table row
+    overlapping the leaf range [ls, ls+trip).
+
+    Rows are scanned whole, so up to 3 neighbour triangles per boundary are
+    tested redundantly — harmless for closest-hit/occlusion semantics (they
+    are real triangles of the same mesh; the degenerate padding rows reject
+    via the determinant test) and cheaper than per-triangle dynamic loads.
+    """
+    g0 = ls // _TRI_PER_ROW
+    ng = jnp.where(
+        trip > 0, (ls + trip + _TRI_PER_ROW - 1) // _TRI_PER_ROW - g0, 0
+    )
+
+    def group_body(gi, carry):
+        row = tbl_ref[pl.ds(g0 + gi, 1), :]  # (1, 128): 4 triangles
+        for j in range(_TRI_PER_ROW):
+            carry = tri_test(row, _TRI_SLOTS * j, carry)
+        return carry
+
+    return jax.lax.fori_loop(0, ng, group_body, carry)
+
+
 def _traverse_mesh(
-    mesh_ref, bvhf_ref, bvhi_ref,
+    tbl_ref, bvhf_ref, bvhi_ref,
     t_min, ox, oy, oz, dx, dy, dz,
     carry,
+    smooth: bool = False,
 ):
-    """Mesh BVH traversal: scalar-broadcast Moller-Trumbore leaf scan.
+    """Mesh BVH traversal: VMEM-table Moller-Trumbore leaf scan.
 
     `carry` is (tb, nxp, nyp, nzp, ar, ag, ab, kp, pp): the shared closest-
     hit state, with OUTWARD normals in the n-planes; sphere results already
-    folded in by the caller.
+    folded in by the caller.  With `smooth`, corner normals interpolate at
+    the hit barycentrics — UNNORMALIZED (the caller renormalizes once after
+    traversal instead of per candidate).
     """
 
-    def leaf_body(k, carry):
-        tb, nxp, nyp, nzp, ar, ag, ab, kp, pp = carry[0]
-        tri = carry[1] + k
-        v0x, v0y, v0z = mesh_ref[_MV0X, tri], mesh_ref[_MV0Y, tri], mesh_ref[_MV0Z, tri]
-        e1x, e1y, e1z = mesh_ref[_ME1X, tri], mesh_ref[_ME1Y, tri], mesh_ref[_ME1Z, tri]
-        e2x, e2y, e2z = mesh_ref[_ME2X, tri], mesh_ref[_ME2Y, tri], mesh_ref[_ME2Z, tri]
+    def tri_test(row, b, carry):
+        tb, nxp, nyp, nzp, ar, ag, ab, kp, pp = carry
+        at = lambda k: row[0, b + k]
+        v0x, v0y, v0z = at(_TV0), at(_TV0 + 1), at(_TV0 + 2)
+        e1x, e1y, e1z = at(_TE1), at(_TE1 + 1), at(_TE1 + 2)
+        e2x, e2y, e2z = at(_TE2), at(_TE2 + 1), at(_TE2 + 2)
         # Moller-Trumbore with scalar triangle data broadcast over the tile.
         pvx = dy * e2z - dz * e2y
         pvy = dz * e2x - dx * e2z
@@ -229,20 +276,26 @@ def _traverse_mesh(
             ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
             & (t > t_min) & (t < tb)
         )
+        if smooth:
+            w0 = 1.0 - u - v
+            snx = w0 * at(_TN0) + u * at(_TN1) + v * at(_TN2)
+            sny = w0 * at(_TN0 + 1) + u * at(_TN1 + 1) + v * at(_TN2 + 1)
+            snz = w0 * at(_TN0 + 2) + u * at(_TN1 + 2) + v * at(_TN2 + 2)
+        else:
+            snx, sny, snz = at(_TN0), at(_TN0 + 1), at(_TN0 + 2)
         tb = jnp.where(better, t, tb)
-        nxp = jnp.where(better, mesh_ref[_MNX, tri], nxp)
-        nyp = jnp.where(better, mesh_ref[_MNY, tri], nyp)
-        nzp = jnp.where(better, mesh_ref[_MNZ, tri], nzp)
-        ar = jnp.where(better, mesh_ref[_MALR, tri], ar)
-        ag = jnp.where(better, mesh_ref[_MALG, tri], ag)
-        ab = jnp.where(better, mesh_ref[_MALB, tri], ab)
-        kp = jnp.where(better, mesh_ref[_MKIND, tri], kp)
-        pp = jnp.where(better, mesh_ref[_MPARAM, tri], pp)
-        return (tb, nxp, nyp, nzp, ar, ag, ab, kp, pp), carry[1]
+        nxp = jnp.where(better, snx, nxp)
+        nyp = jnp.where(better, sny, nyp)
+        nzp = jnp.where(better, snz, nzp)
+        ar = jnp.where(better, at(_TALB), ar)
+        ag = jnp.where(better, at(_TALB + 1), ag)
+        ab = jnp.where(better, at(_TALB + 2), ab)
+        kp = jnp.where(better, at(_TKIND), kp)
+        pp = jnp.where(better, at(_TPARAM), pp)
+        return tb, nxp, nyp, nzp, ar, ag, ab, kp, pp
 
     def leaf_scan(ls, trip, carry):
-        carry, _ = jax.lax.fori_loop(0, trip, leaf_body, (carry, ls))
-        return carry
+        return _mesh_group_scan(tbl_ref, ls, trip, carry, tri_test)
 
     return _traverse_bvh(
         bvhf_ref, bvhi_ref, t_min, ox, oy, oz, dx, dy, dz, carry, leaf_scan
@@ -297,14 +350,14 @@ def _closest_t(
         )
 
     if mesh_refs is not None:
-        mesh_ref, bvhf_ref, bvhi_ref = mesh_refs
+        tbl_ref, bvhf_ref, bvhi_ref = mesh_refs
 
-        def tri_body(k, carry):
-            tb, base = carry
-            tri = base + k
-            v0x, v0y, v0z = mesh_ref[_MV0X, tri], mesh_ref[_MV0Y, tri], mesh_ref[_MV0Z, tri]
-            e1x, e1y, e1z = mesh_ref[_ME1X, tri], mesh_ref[_ME1Y, tri], mesh_ref[_ME1Z, tri]
-            e2x, e2y, e2z = mesh_ref[_ME2X, tri], mesh_ref[_ME2Y, tri], mesh_ref[_ME2Z, tri]
+        def tri_test(row, b, carry):
+            (tb,) = carry
+            at = lambda k: row[0, b + k]
+            v0x, v0y, v0z = at(_TV0), at(_TV0 + 1), at(_TV0 + 2)
+            e1x, e1y, e1z = at(_TE1), at(_TE1 + 1), at(_TE1 + 2)
+            e2x, e2y, e2z = at(_TE2), at(_TE2 + 1), at(_TE2 + 2)
             pvx = dy * e2z - dz * e2y
             pvy = dz * e2x - dx * e2z
             pvz = dx * e2y - dy * e2x
@@ -322,11 +375,10 @@ def _closest_t(
                 ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                 & (t > t_min) & (t < tb)
             )
-            return jnp.where(better, t, tb), base
+            return (jnp.where(better, t, tb),)
 
         def leaf_scan_m(ls, trip, carry):
-            tb, _ = jax.lax.fori_loop(0, trip, tri_body, (carry[0], ls))
-            return (tb,)
+            return _mesh_group_scan(tbl_ref, ls, trip, carry, tri_test)
 
         (tb,) = _traverse_bvh(
             bvhf_ref, bvhi_ref, t_min, ox, oy, oz, dx, dy, dz, (tb,), leaf_scan_m,
@@ -340,6 +392,7 @@ def _closest_hit(
     scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
     mesh_refs=None,
     sphere_bvh_refs=None,
+    mesh_smooth: bool = False,
 ):
     """Vectorized shrinking-window sphere scan (wgsl:164-221), plus the
     tile-coherent mesh BVH traversal when `mesh_refs` is given.
@@ -415,7 +468,13 @@ def _closest_hit(
         tb, nx, ny, nz, ar, ag, ab, kp, pp = _traverse_mesh(
             *mesh_refs, t_min, ox, oy, oz, dx, dy, dz,
             (tb, nx, ny, nz, ar, ag, ab, kp, pp),
+            smooth=mesh_smooth,
         )
+        if mesh_smooth:
+            # Interpolated normals fold unnormalized; one renormalize here
+            # replaces a per-candidate one (identity for sphere-won lanes,
+            # whose normals are already unit).
+            nx, ny, nz = _normalize3(nx, ny, nz)
 
     hit = tb < big
     t = jnp.where(hit, tb, 1.0)  # benign t for misses (no 1e35 overflow)
@@ -536,6 +595,7 @@ def _kernel(
     rr_depth: int = 0,
     sky_intensity: float = 1.0,
     num_lights: int = 0,  # > 0 enables in-kernel next-event estimation
+    mesh_smooth: bool = False,
 ):
     """One (TILE_ROWS x 128)-pixel image tile: ray gen -> trace -> write.
 
@@ -607,6 +667,7 @@ def _kernel(
         _, hit, _, _, _, nx, ny, nz, _, _, _, _, _, _ = _closest_hit(
             scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
             mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
+            mesh_smooth=mesh_smooth,
         )
         skr, skg, skb = _sky(dx, dy, dz)
         outr_ref[:] = jnp.where(hit, 0.5 * (nx + 1.0), skr)
@@ -623,6 +684,7 @@ def _kernel(
         (_, hit, px, py, pz, nx, ny, nz, front, ar, ag, ab, kp, pp) = _closest_hit(
             scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
             mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
+            mesh_smooth=mesh_smooth,
         )
         salt_base = jnp.uint32(16) + jnp.uint32(3) * jnp.asarray(i_b, jnp.uint32)
         sx, sy, sz, attr, attg, attb, ok = _scatter(
@@ -821,9 +883,11 @@ def camera_vector(camera) -> Array:
     ).reshape(1, 24)
 
 
-# SMEM budget gates (the chip exposes ~1 MB of SMEM; the mesh + BVH scalar
-# planes must fit alongside the sphere scene with headroom).
-MAX_PALLAS_TRIANGLES = 8192
+# Memory budget gates.  Triangles live in the VMEM table (128 B each; ~16 MB
+# VMEM per v5e core must also hold the image tiles and bounce-loop carries),
+# BVH nodes in SMEM (~1 MB total, 48 B/node) — make_scene auto-grows the BVH
+# leaf size so bunny-scale meshes stay under the node cap.
+MAX_PALLAS_TRIANGLES = 81920
 MAX_PALLAS_BVH_NODES = 8192
 
 
@@ -864,11 +928,15 @@ def render_pallas(
             raise ValueError("pallas mesh rendering requires a BVH (make_scene builds one)")
         if sc.mesh.num_triangles > MAX_PALLAS_TRIANGLES:
             raise ValueError(
-                f"mesh has {sc.mesh.num_triangles} triangles; the pallas SMEM "
-                f"budget caps at {MAX_PALLAS_TRIANGLES} — use backend='jax'"
+                f"mesh has {sc.mesh.num_triangles} triangles; the pallas VMEM "
+                f"table caps at {MAX_PALLAS_TRIANGLES} — use backend='jax'"
             )
         if sc.bvh.num_nodes > MAX_PALLAS_BVH_NODES:
-            raise ValueError("BVH too large for pallas SMEM; use backend='jax'")
+            raise ValueError(
+                f"BVH has {sc.bvh.num_nodes} nodes; pallas SMEM caps at "
+                f"{MAX_PALLAS_BVH_NODES} — rebuild with a larger leaf size "
+                "(make_scene does this automatically) or use backend='jax'"
+            )
 
     h_pad = -(-height // TILE_ROWS) * TILE_ROWS
     w_pad = -(-width // 128) * 128
@@ -902,14 +970,14 @@ def render_pallas(
     in_specs = [smem((1, 24)), smem((1, 4)), smem((_SCENE_ROWS, n))]
     args = [cam_vec, ints, scene]
     if has_mesh:
-        mplanes = mesh_planes(sc.mesh)
+        tbl = mesh_table(sc.mesh)
         bvhf, bvhi = bvh_planes(sc.bvh)
         in_specs += [
-            smem((_MESH_ROWS, sc.mesh.num_triangles)),
+            pl.BlockSpec(tbl.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             smem((8, sc.bvh.num_nodes)),
             smem((4, sc.bvh.num_nodes)),
         ]
-        args += [mplanes, bvhf, bvhi]
+        args += [tbl, bvhf, bvhi]
     if has_sphere_bvh:
         sbf, sbi = bvh_planes(sc.sphere_bvh)
         in_specs += [
@@ -942,6 +1010,7 @@ def render_pallas(
         max_depth=max_depth, t_min=float(t_min), t_max=float(t_max), mode=mode,
         rr_depth=russian_roulette_depth, sky_intensity=float(sky_intensity),
         num_lights=num_lights,
+        mesh_smooth=has_mesh and sc.mesh.smooth,
     )
     outr, outg, outb = pl.pallas_call(
         kernel,

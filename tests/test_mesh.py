@@ -163,3 +163,64 @@ def test_triangle_fuzz_vs_float64_model():
         assert bool(h.hit[r]) == best_hit, r
         if best_hit:
             np.testing.assert_allclose(float(h.t[r]), best_t, rtol=5e-3, atol=1e-4)
+
+
+def test_smooth_vertex_normals_icosphere():
+    """On a unit icosphere, the area-weighted vertex normal equals the vertex
+    direction (by symmetry), and interpolation removes faceting."""
+    from gpu_ray_tracing_tpu.models.mesh import icosphere
+
+    mesh = icosphere(2, smooth=True)
+    assert mesh.smooth
+    # Corner normal ~ corner position (unit sphere): v1 = v0 + e1.
+    v1 = np.asarray(mesh.v0 + mesh.e1)
+    n1 = np.asarray(mesh.n1)
+    np.testing.assert_allclose(n1, v1 / np.linalg.norm(v1, axis=-1, keepdims=True),
+                               atol=0.03)
+    # Flat meshes carry no corner normals.
+    assert not icosphere(2).smooth
+
+
+def test_smooth_normals_through_bvh_and_merge():
+    from gpu_ray_tracing_tpu.models.mesh import box, icosphere, merge_meshes
+    from gpu_ray_tracing_tpu.ops.bvh import build_mesh_bvh
+
+    merged = merge_meshes(icosphere(1, smooth=True), box())
+    assert merged.smooth  # flat part degraded to n0=n1=n2=face normal
+    reordered, bvh = build_mesh_bvh(merged)
+    assert reordered.smooth
+    # Reorder keeps corner normals aligned with their faces: geometric and
+    # corner normals of the box part still agree exactly.
+    box_rows = np.asarray(reordered.mat_param) == 0.0  # all rows here
+    n0 = np.asarray(reordered.n0)
+    dots = np.sum(n0 * np.asarray(reordered.normals), axis=-1)
+    assert np.all(dots > 0.0)  # corner normals in the face hemisphere
+
+
+def test_smooth_normal_interpolation_jax_path():
+    """A ray hitting a smooth icosphere returns the interpolated (near-
+    spherical) normal, not the face normal."""
+    from gpu_ray_tracing_tpu.models.mesh import icosphere
+    from gpu_ray_tracing_tpu.ops.bvh import build_mesh_bvh
+    from gpu_ray_tracing_tpu.ops.intersect import intersect_bvh
+
+    mesh, bvh = build_mesh_bvh(icosphere(2, smooth=True))
+    o = jnp.asarray([[0.0, 0.0, 3.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    h = intersect_bvh(o, d, mesh, bvh, TMIN, TMAX)
+    assert bool(h.hit[0])
+    # Interpolated normal at the silhouette center points back at the ray
+    # almost exactly (the flat face normal would be off by the facet tilt).
+    np.testing.assert_allclose(np.asarray(h.normal[0]), [0.0, 0.0, 1.0], atol=5e-3)
+
+
+def test_make_scene_grows_leaf_size_for_large_meshes():
+    from gpu_ray_tracing_tpu import make_scene
+    from gpu_ray_tracing_tpu.models.mesh import icosphere
+    from gpu_ray_tracing_tpu.models.spheres import base_scene
+    from gpu_ray_tracing_tpu.ops.pallas.megakernel import MAX_PALLAS_BVH_NODES
+
+    mesh = icosphere(5)  # 20480 triangles -> >8192 nodes at leaf 4
+    scene = make_scene(base_scene(), mesh)
+    assert scene.bvh.num_nodes <= MAX_PALLAS_BVH_NODES
+    assert scene.bvh_leaf_size > 4

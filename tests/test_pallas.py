@@ -250,3 +250,35 @@ def test_pallas_emissive_matches_jax():
     b = np.asarray(render(scene, BASE_CAMERA, cfg_j, frame_seed=jnp.uint32(3)))
     assert a.max() > 1.0  # the light is visible and HDR
     assert_images_match(a, b, flip_frac=0.02, mean_tol=2e-3)
+
+
+def test_pallas_smooth_mesh_matches_jax():
+    """Smooth vertex normals: interpolation in the VMEM-table leaf scan must
+    match the jax path's post-hit interpolation."""
+    from gpu_ray_tracing_tpu import make_scene
+    from gpu_ray_tracing_tpu.models.mesh import icosphere, transform_mesh
+    from gpu_ray_tracing_tpu.models.spheres import LAMBERTIAN, make_spheres
+
+    spheres = make_spheres(
+        [((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.5, 0.5, 0.5), 0.0)]
+    )
+    mesh = transform_mesh(
+        icosphere(2, albedo=(0.8, 0.4, 0.2), smooth=True),
+        scale=0.7, translate=(0.0, 0.7, 0.0),
+    )
+    scene = make_scene(spheres, mesh)
+    cam = CameraSettings(
+        look_from=jnp.asarray([0.0, 1.0, 3.0]),
+        look_at=jnp.asarray([0.0, 0.7, 0.0]),
+        vup=jnp.asarray([0.0, 1.0, 0.0]),
+        field_of_view=jnp.float32(40.0),
+        defocus_angle=jnp.float32(0.0),
+        focus_distance=jnp.float32(3.0),
+    )
+    for integ in ("normal", "path"):
+        cfg_p = _cfg(width=64, height=48, max_depth=4, integrator=integ, backend="pallas")
+        cfg_j = _cfg(width=64, height=48, max_depth=4, integrator=integ, backend="jax")
+        a = np.asarray(render(scene, cam, cfg_p, frame_seed=jnp.uint32(1)))
+        b = np.asarray(render(scene, cam, cfg_j, frame_seed=jnp.uint32(1)))
+        assert np.all(np.isfinite(a)), integ
+        assert_images_match(a, b, flip_frac=0.02, mean_tol=2e-3)
