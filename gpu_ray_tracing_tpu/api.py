@@ -191,6 +191,22 @@ def render(
         camera = derive_camera(camera, config.width, config.height)
     key, frame_seed = _resolve_rng(config, key, frame_seed)
 
+    if config.backend == "pallas" and config.rng == "hash":
+        # The megakernel loops spp internally: one launch + one HBM image
+        # write per frame instead of per sample, same stream sample-for-
+        # sample as the fori_loop below.
+        from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
+
+        return render_pallas(
+            spheres, camera, width=config.width, height=config.height,
+            sample_index=jnp.uint32(0), frame_seed=frame_seed,
+            max_depth=config.max_depth, t_min=config.t_min, t_max=config.t_max,
+            mode="normal" if config.integrator == "normal" else "path",
+            russian_roulette_depth=config.russian_roulette_depth,
+            sky_intensity=config.sky_intensity, nee=config.nee,
+            spp=config.spp,
+        )
+
     def body(s, acc):
         sample = _render_one_sample(
             spheres, camera, config,
