@@ -44,11 +44,18 @@ def main(argv=None) -> int:
     ap.add_argument("--height", type=int, default=72)
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--backend", default="auto", choices=["auto", "jax", "pallas"],
+                    help="forward engine; pallas is differentiable too (its "
+                         "custom VJP replays the jax integrator)")
     args = ap.parse_args(argv)
 
     import optax
 
-    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp, max_depth=6)
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
+                       max_depth=6, backend=backend)
     scene = base_scene()
     true_albedo = scene.albedo
     target = render(scene, CAMERA, cfg, frame_seed=jnp.uint32(0))

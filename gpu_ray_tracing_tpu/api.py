@@ -192,20 +192,12 @@ def render(
     key, frame_seed = _resolve_rng(config, key, frame_seed)
 
     if config.backend == "pallas" and config.rng == "hash":
-        # The megakernel loops spp internally: one launch + one HBM image
-        # write per frame instead of per sample, same stream sample-for-
-        # sample as the fori_loop below.
-        from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
+        return _render_pallas_frame(spheres, camera, config, frame_seed)
+    return _render_spp_jax(spheres, camera, config, key, frame_seed)
 
-        return render_pallas(
-            spheres, camera, width=config.width, height=config.height,
-            sample_index=jnp.uint32(0), frame_seed=frame_seed,
-            max_depth=config.max_depth, t_min=config.t_min, t_max=config.t_max,
-            mode="normal" if config.integrator == "normal" else "path",
-            russian_roulette_depth=config.russian_roulette_depth,
-            sky_intensity=config.sky_intensity, nee=config.nee,
-            spp=config.spp,
-        )
+
+def _render_spp_jax(spheres, camera, config, key, frame_seed):
+    """The spp accumulation loop over the jax-backend integrator."""
 
     def body(s, acc):
         sample = _render_one_sample(
@@ -220,6 +212,58 @@ def render(
         0, config.spp, body, jnp.zeros((config.height, config.width, 3), jnp.float32)
     )
     return total / jnp.float32(config.spp)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _render_pallas_frame(spheres, camera, config: RenderConfig, frame_seed):
+    """One full config.spp frame on the megakernel (spp loop in-kernel: one
+    launch + one HBM image write per frame, same stream sample-for-sample as
+    the jax path).
+
+    Differentiable: `pallas_call` has no VJP, so the backward pass replays
+    the jax-backend integrator — which draws the IDENTICAL hash RNG stream —
+    and takes its VJP (forward stays on the fast engine; the one extra
+    jax-path forward runs only when gradients are requested).
+    """
+    from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
+
+    return render_pallas(
+        spheres, camera, width=config.width, height=config.height,
+        sample_index=jnp.uint32(0), frame_seed=frame_seed,
+        max_depth=config.max_depth, t_min=config.t_min, t_max=config.t_max,
+        mode="normal" if config.integrator == "normal" else "path",
+        russian_roulette_depth=config.russian_roulette_depth,
+        sky_intensity=config.sky_intensity, nee=config.nee,
+        spp=config.spp,
+    )
+
+
+def _render_pallas_frame_fwd(spheres, camera, config, frame_seed):
+    return (
+        _render_pallas_frame(spheres, camera, config, frame_seed),
+        (spheres, camera, frame_seed),
+    )
+
+
+def _render_pallas_frame_bwd(config, residuals, g):
+    import dataclasses
+
+    import numpy as np
+
+    spheres, camera, frame_seed = residuals
+    jax_config = dataclasses.replace(config, backend="jax")
+
+    def replay(s, c):
+        return _render_spp_jax(s, c, jax_config, None, frame_seed)
+
+    _, vjp = jax.vjp(replay, spheres, camera)
+    d_spheres, d_camera = vjp(g)
+    # uint32 seeds live in a zero tangent space (float0).
+    d_seed = np.zeros(jnp.shape(frame_seed), dtype=jax.dtypes.float0)
+    return d_spheres, d_camera, d_seed
+
+
+_render_pallas_frame.defvjp(_render_pallas_frame_fwd, _render_pallas_frame_bwd)
 
 
 @partial(jax.jit, static_argnames=("config",))

@@ -282,3 +282,28 @@ def test_pallas_smooth_mesh_matches_jax():
         b = np.asarray(render(scene, cam, cfg_j, frame_seed=jnp.uint32(1)))
         assert np.all(np.isfinite(a)), integ
         assert_images_match(a, b, flip_frac=0.02, mean_tol=2e-3)
+
+
+def test_pallas_backend_is_differentiable():
+    """backend='pallas' must support jax.grad: the custom VJP replays the
+    jax integrator (identical hash stream) for the backward pass."""
+    import dataclasses
+
+    scene = base_scene()
+    cfg_p = _cfg(width=48, height=32, spp=2, max_depth=4, backend="pallas")
+    cfg_j = _cfg(width=48, height=32, spp=2, max_depth=4, backend="jax")
+    target = render(scene, BASE_CAMERA, cfg_j, frame_seed=jnp.uint32(0))
+
+    def loss(albedo, cfg):
+        s = dataclasses.replace(scene, albedo=albedo)
+        img = render(s, BASE_CAMERA, cfg, frame_seed=jnp.uint32(1))
+        return jnp.mean((img - target) ** 2)
+
+    vp, gp = jax.value_and_grad(loss)(scene.albedo, cfg_p)
+    vj, gj = jax.value_and_grad(loss)(scene.albedo, cfg_j)
+    assert np.isfinite(np.asarray(gp)).all()
+    assert float(jnp.linalg.norm(gp)) > 0.0
+    # Backward replays the same stream -> gradients match the jax backend.
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gj), rtol=1e-4, atol=1e-9)
+    # The forward VALUE comes from the pallas kernel.
+    np.testing.assert_allclose(float(vp), float(vj), rtol=1e-4)
