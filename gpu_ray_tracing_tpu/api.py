@@ -116,7 +116,18 @@ def _render_one_sample(
         return _trace_chunked(origins, dirs, spheres, config, key=k_trace)
 
     if config.rng == "hash":
-        if config.backend == "pallas":
+        if config.backend == "wavefront" and config.integrator != "normal":
+            from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
+
+            return render_wavefront(
+                spheres, camera, width=w, height=h,
+                sample_index=sample_index, frame_seed=frame_seed,
+                max_depth=config.max_depth, t_min=config.t_min,
+                t_max=config.t_max,
+                russian_roulette_depth=config.russian_roulette_depth,
+                sky_intensity=config.sky_intensity, nee=config.nee,
+            )
+        if config.backend in ("pallas", "wavefront"):
             from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
 
             return render_pallas(
@@ -191,8 +202,8 @@ def render(
         camera = derive_camera(camera, config.width, config.height)
     key, frame_seed = _resolve_rng(config, key, frame_seed)
 
-    if config.backend == "pallas" and config.rng == "hash":
-        return _render_pallas_frame(spheres, camera, config, frame_seed)
+    if config.backend in ("pallas", "wavefront") and config.rng == "hash":
+        return _render_kernel_frame(spheres, camera, config, frame_seed)
     return _render_spp_jax(spheres, camera, config, key, frame_seed)
 
 
@@ -215,16 +226,28 @@ def _render_spp_jax(spheres, camera, config, key, frame_seed):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _render_pallas_frame(spheres, camera, config: RenderConfig, frame_seed):
-    """One full config.spp frame on the megakernel (spp loop in-kernel: one
-    launch + one HBM image write per frame, same stream sample-for-sample as
-    the jax path).
+def _render_kernel_frame(spheres, camera, config: RenderConfig, frame_seed):
+    """One full config.spp frame on a Pallas engine — the megakernel (spp
+    loop in-kernel: one launch + one HBM image write per frame) or, for
+    backend='wavefront' path tracing, the per-bounce compaction engine.
+    Both draw the same stream sample-for-sample as the jax path.
 
     Differentiable: `pallas_call` has no VJP, so the backward pass replays
     the jax-backend integrator — which draws the IDENTICAL hash RNG stream —
     and takes its VJP (forward stays on the fast engine; the one extra
     jax-path forward runs only when gradients are requested).
     """
+    if config.backend == "wavefront" and config.integrator != "normal":
+        from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
+
+        return render_wavefront(
+            spheres, camera, width=config.width, height=config.height,
+            sample_index=jnp.uint32(0), frame_seed=frame_seed,
+            max_depth=config.max_depth, t_min=config.t_min, t_max=config.t_max,
+            russian_roulette_depth=config.russian_roulette_depth,
+            sky_intensity=config.sky_intensity, nee=config.nee,
+            spp=config.spp,
+        )
     from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
 
     return render_pallas(
@@ -238,14 +261,14 @@ def _render_pallas_frame(spheres, camera, config: RenderConfig, frame_seed):
     )
 
 
-def _render_pallas_frame_fwd(spheres, camera, config, frame_seed):
+def _render_kernel_frame_fwd(spheres, camera, config, frame_seed):
     return (
-        _render_pallas_frame(spheres, camera, config, frame_seed),
+        _render_kernel_frame(spheres, camera, config, frame_seed),
         (spheres, camera, frame_seed),
     )
 
 
-def _render_pallas_frame_bwd(config, residuals, g):
+def _render_kernel_frame_bwd(config, residuals, g):
     import dataclasses
 
     import numpy as np
@@ -263,7 +286,7 @@ def _render_pallas_frame_bwd(config, residuals, g):
     return d_spheres, d_camera, d_seed
 
 
-_render_pallas_frame.defvjp(_render_pallas_frame_fwd, _render_pallas_frame_bwd)
+_render_kernel_frame.defvjp(_render_kernel_frame_fwd, _render_kernel_frame_bwd)
 
 
 @partial(jax.jit, static_argnames=("config",))

@@ -579,6 +579,194 @@ def _reflect(dx, dy, dz, nx, ny, nz):
     return dx - 2.0 * dn * nx, dy - 2.0 * dn * ny, dz - 2.0 * dn * nz
 
 
+def _path_bounce(
+    i_b,
+    carry,
+    *,
+    seeds,
+    scene_ref,
+    lights_ref,
+    mesh_refs,
+    sphere_bvh_refs,
+    tile_pick_seed,
+    n_spheres,
+    t_min,
+    t_max,
+    mesh_smooth,
+    sky_intensity,
+    num_lights,
+    rr_depth,
+):
+    """One path-tracing bounce over a (R, 128) lane tile.
+
+    The shared physics of the megakernel and the wavefront kernel: closest
+    hit, BSDF scatter, sky/emissive accumulation, optional NEE, optional
+    Russian roulette.  `carry` is the 14-plane ray state
+    (o.xyz, d.xyz, throughput.rgb, radiance.rgb, live_f, prev_diffuse_f);
+    all RNG draws are functions of (per-PIXEL seeds, bounce salt), so the
+    stream is identical no matter how rays are tiled or compacted.
+    `tile_pick_seed` decorrelates the >4-lights NEE pick across tiles.
+    """
+    # live/prev-diffuse are carried as f32 masks: Mosaic rejects i1
+    # vectors in loop carries ("unsupported target bitwidth").
+    (ox, oy, oz, dx, dy, dz, tr, tg, tb_, rr, rg, rb, live_f, pd_f) = carry
+    live = live_f > 0.5
+    prev_diffuse = pd_f > 0.5
+    (_, hit, px, py, pz, nx, ny, nz, front, ar, ag, ab, kp, pp) = _closest_hit(
+        scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
+        mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
+        mesh_smooth=mesh_smooth,
+    )
+    salt_base = jnp.uint32(16) + jnp.uint32(3) * jnp.asarray(i_b, jnp.uint32)
+    sx, sy, sz, attr, attg, attb, ok = _scatter(
+        dx, dy, dz, nx, ny, nz, front, ar, ag, ab, kp, pp, seeds, salt_base
+    )
+
+    missed = live & ~hit
+    skr, skg, skb = _sky(dx, dy, dz)
+    sky_s = jnp.float32(sky_intensity)
+    rr = jnp.where(missed, rr + tr * skr * sky_s, rr)
+    rg = jnp.where(missed, rg + tg * skg * sky_s, rg)
+    rb = jnp.where(missed, rb + tb_ * skb * sky_s, rb)
+
+    # Emissive surfaces radiate albedo * param and end the path.  Under
+    # NEE a BSDF ray from a diffuse surface must not re-count emission.
+    is_emis = kp >= 2.5
+    emis = live & hit & is_emis
+    if num_lights > 0:
+        emis = emis & ~prev_diffuse
+    rr = jnp.where(emis, rr + tr * ar * pp, rr)
+    rg = jnp.where(emis, rg + tg * ag * pp, rg)
+    rb = jnp.where(emis, rb + tb_ * ab * pp, rb)
+
+    if num_lights > 0:
+        # Next-event estimation.  Per-lane light selection would need a
+        # per-lane gather from SMEM (unsupported), so for small light
+        # counts we loop over ALL lights (deterministic, lowest variance,
+        # no tile artifacts); above the cap we pick one light per TILE
+        # per bounce (unbiased; the xL factor cancels the pick pdf).
+        i_u = jnp.asarray(i_b, jnp.uint32)
+        is_lam = kp < 0.5
+        # Shading points inside any light's radius fall back to BSDF
+        # sampling (matches ops/integrators.py; avoids the dark ring
+        # around embedded lights).
+        # Checked over ALL lights in every branch (SMEM scalar reads are
+        # cheap): a point inside a light whose NEE sample is invalidated
+        # while its BSDF-hit emission is suppressed via prev_diffuse
+        # would otherwise lose that light entirely (matches
+        # ops/integrators.py, which guards for any light count).
+        inside_any = jnp.zeros(live.shape, dtype=bool)
+        for l_chk in range(num_lights):
+            dxc = lights_ref[0, l_chk] - px
+            dyc = lights_ref[1, l_chk] - py
+            dzc = lights_ref[2, l_chk] - pz
+            r_chk = lights_ref[3, l_chk]
+            inside_any = inside_any | (
+                dxc * dxc + dyc * dyc + dzc * dzc <= r_chk * r_chk * 1.0001
+            )
+        nee_base = live & hit & is_lam & ~inside_any
+
+        def light_contribution(li, pick_weight, salt_off, rr, rg, rb):
+            lcx, lcy, lcz = lights_ref[0, li], lights_ref[1, li], lights_ref[2, li]
+            lrad = lights_ref[3, li]
+            ler, leg, leb = lights_ref[4, li], lights_ref[5, li], lights_ref[6, li]
+
+            # Salt layout 2000 + 37*bounce + 7*light + {1,2}: collision-
+            # free across (bounce, light, channel); matches the jax path.
+            salt2 = jnp.uint32(2000) + jnp.uint32(37) * i_u + jnp.uint32(salt_off)
+            u1n = _uniform(seeds, salt2 + jnp.uint32(1))
+            u2n = _uniform(seeds, salt2 + jnp.uint32(2))
+
+            dcx, dcy, dcz = lcx - px, lcy - py, lcz - pz
+            d2 = dcx * dcx + dcy * dcy + dcz * dcz
+            d2s = jnp.maximum(d2, 1e-12)
+            inv_dl = jax.lax.rsqrt(d2s)
+            wlx, wly, wlz = dcx * inv_dl, dcy * inv_dl, dcz * inv_dl
+            cos_max = jnp.sqrt(jnp.clip(1.0 - (lrad * lrad) / d2s, 0.0, 1.0))
+            cos_t = 1.0 - u1n * (1.0 - cos_max)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            phi = u2n * jnp.float32(2.0 * jnp.pi)
+            # Orthonormal basis around wl; cross(a, wl), a = (axx, axy, 0).
+            pickx = jnp.abs(wlx) > 0.9
+            axx = jnp.where(pickx, 0.0, 1.0)
+            axy = jnp.where(pickx, 1.0, 0.0)
+            uax = axy * wlz
+            uay = -axx * wlz
+            uaz = axx * wly - axy * wlx
+            uinv = jax.lax.rsqrt(jnp.maximum(uax * uax + uay * uay + uaz * uaz, 1e-12))
+            uax, uay, uaz = uax * uinv, uay * uinv, uaz * uinv
+            vax = wly * uaz - wlz * uay
+            vay = wlz * uax - wlx * uaz
+            vaz = wlx * uay - wly * uax
+            cp, sp = jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t
+            omx = uax * cp + vax * sp + wlx * cos_t
+            omy = uay * cp + vay * sp + wly * cos_t
+            omz = uaz * cp + vaz * sp + wlz * cos_t
+            cos_i = nx * omx + ny * omy + nz * omz
+            h_l = dcx * omx + dcy * omy + dcz * omz
+            disc_l = h_l * h_l - (d2 - lrad * lrad)
+            t_l = h_l - jnp.sqrt(jnp.maximum(disc_l, 0.0))
+
+            t_s, hit_s = _closest_t(
+                scene_ref, n_spheres, t_min, t_max, px, py, pz, omx, omy, omz,
+                mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
+            )
+            # t_s is clamped to 1.0 on miss; treat miss as visible.
+            visible = (~hit_s) | (t_s >= t_l * (1.0 - 1e-3))
+
+            inside = d2 <= lrad * lrad * 1.0001
+            valid = (
+                nee_base & (cos_i > 0.0) & ~inside & (disc_l > 0.0) & visible
+            )
+            wgt = cos_i * 2.0 * (1.0 - cos_max) * jnp.float32(pick_weight)
+            rr = jnp.where(valid, rr + tr * ar * (ler * wgt), rr)
+            rg = jnp.where(valid, rg + tg * ag * (leg * wgt), rg)
+            rb = jnp.where(valid, rb + tb_ * ab * (leb * wgt), rb)
+            return rr, rg, rb
+
+        if num_lights <= 4:
+            for l_static in range(num_lights):
+                rr, rg, rb = light_contribution(
+                    jnp.int32(l_static), 1.0, 7 * l_static, rr, rg, rb
+                )
+        else:
+            tile_seed = rng_ops.hash2(tile_pick_seed, jnp.uint32(3000) + i_u)
+            li = (rng_ops.hash2(tile_seed, 0) % jnp.uint32(num_lights)).astype(jnp.int32)
+            rr, rg, rb = light_contribution(li, num_lights, 0, rr, rg, rb)
+
+    scattered = live & hit & ok & ~is_emis
+    if num_lights > 0:
+        new_pd = scattered & (kp < 0.5) & ~inside_any
+    else:
+        new_pd = scattered & (kp < 0.5)
+    tr = jnp.where(scattered, tr * attr, tr)
+    tg = jnp.where(scattered, tg * attg, tg)
+    tb_ = jnp.where(scattered, tb_ * attb, tb_)
+    ox = jnp.where(scattered, px, ox)
+    oy = jnp.where(scattered, py, oy)
+    oz = jnp.where(scattered, pz, oz)
+    dx = jnp.where(scattered, sx, dx)
+    dy = jnp.where(scattered, sy, dy)
+    dz = jnp.where(scattered, sz, dz)
+    live_out = scattered
+    if rr_depth > 0:
+        # Russian roulette (matches ops/integrators salt space 1000+i).
+        u_rr = _uniform(seeds, jnp.uint32(1000) + jnp.asarray(i_b, jnp.uint32))
+        pmax = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb_)), 0.05, 1.0)
+        apply_f = (i_b >= rr_depth).astype(jnp.float32)
+        survive = (u_rr < pmax) | (apply_f < 0.5)
+        inv_p = 1.0 + apply_f * (1.0 / pmax - 1.0)
+        keep = live_out & survive
+        tr = jnp.where(keep, tr * inv_p, tr)
+        tg = jnp.where(keep, tg * inv_p, tg)
+        tb_ = jnp.where(keep, tb_ * inv_p, tb_)
+        live_out = keep
+    return (
+        ox, oy, oz, dx, dy, dz, tr, tg, tb_, rr, rg, rb,
+        live_out.astype(jnp.float32), new_pd.astype(jnp.float32),
+    )
+
+
 def _kernel(
     cam_ref,  # (1, 24) f32 SMEM camera scalars
     ints_ref,  # (1, 8) u32 SMEM: [sample_index, frame_seed, y_offset, ...]
@@ -680,170 +868,15 @@ def _kernel(
                 jnp.where(hit, 0.5 * (nz + 1.0), skb),
             )
 
-        def body(i_b, carry):
-            # live/prev-diffuse are carried as f32 masks: Mosaic rejects i1
-            # vectors in loop carries ("unsupported target bitwidth").
-            (ox, oy, oz, dx, dy, dz, tr, tg, tb_, rr, rg, rb, live_f, pd_f) = carry
-            live = live_f > 0.5
-            prev_diffuse = pd_f > 0.5
-            (_, hit, px, py, pz, nx, ny, nz, front, ar, ag, ab, kp, pp) = _closest_hit(
-                scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
-                mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
-                mesh_smooth=mesh_smooth,
-            )
-            salt_base = jnp.uint32(16) + jnp.uint32(3) * jnp.asarray(i_b, jnp.uint32)
-            sx, sy, sz, attr, attg, attb, ok = _scatter(
-                dx, dy, dz, nx, ny, nz, front, ar, ag, ab, kp, pp, seeds, salt_base
-            )
-
-            missed = live & ~hit
-            skr, skg, skb = _sky(dx, dy, dz)
-            sky_s = jnp.float32(sky_intensity)
-            rr = jnp.where(missed, rr + tr * skr * sky_s, rr)
-            rg = jnp.where(missed, rg + tg * skg * sky_s, rg)
-            rb = jnp.where(missed, rb + tb_ * skb * sky_s, rb)
-
-            # Emissive surfaces radiate albedo * param and end the path.  Under
-            # NEE a BSDF ray from a diffuse surface must not re-count emission.
-            is_emis = kp >= 2.5
-            emis = live & hit & is_emis
-            if num_lights > 0:
-                emis = emis & ~prev_diffuse
-            rr = jnp.where(emis, rr + tr * ar * pp, rr)
-            rg = jnp.where(emis, rg + tg * ag * pp, rg)
-            rb = jnp.where(emis, rb + tb_ * ab * pp, rb)
-
-            if num_lights > 0:
-                # Next-event estimation.  Per-lane light selection would need a
-                # per-lane gather from SMEM (unsupported), so for small light
-                # counts we loop over ALL lights (deterministic, lowest variance,
-                # no tile artifacts); above the cap we pick one light per TILE
-                # per bounce (unbiased; the xL factor cancels the pick pdf).
-                i_u = jnp.asarray(i_b, jnp.uint32)
-                is_lam = kp < 0.5
-                # Shading points inside any light's radius fall back to BSDF
-                # sampling (matches ops/integrators.py; avoids the dark ring
-                # around embedded lights).
-                # Checked over ALL lights in every branch (SMEM scalar reads are
-                # cheap): a point inside a light whose NEE sample is invalidated
-                # while its BSDF-hit emission is suppressed via prev_diffuse
-                # would otherwise lose that light entirely (matches
-                # ops/integrators.py, which guards for any light count).
-                inside_any = jnp.zeros(live.shape, dtype=bool)
-                for l_chk in range(num_lights):
-                    dxc = lights_ref[0, l_chk] - px
-                    dyc = lights_ref[1, l_chk] - py
-                    dzc = lights_ref[2, l_chk] - pz
-                    r_chk = lights_ref[3, l_chk]
-                    inside_any = inside_any | (
-                        dxc * dxc + dyc * dyc + dzc * dzc <= r_chk * r_chk * 1.0001
-                    )
-                nee_base = live & hit & is_lam & ~inside_any
-
-                def light_contribution(li, pick_weight, salt_off, rr, rg, rb):
-                    lcx, lcy, lcz = lights_ref[0, li], lights_ref[1, li], lights_ref[2, li]
-                    lrad = lights_ref[3, li]
-                    ler, leg, leb = lights_ref[4, li], lights_ref[5, li], lights_ref[6, li]
-
-                    # Salt layout 2000 + 37*bounce + 7*light + {1,2}: collision-
-                    # free across (bounce, light, channel); matches the jax path.
-                    salt2 = jnp.uint32(2000) + jnp.uint32(37) * i_u + jnp.uint32(salt_off)
-                    u1n = _uniform(seeds, salt2 + jnp.uint32(1))
-                    u2n = _uniform(seeds, salt2 + jnp.uint32(2))
-
-                    dcx, dcy, dcz = lcx - px, lcy - py, lcz - pz
-                    d2 = dcx * dcx + dcy * dcy + dcz * dcz
-                    d2s = jnp.maximum(d2, 1e-12)
-                    inv_dl = jax.lax.rsqrt(d2s)
-                    wlx, wly, wlz = dcx * inv_dl, dcy * inv_dl, dcz * inv_dl
-                    cos_max = jnp.sqrt(jnp.clip(1.0 - (lrad * lrad) / d2s, 0.0, 1.0))
-                    cos_t = 1.0 - u1n * (1.0 - cos_max)
-                    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-                    phi = u2n * jnp.float32(2.0 * jnp.pi)
-                    # Orthonormal basis around wl; cross(a, wl), a = (axx, axy, 0).
-                    pickx = jnp.abs(wlx) > 0.9
-                    axx = jnp.where(pickx, 0.0, 1.0)
-                    axy = jnp.where(pickx, 1.0, 0.0)
-                    uax = axy * wlz
-                    uay = -axx * wlz
-                    uaz = axx * wly - axy * wlx
-                    uinv = jax.lax.rsqrt(jnp.maximum(uax * uax + uay * uay + uaz * uaz, 1e-12))
-                    uax, uay, uaz = uax * uinv, uay * uinv, uaz * uinv
-                    vax = wly * uaz - wlz * uay
-                    vay = wlz * uax - wlx * uaz
-                    vaz = wlx * uay - wly * uax
-                    cp, sp = jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t
-                    omx = uax * cp + vax * sp + wlx * cos_t
-                    omy = uay * cp + vay * sp + wly * cos_t
-                    omz = uaz * cp + vaz * sp + wlz * cos_t
-                    cos_i = nx * omx + ny * omy + nz * omz
-                    h_l = dcx * omx + dcy * omy + dcz * omz
-                    disc_l = h_l * h_l - (d2 - lrad * lrad)
-                    t_l = h_l - jnp.sqrt(jnp.maximum(disc_l, 0.0))
-
-                    t_s, hit_s = _closest_t(
-                        scene_ref, n_spheres, t_min, t_max, px, py, pz, omx, omy, omz,
-                        mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
-                    )
-                    # t_s is clamped to 1.0 on miss; treat miss as visible.
-                    visible = (~hit_s) | (t_s >= t_l * (1.0 - 1e-3))
-
-                    inside = d2 <= lrad * lrad * 1.0001
-                    valid = (
-                        nee_base & (cos_i > 0.0) & ~inside & (disc_l > 0.0) & visible
-                    )
-                    wgt = cos_i * 2.0 * (1.0 - cos_max) * jnp.float32(pick_weight)
-                    rr = jnp.where(valid, rr + tr * ar * (ler * wgt), rr)
-                    rg = jnp.where(valid, rg + tg * ag * (leg * wgt), rg)
-                    rb = jnp.where(valid, rb + tb_ * ab * (leb * wgt), rb)
-                    return rr, rg, rb
-
-                if num_lights <= 4:
-                    for l_static in range(num_lights):
-                        rr, rg, rb = light_contribution(
-                            jnp.int32(l_static), 1.0, 7 * l_static, rr, rg, rb
-                        )
-                else:
-                    tile_seed = rng_ops.hash2(
-                        s_u32
-                        ^ rng_ops.wgsl_hash(frame_seed_u32)
-                        + tile_id_u32,
-                        jnp.uint32(3000) + i_u,
-                    )
-                    li = (rng_ops.hash2(tile_seed, 0) % jnp.uint32(num_lights)).astype(jnp.int32)
-                    rr, rg, rb = light_contribution(li, num_lights, 0, rr, rg, rb)
-
-            scattered = live & hit & ok & ~is_emis
-            if num_lights > 0:
-                new_pd = scattered & (kp < 0.5) & ~inside_any
-            else:
-                new_pd = scattered & (kp < 0.5)
-            tr = jnp.where(scattered, tr * attr, tr)
-            tg = jnp.where(scattered, tg * attg, tg)
-            tb_ = jnp.where(scattered, tb_ * attb, tb_)
-            ox = jnp.where(scattered, px, ox)
-            oy = jnp.where(scattered, py, oy)
-            oz = jnp.where(scattered, pz, oz)
-            dx = jnp.where(scattered, sx, dx)
-            dy = jnp.where(scattered, sy, dy)
-            dz = jnp.where(scattered, sz, dz)
-            live_out = scattered
-            if rr_depth > 0:
-                # Russian roulette (matches ops/integrators salt space 1000+i).
-                u_rr = _uniform(seeds, jnp.uint32(1000) + jnp.asarray(i_b, jnp.uint32))
-                pmax = jnp.clip(jnp.maximum(tr, jnp.maximum(tg, tb_)), 0.05, 1.0)
-                apply_f = (i_b >= rr_depth).astype(jnp.float32)
-                survive = (u_rr < pmax) | (apply_f < 0.5)
-                inv_p = 1.0 + apply_f * (1.0 / pmax - 1.0)
-                keep = live_out & survive
-                tr = jnp.where(keep, tr * inv_p, tr)
-                tg = jnp.where(keep, tg * inv_p, tg)
-                tb_ = jnp.where(keep, tb_ * inv_p, tb_)
-                live_out = keep
-            return (
-                ox, oy, oz, dx, dy, dz, tr, tg, tb_, rr, rg, rb,
-                live_out.astype(jnp.float32), new_pd.astype(jnp.float32),
-            )
+        body = functools.partial(
+            _path_bounce,
+            seeds=seeds, scene_ref=scene_ref, lights_ref=lights_ref,
+            mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
+            tile_pick_seed=s_u32 ^ (rng_ops.wgsl_hash(frame_seed_u32) + tile_id_u32),
+            n_spheres=n_spheres, t_min=t_min, t_max=t_max,
+            mesh_smooth=mesh_smooth, sky_intensity=sky_intensity,
+            num_lights=num_lights, rr_depth=rr_depth,
+        )
 
         ones = jnp.ones(shape, jnp.float32)
         zeros = jnp.zeros(shape, jnp.float32)

@@ -1,0 +1,340 @@
+"""Wavefront path tracing: compact-and-restart between bounces.
+
+The megakernel traces a pixel tile to termination in one launch, which is
+optimal for primary rays but wasteful deep in the path: one live lane drags
+its whole 4096-pixel tile through the BVH.  Measured on the One-Weekend
+scene at 720p, by bounce 4 only ~9% of rays are alive yet ~77% of tiles
+still contain a live ray — the tile early-exit saves almost nothing on the
+deep tail (docs/PERFORMANCE.md "known ceilings").
+
+This engine restructures the loop the wavefront way (Laine et al.'s
+megakernel-vs-wavefront argument, PAPERS.md):
+
+  per bounce:   [bounce kernel over DENSE ray tiles]
+                -> scatter radiance deltas to the image by pixel id
+                -> stable-partition rays live-first (two cumsums, no sort)
+                -> next bounce runs ceil(live/4096) full tiles; the all-dead
+                   tail tiles exit at a `pl.when` passthrough
+
+Compaction granularity is a MEASURED design decision (all numbers one v5e,
+One-Weekend 720p):
+
+  - element-level gathers/scatters: 25-260 ms per bounce on TPU — the
+    hardware moves whole 128-lane rows or nothing; REJECTED.
+  - row-level (128 rays) gathers: ~1.4 ms per bounce for the whole state,
+    fused; row occupancy keeps decaying where the megakernel's 4096-pixel
+    tile occupancy plateaus at ~75%.  ACCEPTED.
+
+End to end vs the megakernel: depth-50 177.9 -> 134.9 ms/frame (1.32x),
+depth-20+RR 66.8 -> 54.7 ms (1.22x), identical checksums.  The megakernel
+remains the default: it wins everything shallow, and the wavefront's
+per-bounce HBM state round trip only pays off when most lanes are dead.
+
+Correctness falls out of the RNG design: every draw is a counter hash of
+(GLOBAL pixel id, sample, frame seed, salt) (ops/rng.py), so compaction
+cannot change any ray's random stream — this engine is draw-for-draw
+identical to the megakernel and the pure-JAX integrator.  Pixel ids ride
+along as an i32 plane; per-bounce seeds are re-derived in-kernel.
+
+The reference has no analogue of any of this (single WGSL kernel,
+compute_shader.wgsl:261-297); it is the TPU-native answer to the GPU
+wavefront schedulers the ray-tracing literature uses for the same problem.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpu_ray_tracing_tpu.ops import rng as rng_ops
+from gpu_ray_tracing_tpu.ops.pallas.megakernel import (
+    MAX_PALLAS_BVH_NODES,
+    MAX_PALLAS_TRIANGLES,
+    _SCENE_ROWS,
+    _path_bounce,
+    bvh_planes,
+    lights_planes,
+    mesh_table,
+    scene_planes,
+)
+
+Array = jax.Array
+
+#: Rays per wavefront tile = WF_ROWS * 128.
+WF_ROWS = 32
+WF_TILE = WF_ROWS * 128
+
+
+def _wf_kernel(
+    ints_ref,  # (1, 4) i32 SMEM: [sample_index, frame_seed, bounce, 0] bits
+    scene_ref,
+    *rest,
+    n_spheres: int,
+    has_mesh: bool,
+    has_sphere_bvh: bool,
+    t_min: float,
+    t_max: float,
+    rr_depth: int,
+    sky_intensity: float,
+    num_lights: int,
+    mesh_smooth: bool,
+):
+    """One path bounce over a (WF_ROWS, 128) tile of compacted rays."""
+    rest = list(rest)
+    mesh_refs = None
+    sphere_bvh_refs = None
+    lights_ref = None
+    if has_mesh:
+        mesh_refs = tuple(rest[:3])
+        rest = rest[3:]
+    if has_sphere_bvh:
+        sphere_bvh_refs = tuple(rest[:2])
+        rest = rest[2:]
+    if num_lights > 0:
+        lights_ref = rest[0]
+        rest = rest[1:]
+    (pid_ref, oxr, oyr, ozr, dxr, dyr, dzr, trr, tgr, tbr, pdr, lvr) = rest[:12]
+    outs = rest[12:]  # 11 state outs + 3 radiance deltas
+
+    live_f = lvr[:]
+
+    # Default: passthrough state, zero radiance.  After live-first
+    # compaction the dead tail is contiguous, so these tiles cost only the
+    # VMEM copies below.
+    for o, r in zip(outs[:11], (oxr, oyr, ozr, dxr, dyr, dzr, trr, tgr, tbr, pdr, lvr)):
+        o[:] = r[:]
+    zero = jnp.zeros(live_f.shape, jnp.float32)
+    for o in outs[11:]:
+        o[:] = zero
+
+    s_u32 = ints_ref[0, 0].astype(jnp.uint32)
+    frame_seed_u32 = ints_ref[0, 1].astype(jnp.uint32)
+    i_b = ints_ref[0, 2]
+    tile_id_u32 = pl.program_id(0).astype(jnp.uint32)
+
+    @pl.when(jnp.max(live_f) > 0.5)
+    def _():
+        seeds = rng_ops.hash_pixel_seeds(
+            pid_ref[:].astype(jnp.uint32), s_u32, frame_seed_u32
+        )
+        carry = (
+            oxr[:], oyr[:], ozr[:], dxr[:], dyr[:], dzr[:],
+            trr[:], tgr[:], tbr[:],
+            zero, zero, zero,  # radiance starts at 0 -> outputs are deltas
+            live_f, pdr[:],
+        )
+        out = _path_bounce(
+            i_b, carry,
+            seeds=seeds, scene_ref=scene_ref, lights_ref=lights_ref,
+            mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
+            tile_pick_seed=s_u32
+            ^ (rng_ops.wgsl_hash(frame_seed_u32) + tile_id_u32),
+            n_spheres=n_spheres, t_min=t_min, t_max=t_max,
+            mesh_smooth=mesh_smooth, sky_intensity=sky_intensity,
+            num_lights=num_lights, rr_depth=rr_depth,
+        )
+        # out: ox..dz, tr..tb, rad r/g/b, live_f, pd_f
+        for o, v in zip(
+            outs,
+            (out[0], out[1], out[2], out[3], out[4], out[5],
+             out[6], out[7], out[8], out[13], out[12],
+             out[9], out[10], out[11]),
+        ):
+            o[:] = v
+
+
+def _partition_live(live: Array) -> Array:
+    """Gather permutation placing live entries first, order-stable (two
+    cumsums, no sort)."""
+    p = live.shape[0]
+    lv = live > 0.5
+    n_live = jnp.sum(lv.astype(jnp.int32))
+    pos_live = jnp.cumsum(lv.astype(jnp.int32)) - 1
+    pos_dead = n_live + jnp.cumsum((~lv).astype(jnp.int32)) - 1
+    dest = jnp.where(lv, pos_live, pos_dead)
+    return jnp.zeros((p,), jnp.int32).at[dest].set(jnp.arange(p, dtype=jnp.int32))
+
+
+def render_wavefront(
+    scene_or_spheres,
+    camera,
+    *,
+    width: int,
+    height: int,
+    sample_index: Array,
+    frame_seed: Array,
+    max_depth: int,
+    t_min: float,
+    t_max: float = 3.4e35,
+    russian_roulette_depth: int = 0,
+    sky_intensity: float = 1.0,
+    nee: bool = False,
+    spp: int = 1,
+    interpret: bool | None = None,
+) -> Array:
+    """Path-trace spp samples with per-bounce ray compaction; returns the
+    (height, width, 3) RGB mean.  Draw-for-draw the same image as the
+    megakernel / jax backends (same counter-based stream).
+
+    Ray generation and compaction run in XLA; each bounce is one Pallas
+    launch over the compacted ray array.
+    """
+    from gpu_ray_tracing_tpu.models.camera import Camera
+    from gpu_ray_tracing_tpu.models.scene import as_scene
+    from gpu_ray_tracing_tpu.ops import rays as rays_ops
+
+    sc = as_scene(scene_or_spheres)
+    spheres = sc.spheres
+    if sc.mesh is not None:
+        if sc.bvh is None:
+            raise ValueError("wavefront mesh rendering requires a BVH (make_scene)")
+        if sc.mesh.num_triangles > MAX_PALLAS_TRIANGLES:
+            raise ValueError(
+                f"mesh has {sc.mesh.num_triangles} triangles; cap is "
+                f"{MAX_PALLAS_TRIANGLES}"
+            )
+        if sc.bvh.num_nodes > MAX_PALLAS_BVH_NODES:
+            raise ValueError("BVH too large for SMEM; rebuild with larger leaves")
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    p = width * height
+    p_pad = -(-p // WF_TILE) * WF_TILE
+    rows = p_pad // 128
+    grid = (rows // WF_ROWS,)
+
+    scene_arr = scene_planes(spheres)
+    n = spheres.count
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    tile = pl.BlockSpec((WF_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    in_specs = [smem((1, 4)), smem((_SCENE_ROWS, n))]
+    static_args = [scene_arr]
+    has_mesh = sc.mesh is not None
+    has_sphere_bvh = sc.sphere_bvh is not None
+    if has_mesh:
+        tbl = mesh_table(sc.mesh)
+        in_specs += [
+            pl.BlockSpec(tbl.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            smem((8, sc.bvh.num_nodes)),
+            smem((4, sc.bvh.num_nodes)),
+        ]
+        bvhf, bvhi = bvh_planes(sc.bvh)
+        static_args += [tbl, bvhf, bvhi]
+    if has_sphere_bvh:
+        sbf, sbi = bvh_planes(sc.sphere_bvh)
+        in_specs += [smem((8, sc.sphere_bvh.num_nodes)),
+                     smem((4, sc.sphere_bvh.num_nodes))]
+        static_args += [sbf, sbi]
+    num_lights = 0
+    if nee:
+        if sc.lights is None or sc.lights.count == 0:
+            raise ValueError("nee=True needs a Scene with emissive lights")
+        num_lights = sc.lights.count
+        in_specs += [smem((8, num_lights))]
+        static_args += [lights_planes(sc.lights)]
+    in_specs += [tile] * 12
+    out_specs = tuple([tile] * 14)
+    plane = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
+    out_shape = tuple([plane] * 14)
+
+    kernel = functools.partial(
+        _wf_kernel,
+        n_spheres=n, has_mesh=has_mesh, has_sphere_bvh=has_sphere_bvh,
+        t_min=float(t_min), t_max=float(t_max),
+        rr_depth=russian_roulette_depth, sky_intensity=float(sky_intensity),
+        num_lights=num_lights, mesh_smooth=has_mesh and sc.mesh.smooth,
+    )
+    bounce_call = pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret,
+    )
+
+    # Pad ids stay unique (>= p) so the final row un-permute has no
+    # collisions; their lanes are dead from the start.
+    pid0 = jnp.arange(p_pad, dtype=jnp.int32).reshape(rows, 128)
+    pad_live = jnp.concatenate(
+        [jnp.ones((p,), jnp.float32), jnp.zeros((p_pad - p,), jnp.float32)]
+    ).reshape(rows, 128)
+
+    def pad_plane(v):
+        return jnp.concatenate(
+            [v.reshape(-1), jnp.zeros((p_pad - p,), jnp.float32)]
+        ).reshape(rows, 128)
+
+    frame_seed = jnp.asarray(frame_seed, jnp.uint32)
+    sample_index = jnp.asarray(sample_index, jnp.uint32)
+
+    def one_sample(s_u32):
+        origins, dirs, _ = rays_ops.generate_rays_hash(
+            camera, width, height, s_u32, frame_seed
+        )
+        state = (
+            pid0,
+            pad_plane(origins[..., 0]), pad_plane(origins[..., 1]),
+            pad_plane(origins[..., 2]),
+            pad_plane(dirs[..., 0]), pad_plane(dirs[..., 1]),
+            pad_plane(dirs[..., 2]),
+            pad_plane(jnp.ones((height, width), jnp.float32)),  # throughput
+            pad_plane(jnp.ones((height, width), jnp.float32)),
+            pad_plane(jnp.ones((height, width), jnp.float32)),
+            jnp.zeros((rows, 128), jnp.float32),  # prev_diffuse
+            pad_live,
+        )
+        rad = (jnp.zeros((rows, 128), jnp.float32),) * 3
+
+        def cond(c):
+            i_b, n_live = c[0], c[1]
+            return (i_b < max_depth) & (n_live > 0)
+
+        def body(c):
+            i_b, _, state, rad = c
+            ints = jax.lax.bitcast_convert_type(
+                jnp.stack([s_u32, frame_seed,
+                           jnp.asarray(i_b, jnp.uint32), jnp.uint32(0)]),
+                jnp.int32,
+            ).reshape(1, 4)
+            res = bounce_call(ints, *static_args, *state)
+            new_state = (state[0],) + tuple(res[:11])
+            # Radiance rides in permuted ray order (elementwise add, fused);
+            # one row un-permute at sample end puts it back in image order.
+            # (Per-bounce element scatters to image order cost ~25 ms each on
+            # TPU — measured — which is why they don't exist here.)
+            rad = tuple(r + d for r, d in zip(rad, res[11:]))
+            # Live-first compaction at ROW granularity (128 rays): whole-row
+            # gathers are the only permutation shape the TPU moves at
+            # bandwidth (element-level gathers measured 180x slower).  The
+            # next bounce's all-dead tail tiles exit at the kernel's pl.when.
+            live_rows = jnp.max(new_state[11], axis=1)
+            perm = _partition_live(live_rows)
+            new_state = tuple(s[perm] for s in new_state)
+            rad = tuple(r[perm] for r in rad)
+            n_live = jnp.sum((new_state[11] > 0.5).astype(jnp.int32))
+            return i_b + 1, n_live, new_state, rad
+
+        _, _, state, rad = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(p), state, rad)
+        )
+        # Invert the accumulated row permutation: rows moved as units, so
+        # each row's original index is pid[:, 0] // 128.
+        orig_row = state[0][:, 0] // 128
+        inv = jnp.zeros((rows,), jnp.int32).at[orig_row].set(
+            jnp.arange(rows, dtype=jnp.int32)
+        )
+        return tuple(r[inv] for r in rad)
+
+    def spp_body(k, acc):
+        rad = one_sample(sample_index + jnp.asarray(k, jnp.uint32))
+        return tuple(a + r for a, r in zip(acc, rad))
+
+    z = jnp.zeros((rows, 128), jnp.float32)
+    rad = jax.lax.fori_loop(0, spp, spp_body, (z, z, z))
+    img = jnp.stack(
+        [r.reshape(-1)[:p].reshape(height, width) for r in rad], axis=-1
+    )
+    return img / jnp.float32(spp)

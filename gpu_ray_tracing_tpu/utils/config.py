@@ -35,11 +35,16 @@ class RenderConfig:
     # 'normal' = normal-shading debug integrator (BASELINE config 1)
     integrator: Literal["path", "normal"] = "path"
 
-    # 'jax'    = pure-JAX/XLA integrator (reference path; runs anywhere)
-    # 'pallas' = fused TPU megakernel (ops/pallas/megakernel.py); requires
-    #            rng='hash' and parity=False.  Interprets on non-TPU backends
-    #            so tests run on CPU.
-    backend: Literal["jax", "pallas"] = "jax"
+    # 'jax'       = pure-JAX/XLA integrator (reference path; runs anywhere)
+    # 'pallas'    = fused TPU megakernel (ops/pallas/megakernel.py); requires
+    #               rng='hash' and parity=False.  Interprets on non-TPU
+    #               backends so tests run on CPU.
+    # 'wavefront' = per-bounce ray compaction between Pallas bounce kernels
+    #               (ops/pallas/wavefront.py); same image as 'pallas'
+    #               (identical RNG stream), wins on deep-bounce path tracing
+    #               where most lanes die early.  'normal' integrator renders
+    #               fall back to the megakernel (single bounce).
+    backend: Literal["jax", "pallas", "wavefront"] = "jax"
 
     # 'hash'     = counter-based per-pixel hash RNG (default): every draw is
     #              a pure function of (global pixel id, sample, frame seed,
@@ -88,8 +93,8 @@ class RenderConfig:
             raise ValueError(f"max_depth must be positive, got {self.max_depth}")
         if self.parity and self.rng != "wgsl":
             raise ValueError("parity=True requires rng='wgsl'")
-        if self.backend == "pallas" and self.rng != "hash":
-            raise ValueError("backend='pallas' requires rng='hash'")
+        if self.backend in ("pallas", "wavefront") and self.rng != "hash":
+            raise ValueError(f"backend={self.backend!r} requires rng='hash'")
 
     @property
     def resolution(self) -> tuple[int, int]:

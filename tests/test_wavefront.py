@@ -1,0 +1,150 @@
+"""Wavefront backend tests: per-bounce row compaction must be invisible —
+the engine draws the identical counter-based stream as the megakernel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpu_ray_tracing_tpu import (
+    CameraSettings,
+    RenderConfig,
+    base_scene,
+    make_scene,
+    one_weekend_scene,
+    render,
+)
+from tests.test_api import BASE_CAMERA
+from tests.test_sharding import assert_images_match
+
+
+def _cfg(**kw):
+    defaults = dict(width=64, height=48, spp=1, max_depth=6)
+    defaults.update(kw)
+    return RenderConfig(**defaults)
+
+
+def test_wavefront_bit_matches_megakernel_base_scene():
+    scene = base_scene()
+    cfg_w = _cfg(spp=2, backend="wavefront")
+    cfg_p = _cfg(spp=2, backend="pallas")
+    a = np.asarray(render(scene, BASE_CAMERA, cfg_w, frame_seed=jnp.uint32(7)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg_p, frame_seed=jnp.uint32(7)))
+    # Same stream, same arithmetic -> bitwise equal.
+    np.testing.assert_array_equal(a, b)
+
+
+def test_wavefront_odd_resolution_padding():
+    scene = base_scene()
+    cfg_w = _cfg(width=50, height=31, backend="wavefront")
+    cfg_p = _cfg(width=50, height=31, backend="pallas")
+    a = np.asarray(render(scene, BASE_CAMERA, cfg_w, frame_seed=jnp.uint32(2)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg_p, frame_seed=jnp.uint32(2)))
+    assert a.shape == (31, 50, 3)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_wavefront_one_weekend_with_sphere_bvh_and_rr():
+    """With a sphere BVH the tile grouping decides which EXTRA leaves a lane
+    evaluates, and the reference's far-root fallback (wgsl:190-196) makes
+    borderline root choices depend on the lane's tb history — so compacted
+    tiles can flip a few hit decisions vs the megakernel's image tiles (the
+    same contract as pallas-vs-jax).  Mesh scans have no far-root fallback
+    and stay bitwise equal (test_wavefront_mesh_scene)."""
+    scene = make_scene(one_weekend_scene(jax.random.key(0)))
+    assert scene.sphere_bvh is not None
+    cam = CameraSettings.default()
+    kw = dict(width=64, height=40, max_depth=8, russian_roulette_depth=3)
+    a = np.asarray(render(scene, cam, _cfg(backend="wavefront", **kw),
+                          frame_seed=jnp.uint32(3)))
+    b = np.asarray(render(scene, cam, _cfg(backend="pallas", **kw),
+                          frame_seed=jnp.uint32(3)))
+    assert np.all(np.isfinite(a))
+    assert_images_match(a, b, flip_frac=0.1, mean_tol=5e-3)
+
+
+def test_wavefront_mesh_scene():
+    from gpu_ray_tracing_tpu import transform_mesh
+    from gpu_ray_tracing_tpu.models.mesh import icosphere
+    from gpu_ray_tracing_tpu.models.spheres import LAMBERTIAN, make_spheres
+
+    spheres = make_spheres(
+        [((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.5, 0.5, 0.5), 0.0)]
+    )
+    mesh = transform_mesh(
+        icosphere(2, albedo=(0.8, 0.4, 0.2), smooth=True),
+        scale=0.7, translate=(0.0, 0.7, 0.0),
+    )
+    scene = make_scene(spheres, mesh)
+    cam = CameraSettings(
+        look_from=jnp.asarray([0.0, 1.0, 3.0]),
+        look_at=jnp.asarray([0.0, 0.5, 0.0]),
+        vup=jnp.asarray([0.0, 1.0, 0.0]),
+        field_of_view=jnp.float32(45.0),
+        defocus_angle=jnp.float32(0.0),
+        focus_distance=jnp.float32(3.0),
+    )
+    kw = dict(width=64, height=48, max_depth=5)
+    a = np.asarray(render(scene, cam, _cfg(backend="wavefront", **kw),
+                          frame_seed=jnp.uint32(1)))
+    b = np.asarray(render(scene, cam, _cfg(backend="pallas", **kw),
+                          frame_seed=jnp.uint32(1)))
+    assert np.all(np.isfinite(a))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_wavefront_nee_matches_jax():
+    """<=4 lights NEE loops over all lights -> stream-identical to pallas."""
+    from gpu_ray_tracing_tpu.models.spheres import EMISSIVE, LAMBERTIAN, make_spheres
+
+    scene = make_scene(make_spheres([
+        ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.6, 0.6, 0.6), 0.0),
+        ((0.0, 2.0, 0.0), 0.4, EMISSIVE, (1.0, 0.9, 0.8), 5.0),
+    ]))
+    cam = CameraSettings(
+        look_from=jnp.asarray([0.0, 1.0, 4.0]),
+        look_at=jnp.asarray([0.0, 0.5, 0.0]),
+        vup=jnp.asarray([0.0, 1.0, 0.0]),
+        field_of_view=jnp.float32(45.0),
+        defocus_angle=jnp.float32(0.0),
+        focus_distance=jnp.float32(4.0),
+    )
+    kw = dict(width=64, height=32, spp=2, max_depth=4, nee=True, sky_intensity=0.0)
+    a = np.asarray(render(scene, cam, _cfg(backend="wavefront", **kw),
+                          frame_seed=jnp.uint32(5)))
+    b = np.asarray(render(scene, cam, _cfg(backend="pallas", **kw),
+                          frame_seed=jnp.uint32(5)))
+    np.testing.assert_array_equal(a, b)
+    assert a.mean() > 0.01
+
+
+def test_wavefront_progressive_step():
+    from gpu_ray_tracing_tpu import init_accum, progressive_step
+
+    scene = base_scene()
+    cfg = _cfg(spp=4, backend="wavefront")
+    state = init_accum(cfg.height, cfg.width)
+    state = progressive_step(state, scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(0))
+    assert int(state.count) == 1
+    assert np.all(np.isfinite(np.asarray(state.rgb)))
+
+
+def test_wavefront_is_differentiable():
+    import dataclasses
+
+    scene = base_scene()
+    cfg = _cfg(width=48, height=32, spp=1, max_depth=4, backend="wavefront")
+
+    def loss(albedo):
+        s = dataclasses.replace(scene, albedo=albedo)
+        img = render(s, BASE_CAMERA, cfg, frame_seed=jnp.uint32(1))
+        return jnp.mean(img ** 2)
+
+    g = jax.grad(loss)(scene.albedo)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.linalg.norm(g)) > 0.0
+
+
+def test_wavefront_requires_hash_rng():
+    with pytest.raises(ValueError):
+        RenderConfig(backend="wavefront", rng="threefry")
