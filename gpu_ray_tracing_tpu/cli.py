@@ -40,7 +40,8 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--spp", type=int, default=16)
     ap.add_argument("--depth", type=int, default=30)
     ap.add_argument("--integrator", default="path", choices=["path", "normal"])
-    ap.add_argument("--backend", default="auto", choices=["auto", "jax", "pallas"])
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "jax", "pallas", "wavefront"])
     ap.add_argument("--rng", default="hash", choices=["hash", "wgsl", "threefry"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--nee", action="store_true",
