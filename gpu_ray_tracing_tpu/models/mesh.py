@@ -261,6 +261,73 @@ def box(size=(1.0, 1.0, 1.0), **mat_kw) -> TriangleMesh:
     return make_mesh(verts, faces, **mat_kw)
 
 
+def trefoil(
+    nu: int = 256,
+    nv: int = 32,
+    tube_radius: float = 0.35,
+    **mat_kw,
+) -> TriangleMesh:
+    """Trefoil-knot tube with 2*nu*nv triangles (16,384 at the defaults).
+
+    Curve: p(t) = (sin t + 2 sin 2t, cos t - 2 cos 2t, -sin 3t), swept by a
+    circle of `tube_radius` in the plane normal to the tangent.  Shared
+    vertices wrap in both parameters, so `smooth=True` interpolates clean
+    normals across the whole surface — the knot's self-occlusion and curved
+    tube make it a much harder (and better-looking) smooth-shading test than
+    a sphere.
+    """
+    t = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+    p = np.stack(
+        [np.sin(t) + 2 * np.sin(2 * t), np.cos(t) - 2 * np.cos(2 * t), -np.sin(3 * t)],
+        axis=-1,
+    )
+    dp = np.stack(
+        [np.cos(t) + 4 * np.cos(2 * t), -np.sin(t) + 4 * np.sin(2 * t), -3 * np.cos(3 * t)],
+        axis=-1,
+    )
+    tan = dp / np.linalg.norm(dp, axis=-1, keepdims=True)
+    # Frame via parallel transport: propagate an initial normal along the
+    # curve so the tube has no twist seams (a fixed reference axis would
+    # degenerate where the tangent aligns with it).
+    n = np.cross(tan[0], [0.0, 0.0, 1.0])
+    n /= np.linalg.norm(n)
+    normals = [n]
+    for i in range(1, nu):
+        n = normals[-1] - tan[i] * np.dot(tan[i], normals[-1])
+        n /= np.linalg.norm(n)
+        normals.append(n)
+    nrm = np.asarray(normals)
+    binrm = np.cross(tan, nrm)
+    # Parallel transport accumulates holonomy: the frame returns from the
+    # loop rotated relative to where it started, which would pinch the tube
+    # at the closing seam.  Measure the mismatch once and unwind it linearly
+    # along the curve.
+    n_end = normals[-1] - tan[0] * np.dot(tan[0], normals[-1])
+    n_end /= np.linalg.norm(n_end)
+    mismatch = np.arctan2(np.dot(np.cross(n_end, normals[0]), tan[0]),
+                          np.dot(n_end, normals[0]))
+    theta = (np.arange(nu) / nu) * mismatch
+    c, s = np.cos(theta)[:, None], np.sin(theta)[:, None]
+    nrm, binrm = c * nrm + s * binrm, -s * nrm + c * binrm
+
+    phi = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    circ = (
+        np.cos(phi)[None, :, None] * nrm[:, None, :]
+        + np.sin(phi)[None, :, None] * binrm[:, None, :]
+    )
+    verts = (p[:, None, :] + tube_radius * circ).reshape(-1, 3)
+
+    def vid(i, j):
+        return (i % nu) * nv + (j % nv)
+
+    faces = []
+    for i in range(nu):
+        for j in range(nv):
+            faces.append([vid(i, j), vid(i + 1, j), vid(i + 1, j + 1)])
+            faces.append([vid(i, j), vid(i + 1, j + 1), vid(i, j + 1)])
+    return make_mesh(verts, np.asarray(faces, np.int64), **mat_kw)
+
+
 def bunny_stand_in(**mat_kw) -> TriangleMesh:
     """Deterministic ~5.1k-triangle benchmark mesh (icosphere level 4),
     matching the Stanford bunny's scale of triangle count when the real

@@ -224,3 +224,41 @@ def test_make_scene_grows_leaf_size_for_large_meshes():
     scene = make_scene(base_scene(), mesh)
     assert scene.bvh.num_nodes <= MAX_PALLAS_BVH_NODES
     assert scene.bvh_leaf_size > 4
+
+
+def test_trefoil_generator():
+    """Trefoil tube: right counts, watertight (every edge shared by exactly
+    two faces), and smooth corner normals roughly radial to the tube."""
+    from collections import Counter
+
+    from gpu_ray_tracing_tpu.models.mesh import trefoil
+
+    nu, nv = 64, 12
+    mesh = trefoil(nu=nu, nv=nv, smooth=True)
+    assert mesh.num_triangles == 2 * nu * nv
+    assert mesh.smooth
+    v0 = np.asarray(mesh.v0)
+    v1 = v0 + np.asarray(mesh.e1)
+    v2 = v0 + np.asarray(mesh.e2)
+    verts = np.concatenate([v0, v1, v2])
+    # Dedup by distance (f32 storage can straddle any fixed rounding grid).
+    uniq, inv = np.unique(np.round(verts / 1e-4) * 1e-4, axis=0, return_inverse=True)
+    if len(uniq) != nu * nv:  # grid straddle: merge near-duplicates
+        from scipy.spatial import cKDTree  # pragma: no cover
+
+        tree = cKDTree(verts)
+        groups = tree.query_ball_point(verts, r=1e-3)
+        canon = np.asarray([min(g) for g in groups])
+        _, inv = np.unique(canon, return_inverse=True)
+        uniq = np.unique(canon)
+    assert len(uniq) == nu * nv  # shared vertices, wrap-closed both ways
+    f = inv.reshape(3, -1).T
+    edges = Counter()
+    for a, b, c in f:
+        for e in ((a, b), (b, c), (c, a)):
+            edges[tuple(sorted(e))] += 1
+    assert set(edges.values()) == {2}  # watertight manifold
+    # Smooth normals point outward from the tube: dot(corner normal,
+    # geometric normal) > 0 everywhere.
+    dots = np.sum(np.asarray(mesh.n0) * np.asarray(mesh.normals), axis=-1)
+    assert np.all(dots > 0.2)
