@@ -196,13 +196,18 @@ def render_wavefront(
     spp: int = 1,
     interpret: bool | None = None,
     sort: str = "octant",  # 'octant' (default) | 'live'
+    y_offset: Array | int = 0,
+    total_width: int | None = None,
 ) -> Array:
     """Path-trace spp samples with per-bounce ray compaction; returns the
     (height, width, 3) RGB mean.  Draw-for-draw the same image as the
     megakernel / jax backends (same counter-based stream).
 
     Ray generation and compaction run in XLA; each bounce is one Pallas
-    launch over the compacted ray array.
+    launch over the compacted ray array.  `y_offset`/`total_width` address a
+    row shard of a larger frame (the sharded renderer passes the shard's
+    global row offset): pixel ids — and therefore the RNG stream — are
+    global, so sharded output equals the unsharded render's rows.
     """
     from gpu_ray_tracing_tpu.models.camera import Camera
     from gpu_ray_tracing_tpu.models.scene import as_scene
@@ -276,9 +281,16 @@ def render_wavefront(
         out_shape=out_shape, interpret=interpret,
     )
 
-    # Pad ids stay unique (>= p) so the final row un-permute has no
-    # collisions; their lanes are dead from the start.
-    pid0 = jnp.arange(p_pad, dtype=jnp.int32).reshape(rows, 128)
+    # GLOBAL pixel ids (row-shard aware); pad ids stay unique so the final
+    # row un-permute has no collisions — their lanes are dead from the start.
+    tw = width if total_width is None else total_width
+    local = jnp.arange(p_pad, dtype=jnp.int32)
+    pid0 = jnp.where(
+        local < p,
+        (local // width + jnp.asarray(y_offset, jnp.int32)) * tw + local % width,
+        # pad slots: unique ids past the shard's own range
+        (jnp.asarray(y_offset, jnp.int32) + height) * tw + (local - p),
+    ).reshape(rows, 128)
     pad_live = jnp.concatenate(
         [jnp.ones((p,), jnp.float32), jnp.zeros((p_pad - p,), jnp.float32)]
     ).reshape(rows, 128)
@@ -293,7 +305,8 @@ def render_wavefront(
 
     def one_sample(s_u32):
         origins, dirs, _ = rays_ops.generate_rays_hash(
-            camera, width, height, s_u32, frame_seed
+            camera, width, height, s_u32, frame_seed,
+            y_offset=y_offset, total_width=tw,
         )
         state = (
             pid0,
@@ -346,12 +359,10 @@ def render_wavefront(
         _, _, state, rad = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.int32(p), state, rad)
         )
-        # Invert the accumulated row permutation: rows moved as units, so
-        # each row's original index is pid[:, 0] // 128.
-        orig_row = state[0][:, 0] // 128
-        inv = jnp.zeros((rows,), jnp.int32).at[orig_row].set(
-            jnp.arange(rows, dtype=jnp.int32)
-        )
+        # Invert the accumulated row permutation: rows moved as units and
+        # pids are strictly increasing along the shard's original layout, so
+        # argsort of each row's first pid IS the original-order gather.
+        inv = jnp.argsort(state[0][:, 0]).astype(jnp.int32)
         return tuple(r[inv] for r in rad)
 
     def spp_body(k, acc):

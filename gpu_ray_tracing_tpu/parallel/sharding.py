@@ -62,7 +62,19 @@ def _local_sample(spheres, camera, config: RenderConfig, sample_index, frame_see
     """Trace one 1-spp pass for rows [y0, y0+local_h) of the global frame."""
     w = config.width
     if config.rng == "hash":
-        if config.backend == "pallas":
+        if config.backend == "wavefront" and config.integrator != "normal":
+            from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
+
+            return render_wavefront(
+                spheres, camera, width=w, height=local_h,
+                sample_index=sample_index, frame_seed=frame_seed,
+                max_depth=config.max_depth, t_min=config.t_min,
+                t_max=config.t_max,
+                russian_roulette_depth=config.russian_roulette_depth,
+                sky_intensity=config.sky_intensity, nee=config.nee,
+                y_offset=y0, total_width=w,
+            )
+        if config.backend in ("pallas", "wavefront"):
             from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
 
             return render_pallas(

@@ -148,3 +148,37 @@ def test_wavefront_is_differentiable():
 def test_wavefront_requires_hash_rng():
     with pytest.raises(ValueError):
         RenderConfig(backend="wavefront", rng="threefry")
+
+
+def test_wavefront_row_shard_offset_matches_full_frame():
+    """render_wavefront(y_offset, total_width) must reproduce the matching
+    rows of the full-frame render exactly (global pixel ids -> same stream)."""
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
+
+    scene = base_scene()
+    w, h = 50, 32
+    cam = derive_camera(BASE_CAMERA, w, h)
+    kw = dict(max_depth=5, t_min=1e-3, frame_seed=jnp.uint32(9),
+              sample_index=jnp.uint32(0))
+    full = np.asarray(render_wavefront(scene, cam, width=w, height=h, **kw))
+    top = np.asarray(render_wavefront(
+        scene, cam, width=w, height=16, y_offset=0, total_width=w, **kw))
+    bot = np.asarray(render_wavefront(
+        scene, cam, width=w, height=16, y_offset=16, total_width=w, **kw))
+    np.testing.assert_array_equal(np.concatenate([top, bot]), full)
+
+
+def test_wavefront_sharded_render_matches_unsharded():
+    """render_sharded with backend='wavefront' over an 8-device mesh equals
+    the single-device wavefront render."""
+    from gpu_ray_tracing_tpu.parallel.mesh import make_mesh
+    from gpu_ray_tracing_tpu.parallel.sharding import render_sharded
+
+    scene = base_scene()
+    cfg = _cfg(width=32, height=32, spp=2, max_depth=4, backend="wavefront")
+    mesh = make_mesh(4, 2)
+    a = np.asarray(render_sharded(scene, BASE_CAMERA, cfg, mesh,
+                                  frame_seed=jnp.uint32(3)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3)))
+    assert_images_match(a, b, flip_frac=0.01, mean_tol=5e-4)
