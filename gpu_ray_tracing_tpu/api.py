@@ -99,6 +99,56 @@ def _trace_chunked(
     return out.reshape(h, w, 3)
 
 
+def _dispatch_kernel_render(
+    spheres,
+    camera,
+    config: RenderConfig,
+    *,
+    sample_index: Array,
+    frame_seed: Array,
+    spp: int = 1,
+    height: int | None = None,
+    y_offset: Array | int = 0,
+    total_width: int | None = None,
+) -> Array:
+    """Route a hash-stream render to the configured Pallas engine.
+
+    The single dispatch point for backend='pallas'/'wavefront' — used by the
+    per-sample path, the full-frame kernel path, and the sharded renderer —
+    so every engine kwarg stays in sync across entry points.  `height`/
+    `y_offset`/`total_width` address a row shard of a larger frame; the
+    default renders the full config frame.
+    """
+    w = config.width
+    h = config.height if height is None else height
+    if config.backend == "wavefront" and config.integrator != "normal":
+        from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
+
+        return render_wavefront(
+            spheres, camera, width=w, height=h,
+            sample_index=sample_index, frame_seed=frame_seed,
+            max_depth=config.max_depth, t_min=config.t_min,
+            t_max=config.t_max,
+            russian_roulette_depth=config.russian_roulette_depth,
+            sky_intensity=config.sky_intensity, nee=config.nee,
+            spp=spp, y_offset=y_offset, total_width=total_width,
+        )
+    from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
+
+    # render_pallas's `width` is the REAL frame width (global pixel ids);
+    # row sharding keeps rows whole, so width == total width always.
+    return render_pallas(
+        spheres, camera, width=w, height=h,
+        sample_index=sample_index, frame_seed=frame_seed,
+        max_depth=config.max_depth, t_min=config.t_min,
+        t_max=config.t_max,
+        mode="normal" if config.integrator == "normal" else "path",
+        russian_roulette_depth=config.russian_roulette_depth,
+        sky_intensity=config.sky_intensity, nee=config.nee,
+        spp=spp, y_offset=y_offset,
+    )
+
+
 def _render_one_sample(
     spheres: Spheres,
     camera: Camera,
@@ -116,28 +166,10 @@ def _render_one_sample(
         return _trace_chunked(origins, dirs, spheres, config, key=k_trace)
 
     if config.rng == "hash":
-        if config.backend == "wavefront" and config.integrator != "normal":
-            from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
-
-            return render_wavefront(
-                spheres, camera, width=w, height=h,
-                sample_index=sample_index, frame_seed=frame_seed,
-                max_depth=config.max_depth, t_min=config.t_min,
-                t_max=config.t_max,
-                russian_roulette_depth=config.russian_roulette_depth,
-                sky_intensity=config.sky_intensity, nee=config.nee,
-            )
         if config.backend in ("pallas", "wavefront"):
-            from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
-
-            return render_pallas(
-                spheres, camera, width=w, height=h,
+            return _dispatch_kernel_render(
+                spheres, camera, config,
                 sample_index=sample_index, frame_seed=frame_seed,
-                max_depth=config.max_depth, t_min=config.t_min,
-                t_max=config.t_max,
-                mode="normal" if config.integrator == "normal" else "path",
-                russian_roulette_depth=config.russian_roulette_depth,
-                sky_intensity=config.sky_intensity, nee=config.nee,
             )
         origins, dirs, seeds = rays.generate_rays_hash(
             camera, w, h, sample_index, frame_seed
@@ -237,27 +269,9 @@ def _render_kernel_frame(spheres, camera, config: RenderConfig, frame_seed):
     and takes its VJP (forward stays on the fast engine; the one extra
     jax-path forward runs only when gradients are requested).
     """
-    if config.backend == "wavefront" and config.integrator != "normal":
-        from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
-
-        return render_wavefront(
-            spheres, camera, width=config.width, height=config.height,
-            sample_index=jnp.uint32(0), frame_seed=frame_seed,
-            max_depth=config.max_depth, t_min=config.t_min, t_max=config.t_max,
-            russian_roulette_depth=config.russian_roulette_depth,
-            sky_intensity=config.sky_intensity, nee=config.nee,
-            spp=config.spp,
-        )
-    from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
-
-    return render_pallas(
-        spheres, camera, width=config.width, height=config.height,
-        sample_index=jnp.uint32(0), frame_seed=frame_seed,
-        max_depth=config.max_depth, t_min=config.t_min, t_max=config.t_max,
-        mode="normal" if config.integrator == "normal" else "path",
-        russian_roulette_depth=config.russian_roulette_depth,
-        sky_intensity=config.sky_intensity, nee=config.nee,
-        spp=config.spp,
+    return _dispatch_kernel_render(
+        spheres, camera, config,
+        sample_index=jnp.uint32(0), frame_seed=frame_seed, spp=config.spp,
     )
 
 

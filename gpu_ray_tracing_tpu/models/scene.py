@@ -121,14 +121,20 @@ def make_scene(
     if use_bvh:
         from gpu_ray_tracing_tpu.ops.pallas.megakernel import MAX_PALLAS_BVH_NODES
 
+        from gpu_ray_tracing_tpu.ops.pallas.megakernel import MAX_PALLAS_TRIANGLES
+
         mesh_in = mesh
         mesh, bvh = build_mesh_bvh(mesh_in, leaf_size=bvh_leaf_size)
         # Large meshes would overflow the Pallas SMEM node budget at small
         # leaves; grow the leaf size until the node count fits (bigger leaves
-        # also amortize the kernel's 4-triangle group loads better).
-        while bvh.num_nodes > MAX_PALLAS_BVH_NODES:
-            bvh_leaf_size *= 2
-            mesh, bvh = build_mesh_bvh(mesh_in, leaf_size=bvh_leaf_size)
+        # also amortize the kernel's 4-triangle group loads better).  Only
+        # for meshes a Pallas engine can actually consume: past the VMEM
+        # triangle cap the scene is jax-backend-only, and coarsening its BVH
+        # would just slow that path down.
+        if mesh_in.num_triangles <= MAX_PALLAS_TRIANGLES:
+            while bvh.num_nodes > MAX_PALLAS_BVH_NODES:
+                bvh_leaf_size *= 2
+                mesh, bvh = build_mesh_bvh(mesh_in, leaf_size=bvh_leaf_size)
         return Scene(
             spheres=spheres, mesh=mesh, bvh=bvh, sphere_bvh=s_bvh,
             lights=lights, bvh_leaf_size=bvh_leaf_size,

@@ -22,9 +22,11 @@ written for the TPU vector unit instead of a SIMT grid:
   - RNG is the framework's counter-based hash stream (ops/rng.py), seeded
     per pixel — draw-for-draw identical to the pure-JAX 'hash' integrator,
     so the two backends produce the same image up to fp rounding.  (One
-    exception: NEE with more than 4 lights picks the sampled light per TILE
-    here vs per lane in the jax path — same estimator, different noise
-    pattern — because per-lane SMEM gathers don't exist.)
+    exception: NEE with more than 4 lights picks the sampled light once per
+    (sample, bounce) here vs per lane in the jax path — same estimator,
+    different noise pattern — because per-lane SMEM gathers don't exist.
+    The pick never involves tile ids, so the megakernel, the wavefront
+    engine, and all shardings draw it identically.)
 
 Ray generation (the reference's get_ray, wgsl:305-331) is fused into the
 kernel too: a 2D grid of (TILE_ROWS, 128) image tiles derives pixel ids from
@@ -588,7 +590,7 @@ def _path_bounce(
     lights_ref,
     mesh_refs,
     sphere_bvh_refs,
-    tile_pick_seed,
+    pick_seed,
     n_spheres,
     t_min,
     t_max,
@@ -605,7 +607,10 @@ def _path_bounce(
     (o.xyz, d.xyz, throughput.rgb, radiance.rgb, live_f, prev_diffuse_f);
     all RNG draws are functions of (per-PIXEL seeds, bounce salt), so the
     stream is identical no matter how rays are tiled or compacted.
-    `tile_pick_seed` decorrelates the >4-lights NEE pick across tiles.
+    `pick_seed` drives the >4-lights NEE pick; it must be a function of
+    (sample, frame seed) ONLY — never of tile/program ids — so the pick is
+    identical across the megakernel, the wavefront engine (whose tiles are
+    compacted ray groups, not image tiles), and any row sharding.
     """
     # live/prev-diffuse are carried as f32 masks: Mosaic rejects i1
     # vectors in loop carries ("unsupported target bitwidth").
@@ -643,8 +648,11 @@ def _path_bounce(
         # Next-event estimation.  Per-lane light selection would need a
         # per-lane gather from SMEM (unsupported), so for small light
         # counts we loop over ALL lights (deterministic, lowest variance,
-        # no tile artifacts); above the cap we pick one light per TILE
-        # per bounce (unbiased; the xL factor cancels the pick pdf).
+        # no tile artifacts); above the cap we pick ONE light per bounce
+        # for the whole frame (unbiased; the xL factor cancels the pick
+        # pdf).  The pick is a function of (sample, frame seed, bounce)
+        # only — not of tile ids — so every engine/sharding draws it
+        # identically; samples average the picks back out.
         i_u = jnp.asarray(i_b, jnp.uint32)
         is_lam = kp < 0.5
         # Shading points inside any light's radius fall back to BSDF
@@ -730,8 +738,8 @@ def _path_bounce(
                     jnp.int32(l_static), 1.0, 7 * l_static, rr, rg, rb
                 )
         else:
-            tile_seed = rng_ops.hash2(tile_pick_seed, jnp.uint32(3000) + i_u)
-            li = (rng_ops.hash2(tile_seed, 0) % jnp.uint32(num_lights)).astype(jnp.int32)
+            bounce_seed = rng_ops.hash2(pick_seed, jnp.uint32(3000) + i_u)
+            li = (rng_ops.hash2(bounce_seed, 0) % jnp.uint32(num_lights)).astype(jnp.int32)
             rr, rg, rb = light_contribution(li, num_lights, 0, rr, rg, rb)
 
     scattered = live & hit & ok & ~is_emis
@@ -809,9 +817,6 @@ def _kernel(
 
     i = pl.program_id(0)
     j = pl.program_id(1)
-    # Hoisted: program_id cannot be called inside lax loop bodies in
-    # interpret mode (no CPU lowering rule); the NEE light pick uses this.
-    tile_id_u32 = (i * 7919 + j).astype(jnp.uint32)
     shape = (outr_ref.shape[0], outr_ref.shape[1])
 
     y = i * shape[0] + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -872,7 +877,7 @@ def _kernel(
             _path_bounce,
             seeds=seeds, scene_ref=scene_ref, lights_ref=lights_ref,
             mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
-            tile_pick_seed=s_u32 ^ (rng_ops.wgsl_hash(frame_seed_u32) + tile_id_u32),
+            pick_seed=s_u32 ^ rng_ops.wgsl_hash(frame_seed_u32),
             n_spheres=n_spheres, t_min=t_min, t_max=t_max,
             mesh_smooth=mesh_smooth, sky_intensity=sky_intensity,
             num_lights=num_lights, rr_depth=rr_depth,

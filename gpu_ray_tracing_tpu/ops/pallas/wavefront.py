@@ -120,7 +120,6 @@ def _wf_kernel(
     s_u32 = ints_ref[0, 0].astype(jnp.uint32)
     frame_seed_u32 = ints_ref[0, 1].astype(jnp.uint32)
     i_b = ints_ref[0, 2]
-    tile_id_u32 = pl.program_id(0).astype(jnp.uint32)
 
     @pl.when(jnp.max(live_f) > 0.5)
     def _():
@@ -137,8 +136,7 @@ def _wf_kernel(
             i_b, carry,
             seeds=seeds, scene_ref=scene_ref, lights_ref=lights_ref,
             mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
-            tile_pick_seed=s_u32
-            ^ (rng_ops.wgsl_hash(frame_seed_u32) + tile_id_u32),
+            pick_seed=s_u32 ^ rng_ops.wgsl_hash(frame_seed_u32),
             n_spheres=n_spheres, t_min=t_min, t_max=t_max,
             mesh_smooth=mesh_smooth, sky_intensity=sky_intensity,
             num_lights=num_lights, rr_depth=rr_depth,
@@ -196,6 +194,7 @@ def render_wavefront(
     spp: int = 1,
     interpret: bool | None = None,
     sort: str = "octant",  # 'octant' (default) | 'live'
+    compact_threshold: float = 0.9,
     y_offset: Array | int = 0,
     total_width: int | None = None,
 ) -> Array:
@@ -213,6 +212,8 @@ def render_wavefront(
     from gpu_ray_tracing_tpu.models.scene import as_scene
     from gpu_ray_tracing_tpu.ops import rays as rays_ops
 
+    if sort not in ("octant", "live"):
+        raise ValueError(f"sort={sort!r}; expected 'octant' or 'live'")
     sc = as_scene(scene_or_spheres)
     spheres = sc.spheres
     if sc.mesh is not None:
@@ -344,15 +345,25 @@ def render_wavefront(
             # gathers are the only permutation shape the TPU moves at
             # bandwidth (element-level gathers measured 180x slower).  The
             # next bounce's all-dead tail tiles exit at the kernel's pl.when.
+            # Gated on occupancy: permuting the 15-plane state costs a fixed
+            # ~1.4 ms/bounce, which buys nothing while nearly every row is
+            # still live (bounces 0-4 of a typical path trace) — skip it
+            # until the live-row fraction drops below `compact_threshold`.
             live_rows = jnp.max(new_state[11], axis=1)
-            if sort == "octant":
-                perm = _sort_rows_octant(
-                    live_rows, new_state[4], new_state[5], new_state[6]
-                )
-            else:
-                perm = _partition_live(live_rows)
-            new_state = tuple(s[perm] for s in new_state)
-            rad = tuple(r[perm] for r in rad)
+            frac_live = jnp.mean((live_rows > 0.5).astype(jnp.float32))
+
+            def compact(args):
+                state, rad = args
+                if sort == "octant":
+                    perm = _sort_rows_octant(live_rows, state[4], state[5], state[6])
+                else:
+                    perm = _partition_live(live_rows)
+                return tuple(s[perm] for s in state), tuple(r[perm] for r in rad)
+
+            new_state, rad = jax.lax.cond(
+                frac_live < compact_threshold, compact, lambda a: a,
+                (new_state, rad),
+            )
             n_live = jnp.sum((new_state[11] > 0.5).astype(jnp.int32))
             return i_b + 1, n_live, new_state, rad
 

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gpu_ray_tracing_tpu.api import _trace_chunked
+from gpu_ray_tracing_tpu.api import _dispatch_kernel_render, _trace_chunked
 from gpu_ray_tracing_tpu.models.camera import Camera, CameraSettings, derive_camera
 from gpu_ray_tracing_tpu.models.spheres import Spheres
 from gpu_ray_tracing_tpu.ops import integrators, rays
@@ -62,30 +62,11 @@ def _local_sample(spheres, camera, config: RenderConfig, sample_index, frame_see
     """Trace one 1-spp pass for rows [y0, y0+local_h) of the global frame."""
     w = config.width
     if config.rng == "hash":
-        if config.backend == "wavefront" and config.integrator != "normal":
-            from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
-
-            return render_wavefront(
-                spheres, camera, width=w, height=local_h,
-                sample_index=sample_index, frame_seed=frame_seed,
-                max_depth=config.max_depth, t_min=config.t_min,
-                t_max=config.t_max,
-                russian_roulette_depth=config.russian_roulette_depth,
-                sky_intensity=config.sky_intensity, nee=config.nee,
-                y_offset=y0, total_width=w,
-            )
         if config.backend in ("pallas", "wavefront"):
-            from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
-
-            return render_pallas(
-                spheres, camera, width=w, height=local_h,  # spheres may be a Scene
+            return _dispatch_kernel_render(
+                spheres, camera, config,  # spheres may be a Scene
                 sample_index=sample_index, frame_seed=frame_seed,
-                max_depth=config.max_depth, t_min=config.t_min,
-                t_max=config.t_max,
-                mode="normal" if config.integrator == "normal" else "path",
-                russian_roulette_depth=config.russian_roulette_depth,
-                sky_intensity=config.sky_intensity, nee=config.nee,
-                y_offset=y0,
+                height=local_h, y_offset=y0, total_width=w,
             )
         origins, dirs, seeds = rays.generate_rays_hash(
             camera, w, local_h, sample_index, frame_seed,

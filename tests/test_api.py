@@ -321,7 +321,7 @@ def test_nee_pallas_matches_jax_statistically():
                                    frame_seed=jnp.uint32(k))) for k in range(8)], axis=0)
     b = np.mean([np.asarray(render(scene, BASE_CAMERA, dataclasses.replace(cfg, backend="jax"),
                                    frame_seed=jnp.uint32(k))) for k in range(8)], axis=0)
-    # Different light-pick granularity (per-lane vs per-tile) -> compare means.
+    # Different light-pick granularity (per-lane vs per-sample) -> compare means.
     np.testing.assert_allclose(a.mean(), b.mean(), atol=0.01)
     np.testing.assert_allclose(a, b, atol=0.25)
 

@@ -189,12 +189,20 @@ def test_smooth_normals_through_bvh_and_merge():
     assert merged.smooth  # flat part degraded to n0=n1=n2=face normal
     reordered, bvh = build_mesh_bvh(merged)
     assert reordered.smooth
-    # Reorder keeps corner normals aligned with their faces: geometric and
-    # corner normals of the box part still agree exactly.
-    box_rows = np.asarray(reordered.mat_param) == 0.0  # all rows here
-    n0 = np.asarray(reordered.n0)
-    dots = np.sum(n0 * np.asarray(reordered.normals), axis=-1)
-    assert np.all(dots > 0.0)  # corner normals in the face hemisphere
+    # Reorder keeps corner normals aligned with their faces.  Box faces are
+    # axis-aligned (exactly one nonzero normal component) — no icosphere(1)
+    # face is — so they identify the flat part after the BVH permutation;
+    # there n0 = n1 = n2 = face normal must survive the reorder EXACTLY
+    # (a permutation that misaligned corner normals with their faces would
+    # break this).
+    normals = np.asarray(reordered.normals)
+    box_rows = np.sum(normals != 0.0, axis=-1) == 1
+    assert box_rows.sum() == 12  # both box triangles per face, none missed
+    for corner in (reordered.n0, reordered.n1, reordered.n2):
+        np.testing.assert_array_equal(np.asarray(corner)[box_rows], normals[box_rows])
+    # Smooth part: corner normals stay in their face's hemisphere.
+    dots = np.sum(np.asarray(reordered.n0) * normals, axis=-1)
+    assert np.all(dots > 0.0)
 
 
 def test_smooth_normal_interpolation_jax_path():
@@ -244,13 +252,14 @@ def test_trefoil_generator():
     # Dedup by distance (f32 storage can straddle any fixed rounding grid).
     uniq, inv = np.unique(np.round(verts / 1e-4) * 1e-4, axis=0, return_inverse=True)
     if len(uniq) != nu * nv:  # grid straddle: merge near-duplicates
-        from scipy.spatial import cKDTree  # pragma: no cover
-
-        tree = cKDTree(verts)
-        groups = tree.query_ball_point(verts, r=1e-3)
-        canon = np.asarray([min(g) for g in groups])
-        _, inv = np.unique(canon, return_inverse=True)
-        uniq = np.unique(canon)
+        # Chunked O(n^2) distance pass (n = 4608) — no extra dependencies.
+        v32 = verts.astype(np.float32)  # pragma: no cover
+        canon = np.empty(len(v32), np.int64)  # pragma: no cover
+        for s in range(0, len(v32), 512):  # pragma: no cover
+            d2 = np.sum((v32[s:s + 512, None, :] - v32[None, :, :]) ** 2, axis=-1)
+            canon[s:s + 512] = np.argmax(d2 < 1e-6, axis=1)  # first within 1e-3
+        _, inv = np.unique(canon, return_inverse=True)  # pragma: no cover
+        uniq = np.unique(canon)  # pragma: no cover
     assert len(uniq) == nu * nv  # shared vertices, wrap-closed both ways
     f = inv.reshape(3, -1).T
     edges = Counter()

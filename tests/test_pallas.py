@@ -93,9 +93,9 @@ def test_pallas_spp_accumulation():
 
 
 def test_pallas_nee_many_lights_matches_jax_mean():
-    """6 emissive lights takes the megakernel's pick-one-per-tile NEE branch;
-    its image mean must agree with the jax path's per-lane pick-one estimator
-    (both unbiased estimators of the same integral)."""
+    """6 emissive lights takes the megakernel's pick-one-per-(sample, bounce)
+    NEE branch; its image mean must agree with the jax path's per-lane
+    pick-one estimator (both unbiased estimators of the same integral)."""
     from tests.test_integrators import _many_lights_fixture
 
     lights, scene_with = _many_lights_fixture()
@@ -115,8 +115,8 @@ def test_pallas_nee_many_lights_matches_jax_mean():
     b = np.asarray(render(scene, cam, _cfg(backend="jax", **kw),
                           frame_seed=jnp.uint32(5)))
     assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
-    # Different pick strategies (per tile vs per lane) -> different streams;
-    # compare means, not pixels.
+    # Different pick strategies (per sample-bounce vs per lane) -> different
+    # streams; compare means, not pixels.
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.1)
     assert a.mean() > 0.01  # lights actually illuminate the frame
 

@@ -182,3 +182,50 @@ def test_wavefront_sharded_render_matches_unsharded():
                                   frame_seed=jnp.uint32(3)))
     b = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3)))
     assert_images_match(a, b, flip_frac=0.01, mean_tol=5e-4)
+
+
+def test_wavefront_compact_threshold_is_invisible():
+    """Occupancy-gated compaction (skip the row permutation while most rows
+    are live) must not change the image: always / never / default-gated
+    renders are bitwise identical on a brute-scan scene."""
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
+
+    scene = base_scene()
+    w, h = 48, 32
+    cam = derive_camera(BASE_CAMERA, w, h)
+    kw = dict(width=w, height=h, max_depth=6, t_min=1e-3,
+              frame_seed=jnp.uint32(5), sample_index=jnp.uint32(0))
+    always = np.asarray(render_wavefront(scene, cam, compact_threshold=1.1, **kw))
+    never = np.asarray(render_wavefront(scene, cam, compact_threshold=0.0, **kw))
+    gated = np.asarray(render_wavefront(scene, cam, **kw))
+    np.testing.assert_array_equal(always, never)
+    np.testing.assert_array_equal(always, gated)
+
+
+def test_wavefront_many_lights_nee_bit_matches_megakernel():
+    """>4 emissive lights takes the pick-one-light NEE branch; the pick is a
+    function of (sample, frame seed, bounce) only — never tile/program ids —
+    so the wavefront engine (whose tiles are compacted ray groups) must stay
+    bitwise identical to the megakernel's image tiles."""
+    from tests.test_integrators import _many_lights_fixture
+
+    lights, scene_with = _many_lights_fixture()
+    scene = scene_with(lights)  # 7 spheres: brute scan, no sphere BVH
+    assert scene.sphere_bvh is None
+    cam = CameraSettings(
+        look_from=jnp.asarray([0.0, 2.0, 6.0]),
+        look_at=jnp.asarray([0.0, 0.5, 0.0]),
+        vup=jnp.asarray([0.0, 1.0, 0.0]),
+        field_of_view=jnp.float32(50.0),
+        defocus_angle=jnp.float32(0.0),
+        focus_distance=jnp.float32(6.0),
+    )
+    kw = dict(width=64, height=32, spp=2, max_depth=3, nee=True,
+              sky_intensity=0.0)
+    a = np.asarray(render(scene, cam, _cfg(backend="wavefront", **kw),
+                          frame_seed=jnp.uint32(5)))
+    b = np.asarray(render(scene, cam, _cfg(backend="pallas", **kw),
+                          frame_seed=jnp.uint32(5)))
+    assert a.mean() > 0.001  # the lights illuminate the frame
+    np.testing.assert_array_equal(a, b)
