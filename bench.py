@@ -15,8 +15,14 @@ Methodology (rebuilt in round 2 — round 1's numbers were artifacts):
     checksum that depends on every frame in the window.
   - The frame loop runs on device (one `lax.scan` window per measurement, the
     production shape — render_animation/render_progressive are lax loops),
-    so the ~5 ms/dispatch axon-tunnel round trip doesn't masquerade as kernel
-    time.  Per-dispatch latency is reported separately on stderr.
+    so the ~5-10 ms/dispatch axon-tunnel round trip doesn't masquerade as
+    kernel time.  Per-dispatch latency is reported separately on stderr.
+  - DIFFERENTIAL timing: each window invocation itself carries a ~30 ms fixed
+    cost (dispatch + launch + scalar readback through the tunnel), so the
+    harness times windows of N and 2N frames and reports the slope — the
+    marginal per-frame cost of the device loop (total(N) is affine in N,
+    verified over N=10..400).  The fixed cost is printed alongside, not
+    hidden.
   - Median of repeated windows; per-window spread is reported, and throughput
     beyond the chip's HBM-bandwidth bound (~68 Grays/s) raises instead of
     printing (utils/profiling.check_plausible).
@@ -71,11 +77,12 @@ def measure() -> None:
         return render(scene, camera, config, frame_seed=seed)
 
     stats = time_device_loop(
-        frame, width=WIDTH, height=HEIGHT, spp=1, frames=20, repeats=5
+        frame, width=WIDTH, height=HEIGHT, spp=1, frames=200, repeats=5
     )
     print(
-        f"device-loop: {stats.ms_per_frame:.3f} ms/frame, "
-        f"windows {[round(w, 3) for w in stats.window_seconds]} s "
+        f"device-loop: {stats.ms_per_frame:.3f} ms/frame marginal "
+        f"(fixed window cost {stats.window_fixed_seconds * 1e3:.1f} ms), "
+        f"2N-windows {[round(w, 3) for w in stats.window_seconds]} s "
         f"(spread {stats.window_spread:.2f}x), checksum {stats.checksum:.0f}",
         file=sys.stderr,
     )

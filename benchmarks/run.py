@@ -17,10 +17,13 @@ Methodology (round 2): every timed window float()s a device checksum that
 depends on all frames, so the clock cannot stop before the work executes
 (`block_until_ready` returns early on this platform — utils/profiling.py).
 Frame loops run on device (one lax.scan per window) so axon-tunnel dispatch
-latency (~5 ms/round trip) is not misread as kernel time; results report
-per-window spread, and physically impossible throughput raises instead of
-printing.  CPU<->TPU image parity is gated separately by
-benchmarks/parity_check.py.
+latency is not misread as kernel time, and device-loop timings are
+DIFFERENTIAL (windows of N and 2N frames; the slope is the marginal
+per-frame cost) because each window invocation itself costs ~30 ms fixed
+through the tunnel — that fixed cost is reported on each record
+(`window_fixed_ms`), not folded into frame time.  Results report per-window
+spread, and physically impossible throughput raises instead of printing.
+CPU<->TPU image parity is gated separately by benchmarks/parity_check.py.
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -192,27 +196,39 @@ def config5(quick: bool, obj: str | None) -> dict:
     cam = CameraSettings.default()
     steps = 4 if quick else 16
 
-    @jax.jit
-    def window(state):
+    @partial(jax.jit, static_argnames=("n",))
+    def window(state, n):
         def body(_, st):
             return progressive_step(st, scene, cam, cfg, frame_seed=jnp.uint32(0))
 
-        st = jax.lax.fori_loop(0, steps, body, state)
+        st = jax.lax.fori_loop(0, n, body, state)
         return st, st.rgb.sum()
 
+    # Differential: windows of `steps` and `2*steps` progressive steps;
+    # slope = marginal cost per step (each window call pays a ~30 ms fixed
+    # tunnel dispatch cost that is not accumulation work).
     state = init_accum(cfg.height, cfg.width)
-    state, cs = window(state)
+    state, cs = window(state, steps)
     float(cs)  # compile + warm (also the first `steps` samples)
-    windows = []
+    state2, cs = window(state, 2 * steps)
+    float(cs)
+    t1s, t2s = [], []
     for _ in range(3):
         t0 = time.perf_counter()
-        state, cs = window(state)
+        state, cs = window(state, steps)
         checksum = float(cs)
-        windows.append(time.perf_counter() - t0)
-    seconds = sorted(windows)[len(windows) // 2]
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        state, cs = window(state, 2 * steps)
+        checksum += float(cs)
+        t2s.append(time.perf_counter() - t0)
+    t1 = sorted(t1s)[len(t1s) // 2]
+    t2 = sorted(t2s)[len(t2s) // 2]
+    seconds = max(t2 - t1, 1e-9)
     stats = FrameStats(frames=steps, seconds=seconds, width=res[0],
                        height=res[1], spp=1, checksum=checksum,
-                       window_seconds=tuple(windows))
+                       window_seconds=tuple(t2s), window_seconds_short=tuple(t1s),
+                       window_fixed_seconds=max(t1 - seconds, 0.0))
     check_plausible(stats.mrays_per_sec)
 
     # Sharded-correctness pass (BASELINE names a sharded framebuffer): one
