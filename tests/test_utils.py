@@ -60,6 +60,28 @@ def test_time_frames_runs():
     assert stats.frames == 3 and stats.seconds > 0
 
 
+def test_time_device_loop_differential():
+    """Differential timing: slope excludes the fixed window cost; the record
+    carries both window groups, the fixed cost, and a nonzero checksum that
+    proves every frame executed."""
+    from gpu_ray_tracing_tpu.utils.profiling import time_device_loop
+
+    x = jnp.linspace(0.0, 1.0, 512 * 512).reshape(512, 512)
+
+    def frame(seed):
+        # Enough real work that the slope is measurable (a zero-cost body
+        # trips the plausibility guard — which is the guard working).
+        return jnp.sin(x * seed.astype(jnp.float32))
+
+    stats = time_device_loop(frame, width=8, height=8, spp=1, frames=4, repeats=2)
+    assert stats.frames == 4 and stats.seconds > 0
+    assert len(stats.window_seconds) == 2  # the 2N windows
+    assert len(stats.window_seconds_short) == 2  # the N windows
+    assert stats.window_fixed_seconds >= 0.0
+    assert stats.checksum != 0.0
+    assert "window_fixed_ms" in stats.to_dict() or stats.window_fixed_seconds == 0.0
+
+
 def test_checkpoint_roundtrip(tmp_path):
     scene = base_scene()
     cfg = RenderConfig(width=32, height=24, spp=8, max_depth=4)
