@@ -70,10 +70,14 @@ def test_time_device_loop_differential():
 
     def frame(seed):
         # Enough real work that the slope is measurable (a zero-cost body
-        # trips the plausibility guard — which is the guard working).
+        # trips the plausibility guard — which is the guard working).  The
+        # declared width/height must match the actual work: on a fast host
+        # the marginal slope of a small frame is noise-level, and a
+        # understated ray count turns that noise into an implausible
+        # rays/s that (correctly) trips the guard.
         return jnp.sin(x * seed.astype(jnp.float32))
 
-    stats = time_device_loop(frame, width=8, height=8, spp=1, frames=4, repeats=2)
+    stats = time_device_loop(frame, width=512, height=512, spp=1, frames=4, repeats=2)
     assert stats.frames == 4 and stats.seconds > 0
     assert len(stats.window_seconds) == 2  # the 2N windows
     assert len(stats.window_seconds_short) == 2  # the N windows
