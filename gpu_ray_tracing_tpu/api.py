@@ -132,6 +132,10 @@ def _dispatch_kernel_render(
             russian_roulette_depth=config.russian_roulette_depth,
             sky_intensity=config.sky_intensity, nee=config.nee,
             spp=spp, y_offset=y_offset, total_width=total_width,
+            regenerate=(
+                config.regenerate == "on"
+                or (config.regenerate == "auto" and spp > 1)
+            ),
         )
     from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
 
@@ -303,7 +307,7 @@ def _render_kernel_frame_bwd(config, residuals, g):
 _render_kernel_frame.defvjp(_render_kernel_frame_fwd, _render_kernel_frame_bwd)
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "spp_per_step"))
 def progressive_step(
     state: AccumState,
     spheres: Spheres,
@@ -313,29 +317,66 @@ def progressive_step(
     key: Array | None = None,
     frame_seed: Array | None = None,
     reset: Array | bool = False,
+    spp_per_step: int = 1,
 ) -> AccumState:
-    """One progressive frame: trace 1 spp and fold into the running mean.
+    """One progressive frame: trace spp_per_step samples and fold the batch
+    into the running mean.
 
     This is the reference's `update` dispatch (wgsl:333-364) as a pure
     (state, inputs) -> state step: `reset` is the explicit camera_has_moved
     flag; the state freezes once config.spp samples have accumulated.
+
+    spp_per_step=1 is the reference's interactive frame-at-a-time contract
+    (bit-stable against it).  spp_per_step>1 batches samples per fold — the
+    offline-accumulation shape, and what lets the wavefront regeneration
+    engine (config.regenerate) overlap one sample's deep-bounce tail with
+    the next sample's primaries.  The sample STREAM is identical either
+    way: batch b covers absolute sample indices count..count+k-1, exactly
+    the samples k single steps would draw.
     """
     if isinstance(camera, CameraSettings):
         camera = derive_camera(camera, config.width, config.height)
     key, frame_seed = _resolve_rng(config, key, frame_seed)
 
     count = jnp.where(jnp.asarray(reset, bool), 0, state.count)
-    sample = _render_one_sample(
-        spheres,
-        camera,
-        config,
-        # fold_in(key, 0) keeps progressive_step(key=k) sample-identical to
-        # render(spp=1, key=k); pass a distinct key per frame.
-        key=jax.random.fold_in(key, 0) if key is not None else None,
-        sample_index=count,
-        frame_seed=frame_seed,
-    )
-    return fold_sample(state, sample, config.spp, reset)
+    if spp_per_step == 1:
+        sample = _render_one_sample(
+            spheres,
+            camera,
+            config,
+            # fold_in(key, 0) keeps progressive_step(key=k) sample-identical
+            # to render(spp=1, key=k); pass a distinct key per frame.
+            key=jax.random.fold_in(key, 0) if key is not None else None,
+            sample_index=count,
+            frame_seed=frame_seed,
+        )
+    elif config.backend in ("pallas", "wavefront") and config.rng == "hash":
+        sample = _dispatch_kernel_render(
+            spheres, camera, config,
+            sample_index=count.astype(jnp.uint32), frame_seed=frame_seed,
+            spp=spp_per_step,
+        )
+    else:
+        if config.rng == "threefry":
+            raise ValueError(
+                "spp_per_step > 1 requires a counter-based rng "
+                "('hash'/'wgsl'): threefry cannot address absolute sample "
+                "indices from a running count"
+            )
+
+        def body(s, acc):
+            return acc + _render_one_sample(
+                spheres, camera, config, key=None,
+                sample_index=(count + s).astype(jnp.uint32),
+                frame_seed=frame_seed,
+            )
+
+        total = jax.lax.fori_loop(
+            0, spp_per_step, body,
+            jnp.zeros((config.height, config.width, 3), jnp.float32),
+        )
+        sample = total / jnp.float32(spp_per_step)
+    return fold_sample(state, sample, config.spp, reset, num_samples=spp_per_step)
 
 
 def render_progressive(

@@ -43,6 +43,9 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "jax", "pallas", "wavefront"])
     ap.add_argument("--rng", default="hash", choices=["hash", "wgsl", "threefry"])
+    ap.add_argument("--regenerate", default="off", choices=["auto", "on", "off"],
+                    help="wavefront ray regeneration: refill dead ray rows "
+                         "with the next sample's primaries (spp > 1)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--nee", action="store_true",
                     help="next-event estimation (needs emissive lights)")
@@ -146,6 +149,7 @@ def _build_config(args, spp=None):
         max_depth=args.depth, integrator=args.integrator, backend=backend,
         rng=args.rng, nee=args.nee, sky_intensity=args.sky_intensity,
         russian_roulette_depth=args.russian_roulette,
+        regenerate=args.regenerate,
     )
 
 

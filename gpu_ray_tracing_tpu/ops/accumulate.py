@@ -51,19 +51,43 @@ def init_accum(height: int, width: int) -> AccumState:
     )
 
 
-def fold_sample(state: AccumState, sample_rgb: Array, spp_target: int, reset) -> AccumState:
-    """Fold one 1-spp render into the running mean (wgsl:345-358).
+def fold_sample(
+    state: AccumState,
+    sample_rgb: Array,
+    spp_target: int,
+    reset,
+    num_samples: int = 1,
+) -> AccumState:
+    """Fold a render into the running mean (wgsl:345-358).
+
+    `sample_rgb` is the MEAN of `num_samples` fresh samples (1 = the
+    reference's frame-at-a-time update; >1 = a batched step, which is how
+    the wavefront regeneration engine amortizes deep-bounce tails across
+    samples).  The weighted incremental mean
+    `c += (x - c) * k / (n + k)` reduces to the reference's
+    `c += (x - c) / (n + 1)` at k=1.
 
     reset: traced bool — clears the state first (camera moved).
-    The update freezes once count reaches spp_target (wgsl:352).
+    The update freezes once count reaches spp_target (wgsl:352); a batched
+    step that straddles the target folds whole (count may overshoot by up
+    to num_samples - 1).
     """
     reset = jnp.asarray(reset, bool)
     rgb = jnp.where(reset, 0.0, state.rgb)
     count = jnp.where(reset, 0, state.count)
 
     converged = count >= spp_target
-    new_rgb = rgb + (sample_rgb - rgb) / jnp.float32(count + 1)
+    if num_samples == 1:
+        # Keep the reference's exact arithmetic (one rounding via the
+        # division) so 1-spp progressive accumulation stays bit-stable
+        # against the goldens.
+        new_rgb = rgb + (sample_rgb - rgb) / jnp.float32(count + 1)
+    else:
+        k = jnp.float32(num_samples)
+        new_rgb = rgb + (sample_rgb - rgb) * (
+            k / (count.astype(jnp.float32) + k)
+        )
     return AccumState(
         rgb=jnp.where(converged, rgb, new_rgb),
-        count=jnp.where(converged, count, count + 1),
+        count=jnp.where(converged, count, count + num_samples),
     )

@@ -611,6 +611,13 @@ def _path_bounce(
     (sample, frame seed) ONLY — never of tile/program ids — so the pick is
     identical across the megakernel, the wavefront engine (whose tiles are
     compacted ray groups, not image tiles), and any row sharding.
+
+    `i_b` (and `pick_seed`) may be scalars — the megakernel / plain
+    wavefront case, where every lane in a launch is at the same bounce — or
+    per-lane (R, 128) arrays — the regenerating wavefront engine, where a
+    tile mixes rays at different (sample, bounce).  Every consumer of the
+    bounce index (salts, RR gate, light pick) is elementwise, so both give
+    each ray the identical stream.
     """
     # live/prev-diffuse are carried as f32 masks: Mosaic rejects i1
     # vectors in loop carries ("unsupported target bitwidth").
@@ -675,9 +682,25 @@ def _path_bounce(
         nee_base = live & hit & is_lam & ~inside_any
 
         def light_contribution(li, pick_weight, salt_off, rr, rg, rb):
-            lcx, lcy, lcz = lights_ref[0, li], lights_ref[1, li], lights_ref[2, li]
-            lrad = lights_ref[3, li]
-            ler, leg, leb = lights_ref[4, li], lights_ref[5, li], lights_ref[6, li]
+            if jnp.ndim(li) == 0:
+                # Scalar pick: a dynamic SMEM scalar read per parameter.
+                lcx, lcy, lcz = lights_ref[0, li], lights_ref[1, li], lights_ref[2, li]
+                lrad = lights_ref[3, li]
+                ler, leg, leb = lights_ref[4, li], lights_ref[5, li], lights_ref[6, li]
+            else:
+                # Per-LANE pick (the regeneration engine, where sample/bounce
+                # vary per lane so the >4-lights pick does too).  SMEM gathers
+                # by a vector index are unsupported on TPU; select the picked
+                # light's parameters by masked accumulation over all lights —
+                # num_lights scalar SMEM reads plus cheap vector selects.
+                # The picked INDEX per (sample, bounce) is the same value the
+                # scalar path computes, so the estimator is engine-invariant.
+                sel = [jnp.zeros(li.shape, jnp.float32) for _ in range(7)]
+                for l_s in range(num_lights):
+                    m = li == l_s
+                    for k_s in range(7):
+                        sel[k_s] = jnp.where(m, lights_ref[k_s, l_s], sel[k_s])
+                lcx, lcy, lcz, lrad, ler, leg, leb = sel
 
             # Salt layout 2000 + 37*bounce + 7*light + {1,2}: collision-
             # free across (bounce, light, channel); matches the jax path.

@@ -88,8 +88,16 @@ def _wf_kernel(
     sky_intensity: float,
     num_lights: int,
     mesh_smooth: bool,
+    regen: bool = False,
 ):
-    """One path bounce over a (WF_ROWS, 128) tile of compacted rays."""
+    """One path bounce over a (tile_rows, 128) tile of compacted rays.
+
+    `regen=False`: every ray in the launch is at the same (sample, bounce),
+    carried as SMEM scalars.  `regen=True` (the regenerating engine): rays
+    in a tile mix (sample, bounce), carried as two extra i32 lane planes;
+    seeds, salts and the NEE light pick all go per-lane — same per-ray
+    stream either way (see `_path_bounce`).
+    """
     rest = list(rest)
     mesh_refs = None
     sphere_bvh_refs = None
@@ -103,8 +111,14 @@ def _wf_kernel(
     if num_lights > 0:
         lights_ref = rest[0]
         rest = rest[1:]
-    (pid_ref, oxr, oyr, ozr, dxr, dyr, dzr, trr, tgr, tbr, pdr, lvr) = rest[:12]
-    outs = rest[12:]  # 11 state outs + 3 radiance deltas
+    if regen:
+        pid_ref, smp_ref, bnc_ref = rest[:3]
+        rest = rest[3:]
+    else:
+        pid_ref = rest[0]
+        rest = rest[1:]
+    (oxr, oyr, ozr, dxr, dyr, dzr, trr, tgr, tbr, pdr, lvr) = rest[:11]
+    outs = rest[11:]  # 11 state outs + 3 radiance deltas
 
     live_f = lvr[:]
 
@@ -117,9 +131,13 @@ def _wf_kernel(
     for o in outs[11:]:
         o[:] = zero
 
-    s_u32 = ints_ref[0, 0].astype(jnp.uint32)
     frame_seed_u32 = ints_ref[0, 1].astype(jnp.uint32)
-    i_b = ints_ref[0, 2]
+    if regen:
+        s_u32 = smp_ref[:].astype(jnp.uint32)
+        i_b = bnc_ref[:]
+    else:
+        s_u32 = ints_ref[0, 0].astype(jnp.uint32)
+        i_b = ints_ref[0, 2]
 
     @pl.when(jnp.max(live_f) > 0.5)
     def _():
@@ -197,6 +215,9 @@ def render_wavefront(
     compact_threshold: float = 0.9,
     y_offset: Array | int = 0,
     total_width: int | None = None,
+    tile_rows: int = WF_ROWS,
+    regenerate: bool = False,
+    refill_threshold: float = 0.25,
 ) -> Array:
     """Path-trace spp samples with per-bounce ray compaction; returns the
     (height, width, 3) RGB mean.  Draw-for-draw the same image as the
@@ -207,6 +228,18 @@ def render_wavefront(
     row shard of a larger frame (the sharded renderer passes the shard's
     global row offset): pixel ids — and therefore the RNG stream — are
     global, so sharded output equals the unsharded render's rows.
+
+    `regenerate=True` (ray regeneration; only meaningful for spp > 1) keeps
+    ONE persistent ray pool across all spp samples instead of tracing each
+    sample to termination: whenever at least `refill_threshold` of the
+    pool's rows have fully died, dead rows are refilled with the next
+    sample's primary rays, so the deep-bounce tail of sample s overlaps the
+    cheap early bounces of sample s+1.  Rays of different (sample, bounce)
+    then share kernel tiles, carried as two extra i32 lane planes; every
+    per-ray draw is the same counter hash as the other engines, so the
+    estimator is unchanged — per-pixel sums may differ in the last float
+    bits only because radiance deltas accumulate in pool order rather than
+    sample-major order.
     """
     from gpu_ray_tracing_tpu.models.camera import Camera
     from gpu_ray_tracing_tpu.models.scene import as_scene
@@ -230,15 +263,18 @@ def render_wavefront(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    if tile_rows < 8 or tile_rows % 8:
+        raise ValueError(f"tile_rows={tile_rows} must be a positive multiple of 8")
+    wf_tile = tile_rows * 128
     p = width * height
-    p_pad = -(-p // WF_TILE) * WF_TILE
+    p_pad = -(-p // wf_tile) * wf_tile
     rows = p_pad // 128
-    grid = (rows // WF_ROWS,)
+    grid = (rows // tile_rows,)
 
     scene_arr = scene_planes(spheres)
     n = spheres.count
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
-    tile = pl.BlockSpec((WF_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     in_specs = [smem((1, 4)), smem((_SCENE_ROWS, n))]
     static_args = [scene_arr]
@@ -265,7 +301,7 @@ def render_wavefront(
         num_lights = sc.lights.count
         in_specs += [smem((8, num_lights))]
         static_args += [lights_planes(sc.lights)]
-    in_specs += [tile] * 12
+    in_specs += [tile] * (14 if regenerate else 12)
     out_specs = tuple([tile] * 14)
     plane = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
     out_shape = tuple([plane] * 14)
@@ -276,6 +312,7 @@ def render_wavefront(
         t_min=float(t_min), t_max=float(t_max),
         rr_depth=russian_roulette_depth, sky_intensity=float(sky_intensity),
         num_lights=num_lights, mesh_smooth=has_mesh and sc.mesh.smooth,
+        regen=regenerate,
     )
     bounce_call = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
@@ -303,6 +340,17 @@ def render_wavefront(
 
     frame_seed = jnp.asarray(frame_seed, jnp.uint32)
     sample_index = jnp.asarray(sample_index, jnp.uint32)
+
+    if regenerate:
+        return _run_regen(
+            bounce_call, static_args, camera,
+            width=width, height=height, rows=rows, p=p, spp=spp,
+            max_depth=max_depth, sample_index=sample_index,
+            frame_seed=frame_seed, sort=sort,
+            compact_threshold=compact_threshold,
+            refill_threshold=refill_threshold,
+            y_offset=y_offset, total_width=tw,
+        )
 
     def one_sample(s_u32):
         origins, dirs, _ = rays_ops.generate_rays_hash(
@@ -386,3 +434,163 @@ def render_wavefront(
         [r.reshape(-1)[:p].reshape(height, width) for r in rad], axis=-1
     )
     return img / jnp.float32(spp)
+
+
+def _run_regen(
+    bounce_call,
+    static_args,
+    camera,
+    *,
+    width: int,
+    height: int,
+    rows: int,
+    p: int,
+    spp: int,
+    max_depth: int,
+    sample_index: Array,
+    frame_seed: Array,
+    sort: str,
+    compact_threshold: float,
+    refill_threshold: float,
+    y_offset: Array | int,
+    total_width: int,
+) -> Array:
+    """Ray-regeneration wavefront loop: one persistent pool over all samples.
+
+    The sample stream is `spp * rows` row blocks of 128 rays (sample-major,
+    each block = one 128-pixel slice of the padded frame).  The pool holds
+    `rows` rows; one `while_loop` iteration = one bounce of every pooled ray.
+    When at least `refill_threshold` of the rows have fully died (and stream
+    blocks remain), dead rows are refilled in stream order with fresh primary
+    rays — the classic wavefront "path regeneration" step, at the row
+    granularity that is the only permutation/scatter shape the TPU moves at
+    bandwidth.  Radiance deltas scatter-add into a (rows, 128) image
+    accumulator by each row's block id — a whole-row scatter, same cost class
+    as the compaction gathers.
+
+    Correctness: a ray's every draw is hash(pixel id, ABSOLUTE sample, frame
+    seed, bounce salt), carried per lane, so each of the spp*p rays traces
+    the identical path it would in any other engine; only the per-pixel
+    float accumulation ORDER differs (pool order, not sample-major order).
+    """
+    from gpu_ray_tracing_tpu.ops import rays as rays_ops
+
+    bpf = rows  # blocks per frame
+    total_blocks = spp * bpf
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    y_off = jnp.asarray(y_offset, jnp.int32)
+    s0 = jnp.asarray(sample_index, jnp.int32)
+    ints = jax.lax.bitcast_convert_type(
+        jnp.stack([jnp.uint32(0), frame_seed, jnp.uint32(0), jnp.uint32(0)]),
+        jnp.int32,
+    ).reshape(1, 4)
+
+    def fresh(blk):
+        """Primary-ray state for per-row stream block ids (i32 (rows,), -1 =
+        empty slot; empty/pad lanes are born dead)."""
+        local = (blk % bpf)[:, None] * 128 + lane
+        in_frame = local < p
+        pid = jnp.where(
+            in_frame,
+            (local // width + y_off) * total_width + local % width,
+            # pad slots: unique ids past the shard's range (same map as the
+            # non-regenerating engine; the lanes are dead from the start)
+            (y_off + height) * total_width + (local - p),
+        )
+        smp = jnp.broadcast_to((s0 + blk // bpf)[:, None], (rows, 128))
+        o, d, _ = rays_ops.generate_rays_for_ids(
+            camera, pid, smp.astype(jnp.uint32), frame_seed,
+            total_width=total_width,
+        )
+        one = jnp.ones((rows, 128), jnp.float32)
+        zero = jnp.zeros((rows, 128), jnp.float32)
+        live = (in_frame & (blk >= 0)[:, None]).astype(jnp.float32)
+        state = (
+            o[..., 0], o[..., 1], o[..., 2],
+            d[..., 0], d[..., 1], d[..., 2],
+            one, one, one, zero, live,
+        )
+        return pid, smp, jnp.zeros((rows, 128), jnp.int32), state
+
+    row_ids = jnp.arange(rows, dtype=jnp.int32)
+    blk0 = jnp.where(row_ids < total_blocks, row_ids, jnp.int32(-1))
+    pid0, smp0, bnc0, state0 = fresh(blk0)
+    next0 = jnp.minimum(jnp.int32(rows), jnp.int32(total_blocks))
+    img0 = (jnp.zeros((bpf, 128), jnp.float32),) * 3
+
+    def cond(c):
+        return (c[0] < total_blocks) | (c[1] > 0)
+
+    def body(c):
+        nxt, _, pid, smp, bnc, state, blk, img = c
+        res = bounce_call(ints, *static_args, pid, smp, bnc, *state)
+        state = tuple(res[:11])
+        # Pool-order radiance accumulation: one whole-row scatter-add per
+        # bounce into the image-order accumulator (dead/empty rows emit
+        # zeros; emptied slots scatter out of bounds and are dropped).
+        idx = jnp.where(blk >= 0, blk % bpf, bpf)
+        img = tuple(a.at[idx].add(d, mode="drop") for a, d in zip(img, res[11:]))
+        bnc = bnc + 1
+        live_pl = jnp.where(bnc >= max_depth, 0.0, state[10])
+        state = state[:10] + (live_pl,)
+        live_rows = jnp.max(live_pl, axis=1)
+        frac_live = jnp.mean((live_rows > 0.5).astype(jnp.float32))
+
+        def compact(args):
+            pid, smp, bnc, state, blk = args
+            if sort == "octant":
+                perm = _sort_rows_octant(live_rows, state[3], state[4], state[5])
+            else:
+                perm = _partition_live(live_rows)
+            return (
+                pid[perm], smp[perm], bnc[perm],
+                tuple(s[perm] for s in state), blk[perm],
+            )
+
+        pid, smp, bnc, state, blk = jax.lax.cond(
+            frac_live < compact_threshold, compact, lambda a: a,
+            (pid, smp, bnc, state, blk),
+        )
+
+        live_row = jnp.max(state[10], axis=1) > 0.5
+        blk = jnp.where(live_row, blk, jnp.int32(-1))
+        dead = ~live_row
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        avail = total_blocks - nxt
+        take = dead & (rank < avail)
+        k = jnp.minimum(jnp.sum(dead.astype(jnp.int32)), avail)
+        frac_dead = jnp.mean(dead.astype(jnp.float32))
+        # Refill when enough rows died to amortize the whole-pool raygen
+        # pass, or unconditionally near stream end (so the stream drains).
+        do_refill = (k > 0) & (
+            (frac_dead >= refill_threshold) | (avail <= rows)
+        )
+
+        def refill(args):
+            pid, smp, bnc, state, blk = args
+            new_blk = jnp.where(take, nxt + rank, blk)
+            f_pid, f_smp, f_bnc, f_state = fresh(new_blk)
+            tm = take[:, None]
+            return (
+                jnp.where(tm, f_pid, pid),
+                jnp.where(tm, f_smp, smp),
+                jnp.where(tm, f_bnc, bnc),
+                tuple(jnp.where(tm, f, s) for f, s in zip(f_state, state)),
+                new_blk,
+                nxt + k,
+            )
+
+        pid, smp, bnc, state, blk, nxt = jax.lax.cond(
+            do_refill, refill,
+            lambda args: args + (nxt,),
+            (pid, smp, bnc, state, blk),
+        )
+        n_live = jnp.sum((state[10] > 0.5).astype(jnp.int32))
+        return nxt, n_live, pid, smp, bnc, state, blk, img
+
+    carry = (next0, jnp.int32(1), pid0, smp0, bnc0, state0, blk0, img0)
+    _, _, _, _, _, _, _, img = jax.lax.while_loop(cond, body, carry)
+    out = jnp.stack(
+        [r.reshape(-1)[:p].reshape(height, width) for r in img], axis=-1
+    )
+    return out / jnp.float32(spp)

@@ -122,6 +122,46 @@ def generate_rays_hash(
     return origins, dirs, seeds
 
 
+def generate_rays_for_ids(
+    camera: Camera,
+    pixel_ids: Array,
+    sample_index: Array,
+    frame_seed_u32: Array,
+    *,
+    total_width: int,
+) -> tuple[Array, Array, Array]:
+    """Counter-based ray generation for an arbitrary array of GLOBAL pixel ids.
+
+    Same draws and same arithmetic as `generate_rays_hash` — for any pixel id
+    the returned ray is bit-identical to the full-frame generator's — but the
+    pixels need not form a frame and `sample_index` may vary PER ELEMENT.
+    This is what lets the wavefront engine's ray regeneration refill dead ray
+    rows mid-trace with primary rays of a later sample (ops/pallas/wavefront).
+
+    Returns (origins, dirs, seeds): origins/dirs are pixel_ids.shape + (3,).
+    """
+    pid = jnp.asarray(pixel_ids, jnp.uint32)
+    seeds = rng_ops.hash_pixel_seeds(pid, sample_index, frame_seed_u32)
+
+    jx = rng_ops.uniform_hash(seeds, 1) - 0.5
+    jy = rng_ops.uniform_hash(seeds, 2) - 0.5
+    tw = jnp.uint32(total_width)
+    # Global x/y from the flat id.  Both fit f32 exactly (ids < 2^24 for any
+    # frame this renderer addresses; the pad-id range stays below that too).
+    fx = ((pid % tw).astype(jnp.float32) + 0.5 + jx)[..., None]
+    fy = ((pid // tw).astype(jnp.float32) + 0.5 + jy)[..., None]
+    centers = (
+        camera.viewport_upper_left
+        + camera.pixel_delta_u * fx
+        + camera.pixel_delta_v * fy
+    )
+    radius = jnp.sqrt(rng_ops.uniform_hash(seeds, 3))
+    angle = _TWO_PI * rng_ops.uniform_hash(seeds, 4)
+    origins = _defocus_origin(camera, radius * jnp.cos(angle), radius * jnp.sin(angle))
+    dirs = centers - origins
+    return origins, dirs, seeds
+
+
 def generate_rays_wgsl(
     camera: Camera,
     width: int,

@@ -75,6 +75,17 @@ class RenderConfig:
     # a pure BSDF-sampling tracer.
     nee: bool = False
 
+    # Wavefront ray regeneration (backend='wavefront' only): keep ONE
+    # persistent ray pool across the spp samples, refilling ray rows whose
+    # 128 rays have all died with the next sample's primary rays, so the
+    # deep-bounce tail of one sample overlaps the cheap early bounces of the
+    # next.  Identical per-ray streams (the counter RNG carries absolute
+    # sample ids per lane); per-pixel sums can differ in the last float bits
+    # only through accumulation order.  'auto' turns it on when spp > 1;
+    # 'off' (default) keeps the sample-major loop, whose sums are bitwise
+    # identical to the megakernel's.
+    regenerate: Literal["auto", "on", "off"] = "off"
+
     # Russian-roulette path termination: 0 disables (the reference always
     # runs to max_depth); k > 0 stochastically kills low-throughput paths
     # from bounce k on, dividing surviving throughput by the survival

@@ -111,6 +111,48 @@ def test_progressive_accumulation_equals_batch_mean():
     np.testing.assert_allclose(np.asarray(state.rgb), np.mean(samples, axis=0), atol=1e-5)
 
 
+def test_progressive_batched_steps_match_single_steps():
+    """spp_per_step=k draws the SAME absolute sample indices as k single
+    steps and folds them with weight k: the accumulated mean matches."""
+    scene = base_scene()
+    fs = jnp.uint32(3)
+    for backend in ("jax", "wavefront"):
+        cfg = _cfg(spp=8, backend=backend)
+        ones = init_accum(cfg.height, cfg.width)
+        for _ in range(8):
+            ones = progressive_step(ones, scene, BASE_CAMERA, cfg, frame_seed=fs)
+        batched = init_accum(cfg.height, cfg.width)
+        for _ in range(2):
+            batched = progressive_step(
+                batched, scene, BASE_CAMERA, cfg, frame_seed=fs, spp_per_step=4
+            )
+        assert int(batched.count) == 8
+        np.testing.assert_allclose(
+            np.asarray(batched.rgb), np.asarray(ones.rgb), atol=2e-5, rtol=1e-5
+        )
+
+
+def test_progressive_batched_step_with_regeneration():
+    """The batched step is regeneration's delivery vehicle: wavefront +
+    regenerate='auto' + spp_per_step>1 must accumulate the same image."""
+    scene = base_scene()
+    fs = jnp.uint32(11)
+    cfg = _cfg(spp=6, backend="wavefront")
+    plain = init_accum(cfg.height, cfg.width)
+    for _ in range(6):
+        plain = progressive_step(plain, scene, BASE_CAMERA, cfg, frame_seed=fs)
+    cfg_r = _cfg(spp=6, backend="wavefront", regenerate="auto")
+    regen = init_accum(cfg.height, cfg.width)
+    for _ in range(2):
+        regen = progressive_step(
+            regen, scene, BASE_CAMERA, cfg_r, frame_seed=fs, spp_per_step=3
+        )
+    assert int(regen.count) == 6
+    np.testing.assert_allclose(
+        np.asarray(regen.rgb), np.asarray(plain.rgb), atol=3e-5, rtol=1e-5
+    )
+
+
 def test_progressive_freezes_at_target():
     scene = base_scene()
     cfg = _cfg(spp=2)

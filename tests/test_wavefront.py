@@ -203,6 +203,106 @@ def test_wavefront_compact_threshold_is_invisible():
     np.testing.assert_array_equal(always, gated)
 
 
+def _assert_regen_matches_plain(scene, cam, tol=3e-5, **kw):
+    from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
+
+    a = np.asarray(render_wavefront(scene, cam, **kw))
+    b = np.asarray(render_wavefront(scene, cam, regenerate=True, **kw))
+    assert np.all(np.isfinite(b))
+    # Identical per-ray streams; only the per-pixel ACCUMULATION order
+    # differs (pool order vs sample-major), so equality is to float
+    # addition-reordering noise, not bitwise.
+    np.testing.assert_allclose(a, b, atol=tol, rtol=1e-5)
+    return a
+
+
+def test_wavefront_regen_matches_plain_spp4():
+    """Ray regeneration (one persistent pool, dead rows refilled with the
+    next sample's primaries) must be invisible to the estimator.  The scene
+    has a sphere BVH, so regrouped tiles can flip a few borderline far-root
+    decisions (the standard sphere-BVH contract) — compare images, not bits."""
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
+
+    scene = make_scene(one_weekend_scene(jax.random.key(0)))
+    assert scene.sphere_bvh is not None
+    w, h = 64, 48
+    cam = derive_camera(CameraSettings.default(), w, h)
+    kw = dict(width=w, height=h, spp=4, max_depth=8, t_min=1e-3,
+              russian_roulette_depth=3, frame_seed=jnp.uint32(7),
+              sample_index=jnp.uint32(0))
+    a = np.asarray(render_wavefront(scene, cam, **kw))
+    b = np.asarray(render_wavefront(scene, cam, regenerate=True, **kw))
+    assert np.all(np.isfinite(b))
+    assert_images_match(a, b, flip_frac=0.005, mean_tol=5e-4)
+    assert a.mean() > 0.05
+
+
+def test_wavefront_regen_nonzero_sample_base_and_odd_frame():
+    """Regeneration carries ABSOLUTE per-lane sample ids: a pool starting at
+    sample_index=5 must reproduce the plain engine's samples 5..7; odd
+    resolutions exercise the pad lanes born dead at refill."""
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+
+    scene = base_scene()
+    w, h = 50, 31
+    cam = derive_camera(BASE_CAMERA, w, h)
+    _assert_regen_matches_plain(
+        scene, cam, width=w, height=h, spp=3, max_depth=6, t_min=1e-3,
+        frame_seed=jnp.uint32(2), sample_index=jnp.uint32(5),
+    )
+
+
+def test_wavefront_regen_refill_threshold_is_invisible():
+    """The refill gate (when to spend the whole-pool raygen pass) is a pure
+    scheduling decision; any threshold draws the same streams."""
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
+
+    scene = base_scene()
+    w, h = 48, 32
+    cam = derive_camera(BASE_CAMERA, w, h)
+    kw = dict(width=w, height=h, spp=3, max_depth=6, t_min=1e-3,
+              frame_seed=jnp.uint32(5), sample_index=jnp.uint32(0),
+              regenerate=True)
+    eager = np.asarray(render_wavefront(scene, cam, refill_threshold=0.0, **kw))
+    lazy = np.asarray(render_wavefront(scene, cam, refill_threshold=0.9, **kw))
+    np.testing.assert_allclose(eager, lazy, atol=3e-5, rtol=1e-5)
+
+
+def test_wavefront_regen_row_shard_matches_full_frame():
+    """Sharded regeneration: global pixel ids keep the stream shard-invariant
+    (each shard's pool regenerates independently)."""
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
+
+    scene = base_scene()
+    w, h = 50, 32
+    cam = derive_camera(BASE_CAMERA, w, h)
+    kw = dict(max_depth=5, t_min=1e-3, spp=2, frame_seed=jnp.uint32(9),
+              sample_index=jnp.uint32(0), regenerate=True)
+    full = np.asarray(render_wavefront(scene, cam, width=w, height=h, **kw))
+    top = np.asarray(render_wavefront(
+        scene, cam, width=w, height=16, y_offset=0, total_width=w, **kw))
+    bot = np.asarray(render_wavefront(
+        scene, cam, width=w, height=16, y_offset=16, total_width=w, **kw))
+    np.testing.assert_allclose(
+        np.concatenate([top, bot]), full, atol=3e-5, rtol=1e-5)
+
+
+def test_wavefront_regen_via_config():
+    """RenderConfig(regenerate='on'/'auto') routes through api.render."""
+    scene = base_scene()
+    ref = np.asarray(render(
+        scene, BASE_CAMERA, _cfg(spp=2, backend="wavefront"),
+        frame_seed=jnp.uint32(7)))
+    for mode in ("on", "auto"):
+        img = np.asarray(render(
+            scene, BASE_CAMERA, _cfg(spp=2, backend="wavefront", regenerate=mode),
+            frame_seed=jnp.uint32(7)))
+        np.testing.assert_allclose(img, ref, atol=3e-5, rtol=1e-5)
+
+
 def test_wavefront_many_lights_nee_bit_matches_megakernel():
     """>4 emissive lights takes the pick-one-light NEE branch; the pick is a
     function of (sample, frame seed, bounce) only — never tile/program ids —
