@@ -194,42 +194,69 @@ def config5(quick: bool, obj: str | None) -> dict:
     cfg = RenderConfig(width=res[0], height=res[1], spp=1024, max_depth=20,
                        backend=backend, russian_roulette_depth=5)
     cam = CameraSettings.default()
-    steps = 4 if quick else 16
 
-    @partial(jax.jit, static_argnames=("n",))
-    def window(state, n):
-        def body(_, st):
-            return progressive_step(st, scene, cam, cfg, frame_seed=jnp.uint32(0))
+    def measure_steps(step_cfg, steps, spp_per_step):
+        """Differential device-loop timing of progressive steps: windows of
+        `steps` and `2*steps`; the slope is the marginal cost per step (each
+        window call pays a ~30 ms fixed tunnel dispatch cost that is not
+        accumulation work)."""
 
-        st = jax.lax.fori_loop(0, n, body, state)
-        return st, st.rgb.sum()
+        @partial(jax.jit, static_argnames=("n",))
+        def window(state, n):
+            def body(_, st):
+                return progressive_step(st, scene, cam, step_cfg,
+                                        frame_seed=jnp.uint32(0),
+                                        spp_per_step=spp_per_step)
 
-    # Differential: windows of `steps` and `2*steps` progressive steps;
-    # slope = marginal cost per step (each window call pays a ~30 ms fixed
-    # tunnel dispatch cost that is not accumulation work).
-    state = init_accum(cfg.height, cfg.width)
-    state, cs = window(state, steps)
-    float(cs)  # compile + warm (also the first `steps` samples)
-    state2, cs = window(state, 2 * steps)
-    float(cs)
-    t1s, t2s = [], []
-    for _ in range(3):
-        t0 = time.perf_counter()
+            st = jax.lax.fori_loop(0, n, body, state)
+            return st, st.rgb.sum()
+
+        state = init_accum(step_cfg.height, step_cfg.width)
         state, cs = window(state, steps)
-        checksum = float(cs)
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
+        float(cs)  # compile + warm (also the first `steps` samples)
         state, cs = window(state, 2 * steps)
-        checksum += float(cs)
-        t2s.append(time.perf_counter() - t0)
-    t1 = sorted(t1s)[len(t1s) // 2]
-    t2 = sorted(t2s)[len(t2s) // 2]
-    seconds = max(t2 - t1, 1e-9)
-    stats = FrameStats(frames=steps, seconds=seconds, width=res[0],
-                       height=res[1], spp=1, checksum=checksum,
-                       window_seconds=tuple(t2s), window_seconds_short=tuple(t1s),
-                       window_fixed_seconds=max(t1 - seconds, 0.0))
-    check_plausible(stats.mrays_per_sec)
+        float(cs)
+        t1s, t2s = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, cs = window(state, steps)
+            checksum = float(cs)
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            state, cs = window(state, 2 * steps)
+            checksum += float(cs)
+            t2s.append(time.perf_counter() - t0)
+        t1 = sorted(t1s)[len(t1s) // 2]
+        t2 = sorted(t2s)[len(t2s) // 2]
+        seconds = max(t2 - t1, 1e-9)
+        stats = FrameStats(frames=steps, seconds=seconds, width=step_cfg.width,
+                           height=step_cfg.height, spp=spp_per_step,
+                           checksum=checksum,
+                           window_seconds=tuple(t2s),
+                           window_seconds_short=tuple(t1s),
+                           window_fixed_seconds=max(t1 - seconds, 0.0))
+        check_plausible(stats.mrays_per_sec)
+        return stats, state
+
+    # Interactive contract: 1 spp per step (the reference's frame-at-a-time
+    # update) — the headline record.
+    stats, state = measure_steps(cfg, 4 if quick else 16, 1)
+
+    # Offline accumulation: 8 spp per batched step with wavefront ray
+    # regeneration (regenerate='auto'), the persistent-pool engine's shape.
+    batched = None
+    if jax.default_backend() == "tpu":
+        import dataclasses as _dc
+
+        b_stats, _ = measure_steps(
+            _dc.replace(cfg, regenerate="auto"), 2 if quick else 4, 8
+        )
+        batched = {
+            "spp_per_step": 8,
+            "regenerate": "auto",
+            "ms_per_step": round(b_stats.seconds / b_stats.frames * 1e3, 2),
+            "spp_per_sec": round(8 * b_stats.frames / b_stats.seconds, 2),
+        }
 
     # Sharded-correctness pass (BASELINE names a sharded framebuffer): one
     # progressive_step_sharded over an 8-virtual-device CPU mesh at reduced
@@ -265,6 +292,7 @@ def config5(quick: bool, obj: str | None) -> dict:
         {"backend": backend, "resolution": f"{res[0]}x{res[1]}",
          "spp_reached": int(state.count),
          "perf_scope": "single_chip",
+         "batched_step": batched,
          "sharded_correctness_8dev_cpu": sharded_ok},
     )
 

@@ -181,17 +181,25 @@ def _partition_live(live: Array) -> Array:
     return jnp.zeros((p,), jnp.int32).at[dest].set(jnp.arange(p, dtype=jnp.int32))
 
 
-def _sort_rows_octant(live_rows: Array, dx, dy, dz) -> Array:
+def _sort_rows_octant(live_rows: Array, dx, dy, dz, bounce_rows=None) -> Array:
     """Gather permutation: live rows first, grouped by the octant of each
     row's mean bounce direction (dead rows last).  Groups directionally
     similar rows into the same kernel tile so the tile-coherent BVH cursor
-    descends tighter subtrees."""
+    descends tighter subtrees.
+
+    `bounce_rows` (regeneration pools, where rows mix bounce depths but each
+    row's 128 rays bounce in lockstep) additionally groups rows by a capped
+    bounce bucket BEFORE the octant: fresh primary rows are directionally
+    tight and should not share tiles with deep diffuse rows, whose wide
+    subtree unions would otherwise tax every tile they touch."""
     key = (
         (jnp.mean(dx, axis=1) > 0).astype(jnp.int32) * 4
         + (jnp.mean(dy, axis=1) > 0).astype(jnp.int32) * 2
         + (jnp.mean(dz, axis=1) > 0).astype(jnp.int32)
     )
-    key = jnp.where(live_rows > 0.5, key, jnp.int32(8))
+    if bounce_rows is not None:
+        key = key + 8 * jnp.clip(bounce_rows, 0, 3)
+    key = jnp.where(live_rows > 0.5, key, jnp.int32(8 * 4))
     return jnp.argsort(key, stable=True).astype(jnp.int32)
 
 
@@ -245,8 +253,10 @@ def render_wavefront(
     from gpu_ray_tracing_tpu.models.scene import as_scene
     from gpu_ray_tracing_tpu.ops import rays as rays_ops
 
-    if sort not in ("octant", "live"):
-        raise ValueError(f"sort={sort!r}; expected 'octant' or 'live'")
+    if sort not in ("octant", "octant-flat", "live"):
+        raise ValueError(
+            f"sort={sort!r}; expected 'octant', 'octant-flat' or 'live'"
+        )
     sc = as_scene(scene_or_spheres)
     spheres = sc.spheres
     if sc.mesh is not None:
@@ -402,7 +412,9 @@ def render_wavefront(
 
             def compact(args):
                 state, rad = args
-                if sort == "octant":
+                if sort in ("octant", "octant-flat"):
+                    # No bounce key: in the sample-major loop every row is
+                    # at the same depth anyway.
                     perm = _sort_rows_octant(live_rows, state[4], state[5], state[6])
                 else:
                     perm = _partition_live(live_rows)
@@ -539,6 +551,14 @@ def _run_regen(
         def compact(args):
             pid, smp, bnc, state, blk = args
             if sort == "octant":
+                # Rows bounce in lockstep, so bnc[:, 0] is the row's depth;
+                # group by (bounce bucket, octant) to keep fresh coherent
+                # rows out of deep incoherent rows' tiles.
+                perm = _sort_rows_octant(
+                    live_rows, state[3], state[4], state[5],
+                    bounce_rows=bnc[:, 0],
+                )
+            elif sort == "octant-flat":
                 perm = _sort_rows_octant(live_rows, state[3], state[4], state[5])
             else:
                 perm = _partition_live(live_rows)
