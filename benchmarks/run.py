@@ -303,6 +303,10 @@ def main(argv=None) -> None:
     ap.add_argument("--out", default=None, help="write aggregate JSON here")
     ap.add_argument("--configs", default="1,2,3,4,5", help="comma list of config ids")
     ap.add_argument("--obj", default=None, help="OBJ mesh for config 4 (e.g. the bunny)")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the runs "
+                         "into DIR (view with TensorBoard/XProf; works "
+                         "through the axon tunnel — per-kernel device times)")
     args = ap.parse_args(argv)
 
     # Tiny op first: distinguishes an axon chip-claim hang from a compile hang.
@@ -311,11 +315,17 @@ def main(argv=None) -> None:
 
     runners = {"1": config1, "2": config2, "3": config3, "4": config4, "5": config5}
     results = []
-    for cid in args.configs.split(","):
-        cid = cid.strip()
-        if cid not in runners:
-            raise SystemExit(f"unknown config {cid}")
-        results.append(runners[cid](args.quick, args.obj))
+    import contextlib
+
+    from gpu_ray_tracing_tpu.utils.profiling import device_trace
+
+    ctx = device_trace(args.trace) if args.trace else contextlib.nullcontext()
+    with ctx:
+        for cid in args.configs.split(","):
+            cid = cid.strip()
+            if cid not in runners:
+                raise SystemExit(f"unknown config {cid}")
+            results.append(runners[cid](args.quick, args.obj))
 
     if args.out:
         with open(args.out, "w") as f:

@@ -334,6 +334,8 @@ def progressive_step(
     way: batch b covers absolute sample indices count..count+k-1, exactly
     the samples k single steps would draw.
     """
+    if spp_per_step < 1:
+        raise ValueError(f"spp_per_step must be >= 1, got {spp_per_step}")
     if isinstance(camera, CameraSettings):
         camera = derive_camera(camera, config.width, config.height)
     key, frame_seed = _resolve_rng(config, key, frame_seed)

@@ -169,6 +169,20 @@ def _wf_kernel(
             o[:] = v
 
 
+def _global_pids(local: Array, *, p: int, width: int, height: int,
+                 y_offset, total_width: int) -> Array:
+    """GLOBAL pixel ids for local flat indices of a (padded) row shard.
+
+    Pad slots (local >= p) get unique ids just past the shard's own range so
+    pid-keyed bookkeeping stays collision-free; their lanes are born dead."""
+    y_off = jnp.asarray(y_offset, jnp.int32)
+    return jnp.where(
+        local < p,
+        (local // width + y_off) * total_width + local % width,
+        (y_off + height) * total_width + (local - p),
+    )
+
+
 def _partition_live(live: Array) -> Array:
     """Gather permutation placing live entries first, order-stable (two
     cumsums, no sort)."""
@@ -257,6 +271,12 @@ def render_wavefront(
         raise ValueError(
             f"sort={sort!r}; expected 'octant', 'octant-flat' or 'live'"
         )
+    if regenerate and not 0.0 <= refill_threshold <= 1.0:
+        # > 1.0 would never refill while stream blocks remain -> the pool
+        # loop could spin forever with zero live rays.
+        raise ValueError(
+            f"refill_threshold={refill_threshold} must be within [0, 1]"
+        )
     sc = as_scene(scene_or_spheres)
     spheres = sc.spheres
     if sc.mesh is not None:
@@ -332,12 +352,9 @@ def render_wavefront(
     # GLOBAL pixel ids (row-shard aware); pad ids stay unique so the final
     # row un-permute has no collisions — their lanes are dead from the start.
     tw = width if total_width is None else total_width
-    local = jnp.arange(p_pad, dtype=jnp.int32)
-    pid0 = jnp.where(
-        local < p,
-        (local // width + jnp.asarray(y_offset, jnp.int32)) * tw + local % width,
-        # pad slots: unique ids past the shard's own range
-        (jnp.asarray(y_offset, jnp.int32) + height) * tw + (local - p),
+    pid0 = _global_pids(
+        jnp.arange(p_pad, dtype=jnp.int32), p=p, width=width, height=height,
+        y_offset=y_offset, total_width=tw,
     ).reshape(rows, 128)
     pad_live = jnp.concatenate(
         [jnp.ones((p,), jnp.float32), jnp.zeros((p_pad - p,), jnp.float32)]
@@ -487,10 +504,13 @@ def _run_regen(
     """
     from gpu_ray_tracing_tpu.ops import rays as rays_ops
 
+    if max_depth <= 0:
+        # Every engine returns black at zero depth (the bounce loop never
+        # runs); the pool loop would otherwise trace one bounce first.
+        return jnp.zeros((height, width, 3), jnp.float32)
     bpf = rows  # blocks per frame
     total_blocks = spp * bpf
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
-    y_off = jnp.asarray(y_offset, jnp.int32)
     s0 = jnp.asarray(sample_index, jnp.int32)
     ints = jax.lax.bitcast_convert_type(
         jnp.stack([jnp.uint32(0), frame_seed, jnp.uint32(0), jnp.uint32(0)]),
@@ -502,12 +522,9 @@ def _run_regen(
         empty slot; empty/pad lanes are born dead)."""
         local = (blk % bpf)[:, None] * 128 + lane
         in_frame = local < p
-        pid = jnp.where(
-            in_frame,
-            (local // width + y_off) * total_width + local % width,
-            # pad slots: unique ids past the shard's range (same map as the
-            # non-regenerating engine; the lanes are dead from the start)
-            (y_off + height) * total_width + (local - p),
+        pid = _global_pids(
+            local, p=p, width=width, height=height,
+            y_offset=y_offset, total_width=total_width,
         )
         smp = jnp.broadcast_to((s0 + blk // bpf)[:, None], (rows, 128))
         o, d, _ = rays_ops.generate_rays_for_ids(

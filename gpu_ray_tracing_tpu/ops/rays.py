@@ -109,17 +109,13 @@ def generate_rays_hash(
     x = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 1)
     y = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 0) + jnp.uint32(y_offset)
     pixel_ids = y * jnp.uint32(tw) + x
-    seeds = rng_ops.hash_pixel_seeds(pixel_ids, sample_index, frame_seed_u32)
-
-    jx = rng_ops.uniform_hash(seeds, 1) - 0.5
-    jy = rng_ops.uniform_hash(seeds, 2) - 0.5
-    centers = _pixel_centers(camera, width, height, jx, jy, y_offset)
-
-    radius = jnp.sqrt(rng_ops.uniform_hash(seeds, 3))
-    angle = _TWO_PI * rng_ops.uniform_hash(seeds, 4)
-    origins = _defocus_origin(camera, radius * jnp.cos(angle), radius * jnp.sin(angle))
-    dirs = centers - origins
-    return origins, dirs, seeds
+    # One sampling-arithmetic implementation for the full-frame grid and
+    # arbitrary id sets: pid % tw / pid // tw reproduce the x / y iotas
+    # exactly (both integers are f32-exact), so this stays bit-identical to
+    # the historical inline grid path.
+    return generate_rays_for_ids(
+        camera, pixel_ids, sample_index, frame_seed_u32, total_width=tw
+    )
 
 
 def generate_rays_for_ids(

@@ -153,6 +153,17 @@ def test_progressive_batched_step_with_regeneration():
     )
 
 
+def test_progressive_rejects_nonpositive_spp_per_step():
+    import pytest
+
+    scene = base_scene()
+    cfg = _cfg(spp=4)
+    state = init_accum(cfg.height, cfg.width)
+    with pytest.raises(ValueError, match="spp_per_step"):
+        progressive_step(state, scene, BASE_CAMERA, cfg,
+                         frame_seed=jnp.uint32(0), spp_per_step=0)
+
+
 def test_progressive_freezes_at_target():
     scene = base_scene()
     cfg = _cfg(spp=2)

@@ -290,6 +290,111 @@ def test_wavefront_regen_row_shard_matches_full_frame():
         np.concatenate([top, bot]), full, atol=3e-5, rtol=1e-5)
 
 
+def test_wavefront_regen_many_lights_nee():
+    """Regeneration with >4 emissive lights exercises the PER-LANE light
+    pick (masked SMEM accumulation): rays in a tile mix (sample, bounce),
+    but each ray must pick the exact light the scalar-pick engines pick for
+    its (sample, bounce)."""
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from tests.test_integrators import _many_lights_fixture
+
+    lights, scene_with = _many_lights_fixture()
+    scene = scene_with(lights)
+    assert scene.lights.count > 4
+    w, h = 48, 32
+    cam = derive_camera(CameraSettings(
+        look_from=jnp.asarray([0.0, 2.0, 6.0]),
+        look_at=jnp.asarray([0.0, 0.5, 0.0]),
+        vup=jnp.asarray([0.0, 1.0, 0.0]),
+        field_of_view=jnp.float32(50.0),
+        defocus_angle=jnp.float32(0.0),
+        focus_distance=jnp.float32(6.0),
+    ), w, h)
+    a = _assert_regen_matches_plain(
+        scene, cam, width=w, height=h, spp=3, max_depth=4, t_min=1e-3,
+        nee=True, sky_intensity=0.0, frame_seed=jnp.uint32(5),
+        sample_index=jnp.uint32(0),
+    )
+    assert a.mean() > 0.001
+
+
+def test_wavefront_regen_mesh_scene():
+    """Regeneration through the mesh + BVH leaf-scan path."""
+    from gpu_ray_tracing_tpu import transform_mesh
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.models.mesh import icosphere
+    from gpu_ray_tracing_tpu.models.spheres import LAMBERTIAN, make_spheres
+
+    spheres = make_spheres(
+        [((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.5, 0.5, 0.5), 0.0)]
+    )
+    mesh = transform_mesh(
+        icosphere(1, albedo=(0.8, 0.4, 0.2), smooth=True),
+        scale=0.7, translate=(0.0, 0.7, 0.0),
+    )
+    scene = make_scene(spheres, mesh)
+    w, h = 48, 32
+    cam = derive_camera(CameraSettings(
+        look_from=jnp.asarray([0.0, 1.0, 3.0]),
+        look_at=jnp.asarray([0.0, 0.5, 0.0]),
+        vup=jnp.asarray([0.0, 1.0, 0.0]),
+        field_of_view=jnp.float32(45.0),
+        defocus_angle=jnp.float32(0.0),
+        focus_distance=jnp.float32(3.0),
+    ), w, h)
+    _assert_regen_matches_plain(
+        scene, cam, width=w, height=h, spp=2, max_depth=5, t_min=1e-3,
+        frame_seed=jnp.uint32(1), sample_index=jnp.uint32(0),
+    )
+
+
+def test_wavefront_regen_validates_refill_threshold():
+    """refill_threshold outside [0, 1] could stall the pool loop forever;
+    it must be rejected at trace time."""
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
+
+    scene = base_scene()
+    cam = derive_camera(BASE_CAMERA, 32, 16)
+    with pytest.raises(ValueError, match="refill_threshold"):
+        render_wavefront(
+            scene, cam, width=32, height=16, spp=2, max_depth=4, t_min=1e-3,
+            frame_seed=jnp.uint32(0), sample_index=jnp.uint32(0),
+            regenerate=True, refill_threshold=1.1,
+        )
+
+
+def test_wavefront_regen_spp1_degenerate_pool():
+    """spp=1 regeneration has nothing to refill (the pool IS the stream):
+    it must still terminate and match the plain engine."""
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+
+    scene = base_scene()
+    w, h = 48, 32
+    cam = derive_camera(BASE_CAMERA, w, h)
+    _assert_regen_matches_plain(
+        scene, cam, width=w, height=h, spp=1, max_depth=6, t_min=1e-3,
+        frame_seed=jnp.uint32(4), sample_index=jnp.uint32(0),
+    )
+
+
+def test_wavefront_regen_depth_zero_is_black():
+    """max_depth=0 renders black on every engine; the pool loop must not
+    trace a bounce first."""
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
+
+    scene = base_scene()
+    cam = derive_camera(BASE_CAMERA, 32, 16)
+    for regen in (False, True):
+        img = np.asarray(render_wavefront(
+            scene, cam, width=32, height=16, spp=2, max_depth=0, t_min=1e-3,
+            frame_seed=jnp.uint32(0), sample_index=jnp.uint32(0),
+            regenerate=regen,
+        ))
+        np.testing.assert_array_equal(img, 0.0)
+
+
 def test_wavefront_regen_via_config():
     """RenderConfig(regenerate='on'/'auto') routes through api.render."""
     scene = base_scene()
