@@ -263,7 +263,6 @@ def render_wavefront(
     bits only because radiance deltas accumulate in pool order rather than
     sample-major order.
     """
-    from gpu_ray_tracing_tpu.models.camera import Camera
     from gpu_ray_tracing_tpu.models.scene import as_scene
     from gpu_ray_tracing_tpu.ops import rays as rays_ops
 
@@ -277,6 +276,8 @@ def render_wavefront(
         raise ValueError(
             f"refill_threshold={refill_threshold} must be within [0, 1]"
         )
+    if spp < 1:
+        raise ValueError(f"spp must be >= 1, got {spp}")  # avoids img/0 NaN
     sc = as_scene(scene_or_spheres)
     spheres = sc.spheres
     if sc.mesh is not None:
@@ -508,7 +509,12 @@ def _run_regen(
         # Every engine returns black at zero depth (the bounce loop never
         # runs); the pool loop would otherwise trace one bounce first.
         return jnp.zeros((height, width, 3), jnp.float32)
-    bpf = rows  # blocks per frame
+    # Blocks per frame counts only 128-pixel blocks that contain at least
+    # one REAL pixel — the pool is still `rows` slots (a tile-multiple),
+    # but issuing the padded frame's pure-pad tail blocks would spend
+    # refill slots and bounce iterations on rows that are born dead (59%
+    # of the stream at 50x31).
+    bpf = -(-p // 128)
     total_blocks = spp * bpf
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
     s0 = jnp.asarray(sample_index, jnp.int32)
