@@ -125,7 +125,17 @@ def make_mesh(
 
 
 def transform_mesh(mesh: TriangleMesh, scale=1.0, translate=(0.0, 0.0, 0.0)) -> TriangleMesh:
-    """Uniform scale + translation (normals are scale-invariant)."""
+    """Uniform positive scale + translation (normals are scale-invariant).
+
+    Negative scale is rejected: mirroring flips the winding, so the stored
+    face/corner normals would point inward and invert every front_face test
+    (dielectric eta backwards) with no visible error.
+    """
+    if float(scale) <= 0.0:
+        raise ValueError(
+            f"transform_mesh requires scale > 0, got {scale} (mirroring "
+            "would silently invert the stored normals)"
+        )
     t = jnp.asarray(translate, jnp.float32)
     return dataclasses.replace(
         mesh,
@@ -216,15 +226,9 @@ def icosphere(subdivisions: int = 3, **mat_kw) -> TriangleMesh:
     return make_mesh(verts, faces, **mat_kw)
 
 
-def torus(major: float = 1.0, minor: float = 0.35, nu: int = 48, nv: int = 24, **mat_kw) -> TriangleMesh:
-    """Torus with 2*nu*nv triangles."""
-    u = np.linspace(0, 2 * np.pi, nu, endpoint=False)
-    v = np.linspace(0, 2 * np.pi, nv, endpoint=False)
-    uu, vv = np.meshgrid(u, v, indexing="ij")
-    x = (major + minor * np.cos(vv)) * np.cos(uu)
-    y = minor * np.sin(vv)
-    z = (major + minor * np.cos(vv)) * np.sin(uu)
-    verts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+def _grid_faces(nu: int, nv: int) -> np.ndarray:
+    """Triangulated faces of a doubly wrapped (nu, nv) vertex grid (torus
+    topology; vertex (i, j) at index i*nv + j), 2*nu*nv triangles."""
 
     def vid(i, j):
         return (i % nu) * nv + (j % nv)
@@ -234,7 +238,19 @@ def torus(major: float = 1.0, minor: float = 0.35, nu: int = 48, nv: int = 24, *
         for j in range(nv):
             faces.append([vid(i, j), vid(i + 1, j), vid(i + 1, j + 1)])
             faces.append([vid(i, j), vid(i + 1, j + 1), vid(i, j + 1)])
-    return make_mesh(verts, np.asarray(faces, np.int64), **mat_kw)
+    return np.asarray(faces, np.int64)
+
+
+def torus(major: float = 1.0, minor: float = 0.35, nu: int = 48, nv: int = 24, **mat_kw) -> TriangleMesh:
+    """Torus with 2*nu*nv triangles."""
+    u = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+    v = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    x = (major + minor * np.cos(vv)) * np.cos(uu)
+    y = minor * np.sin(vv)
+    z = (major + minor * np.cos(vv)) * np.sin(uu)
+    verts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    return make_mesh(verts, _grid_faces(nu, nv), **mat_kw)
 
 
 def box(size=(1.0, 1.0, 1.0), **mat_kw) -> TriangleMesh:
@@ -316,16 +332,7 @@ def trefoil(
         + np.sin(phi)[None, :, None] * binrm[:, None, :]
     )
     verts = (p[:, None, :] + tube_radius * circ).reshape(-1, 3)
-
-    def vid(i, j):
-        return (i % nu) * nv + (j % nv)
-
-    faces = []
-    for i in range(nu):
-        for j in range(nv):
-            faces.append([vid(i, j), vid(i + 1, j), vid(i + 1, j + 1)])
-            faces.append([vid(i, j), vid(i + 1, j + 1), vid(i, j + 1)])
-    return make_mesh(verts, np.asarray(faces, np.int64), **mat_kw)
+    return make_mesh(verts, _grid_faces(nu, nv), **mat_kw)
 
 
 def bunny_stand_in(**mat_kw) -> TriangleMesh:

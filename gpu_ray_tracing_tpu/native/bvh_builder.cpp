@@ -66,23 +66,46 @@ struct Builder {
     return b;
   }
 
-  // Recursively build over order[lo, hi); returns pool index.
-  int build(int lo, int hi) {
-    int node = (int)pool.size();
-    pool.emplace_back();
-    Aabb bounds, cbounds;
-    for (int k = lo; k < hi; ++k) {
-      int p = order[k];
-      bounds.grow(bmin + 3 * p, bmax + 3 * p);
-      cbounds.grow(cent + 3 * p, cent + 3 * p);
-    }
-    pool[node].bounds = bounds;
-    int count = hi - lo;
-    if (count <= leaf_size) {
-      pool[node].first = lo;
-      pool[node].count = count;
-      return node;
-    }
+  // Iterative DFS build over order[0, n); returns the root pool index.
+  // Explicit job stack rather than recursion: SAH can peel one primitive
+  // per level, so recursion depth is O(n) on adversarial geometry and the
+  // ~1KB bin arrays per frame would overflow the C stack (and SIGSEGV the
+  // host interpreter) around ~10k depth.  Jobs are popped left-first, so
+  // the pool keeps the recursive parents-before-children DFS order that
+  // linearize()'s flat_size pass relies on.
+  struct Job {
+    int lo, hi, parent, slot;  // slot: 0 = left child, 1 = right child
+  };
+
+  int build(int n) {
+    std::vector<Job> jobs{{0, n, -1, 0}};
+    int root = -1;
+    while (!jobs.empty()) {
+      Job j = jobs.back();
+      jobs.pop_back();
+      int node = (int)pool.size();
+      pool.emplace_back();
+      if (j.parent < 0) {
+        root = node;
+      } else if (j.slot) {
+        pool[j.parent].right = node;
+      } else {
+        pool[j.parent].left = node;
+      }
+      int lo = j.lo, hi = j.hi;
+      Aabb bounds, cbounds;
+      for (int k = lo; k < hi; ++k) {
+        int p = order[k];
+        bounds.grow(bmin + 3 * p, bmax + 3 * p);
+        cbounds.grow(cent + 3 * p, cent + 3 * p);
+      }
+      pool[node].bounds = bounds;
+      int count = hi - lo;
+      if (count <= leaf_size) {
+        pool[node].first = lo;
+        pool[node].count = count;
+        continue;
+      }
 
     // Binned SAH over each axis; fall back to median when degenerate.
     int best_axis = -1, best_bin = -1;
@@ -159,11 +182,10 @@ struct Builder {
       }
     }
 
-    int l = build(lo, mid);
-    int r = build(mid, hi);
-    pool[node].left = l;
-    pool[node].right = r;
-    return node;
+      jobs.push_back({mid, hi, node, 1});
+      jobs.push_back({lo, mid, node, 0});
+    }
+    return root;
   }
 };
 
@@ -227,7 +249,7 @@ int build_bvh_sah(const float* centroids, const float* bounds_min,
   b.order.resize(n);
   for (int i = 0; i < n; ++i) b.order[i] = i;
   b.pool.reserve(2 * (size_t)n);
-  int root = b.build(0, n);
+  int root = b.build(n);
   linearize(b.pool, root, node_bmin, node_bmax, miss_link, leaf_start,
             leaf_count, n_nodes_out);
   std::memcpy(order, b.order.data(), n * sizeof(int32_t));

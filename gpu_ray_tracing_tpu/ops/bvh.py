@@ -39,6 +39,18 @@ Array = jax.Array
 SENTINEL = -1  # cursor value meaning "traversal finished"
 
 
+def _round_out_f32(vals, up: bool) -> np.ndarray:
+    """Narrow to float32 rounding OUTWARD (toward ±inf), so a float32 AABB
+    never shrinks below the (possibly float64) extent it covers."""
+    v64 = np.asarray(vals, np.float64)
+    v32 = np.asarray(v64, np.float32)
+    if up:
+        return np.where(v32.astype(np.float64) < v64,
+                        np.nextafter(v32, np.float32(np.inf)), v32)
+    return np.where(v32.astype(np.float64) > v64,
+                    np.nextafter(v32, np.float32(-np.inf)), v32)
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["bbox_min", "bbox_max", "miss_link", "leaf_start", "leaf_count"],
@@ -87,6 +99,15 @@ def build_bvh(
     """
     if method not in ("auto", "native", "numpy"):
         raise ValueError(f"unknown BVH build method {method!r}")
+    if leaf_size < 1:
+        raise ValueError(f"leaf_size must be >= 1, got {leaf_size}")
+    if np.shape(centroids)[0] == 0:
+        raise ValueError("cannot build a BVH over zero primitives")
+    # Narrow the (possibly float64) primitive bounds to f32 by rounding
+    # OUTWARD: round-to-nearest could shrink a box below the true extent by
+    # half an ulp and cull a genuine grazing hit in the f32 slab test.
+    bounds_min = _round_out_f32(bounds_min, up=False)
+    bounds_max = _round_out_f32(bounds_max, up=True)
     if method != "numpy":
         from gpu_ray_tracing_tpu import native
 
@@ -113,8 +134,6 @@ def build_bvh(
     bounds_min = np.asarray(bounds_min, np.float64)
     bounds_max = np.asarray(bounds_max, np.float64)
     f = centroids.shape[0]
-    if f == 0:
-        raise ValueError("cannot build a BVH over zero primitives")
 
     order: list[int] = []
     nodes_min: list[np.ndarray] = []
@@ -175,20 +194,10 @@ def build_mesh_bvh(
     bmax = np.maximum(np.maximum(v0, v1), v2)
     centroids = (v0 + v1 + v2) / 3.0
     bvh, order = build_bvh(centroids, bmin, bmax, leaf_size, method)
-    corner = (
-        {f"n{c}": getattr(mesh, f"n{c}")[order] for c in range(3)}
-        if mesh.smooth else {}
-    )
-    reordered = TriangleMesh(
-        v0=mesh.v0[order],
-        e1=mesh.e1[order],
-        e2=mesh.e2[order],
-        normals=mesh.normals[order],
-        albedo=mesh.albedo[order],
-        mat_kind=mesh.mat_kind[order],
-        mat_param=mesh.mat_param[order],
-        **corner,
-    )
+    # Pytree map applies the permutation to EVERY per-triangle array (None
+    # leaves — the optional corner normals — are skipped automatically), so
+    # a future field cannot silently desynchronize from the leaf ranges.
+    reordered = jax.tree_util.tree_map(lambda a: a[order], mesh)
     return reordered, bvh
 
 
@@ -201,10 +210,6 @@ def build_sphere_bvh(spheres, leaf_size: int = 32, method: str = "auto"):
     scan for large scenes (the reference's linear wgsl:164-180 scan is the
     equivalent being replaced).
     """
-    import dataclasses as _dc
-
-    from gpu_ray_tracing_tpu.models.spheres import Spheres  # local: avoid cycle
-
     radii = np.asarray(spheres.radii)
     active = np.flatnonzero(radii > 0.0)
     inactive = np.flatnonzero(radii <= 0.0)
@@ -214,13 +219,7 @@ def build_sphere_bvh(spheres, leaf_size: int = 32, method: str = "auto"):
     r = radii[active][:, None].astype(np.float64)
     bvh, order = build_bvh(centers, centers - r, centers + r, leaf_size, method)
     perm = np.concatenate([active[order], inactive])
-    reordered = Spheres(
-        centers=spheres.centers[perm],
-        radii=spheres.radii[perm],
-        albedo=spheres.albedo[perm],
-        mat_kind=spheres.mat_kind[perm],
-        mat_param=spheres.mat_param[perm],
-    )
+    reordered = jax.tree_util.tree_map(lambda a: a[perm], spheres)
     return reordered, bvh
 
 

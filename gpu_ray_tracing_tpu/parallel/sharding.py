@@ -36,7 +36,7 @@ from gpu_ray_tracing_tpu.api import _dispatch_kernel_render, _trace_chunked
 from gpu_ray_tracing_tpu.models.camera import Camera, CameraSettings, derive_camera
 from gpu_ray_tracing_tpu.models.spheres import Spheres
 from gpu_ray_tracing_tpu.ops import integrators, rays
-from gpu_ray_tracing_tpu.ops.accumulate import AccumState
+from gpu_ray_tracing_tpu.ops.accumulate import AccumState, fold_sample
 from gpu_ray_tracing_tpu.parallel.mesh import ROW_AXIS, SPP_AXIS
 from gpu_ray_tracing_tpu.utils.config import RenderConfig
 
@@ -49,8 +49,17 @@ def _check(config: RenderConfig, mesh: Mesh):
             "sharded rendering requires a position-equivariant RNG; use "
             "config.rng='hash' (default) or 'wgsl', not 'threefry'"
         )
+    missing = [a for a in (ROW_AXIS, SPP_AXIS) if a not in mesh.shape]
+    if missing:
+        # The shard_map bodies take axis_index/psum over BOTH axes; a mesh
+        # without one would fail deep in tracing with an unbound-axis error.
+        raise ValueError(
+            f"mesh is missing axis(es) {missing}: sharded rendering needs a "
+            f"('{ROW_AXIS}', '{SPP_AXIS}') mesh (size-1 axes are fine — use "
+            f"parallel.mesh.make_mesh); got axes {tuple(mesh.shape)}"
+        )
     n_rows = mesh.shape[ROW_AXIS]
-    n_spp = mesh.shape.get(SPP_AXIS, 1)
+    n_spp = mesh.shape[SPP_AXIS]
     if config.height % n_rows != 0:
         raise ValueError(f"height {config.height} not divisible by mesh rows {n_rows}")
     if config.spp % n_spp != 0:
@@ -97,7 +106,11 @@ def render_sharded(
     """Render one frame with rows sharded over mesh axis 'x' and spp over 's'.
 
     Returns the (height, width, 3) image, sharded (rows) across the mesh.
-    Bit-identical to the unsharded `render` with the same config/seed.
+    Draw-for-draw the same sample stream as the unsharded `render` (global
+    pixel-id RNG); the images are statistically identical but NOT bitwise
+    equal in general — per-shape XLA rounding and the spp-axis psum's
+    addition order differ (see the module-header equality caveat and
+    tests/test_sharding.py::assert_images_match).
     """
     if isinstance(camera, CameraSettings):
         camera = derive_camera(camera, config.width, config.height)
@@ -167,6 +180,7 @@ def progressive_step_sharded(
         si = jax.lax.axis_index(SPP_AXIS)
         y0 = xi * local_h
 
+        # Reset BEFORE deriving sample indices (s_global must restart at 0).
         rgb_local = jnp.where(reset, 0.0, rgb_local)
         count = jnp.where(reset, 0, count)
 
@@ -174,20 +188,16 @@ def progressive_step_sharded(
         sample = _local_sample(spheres, camera, config, s_global, frame_seed, y0, local_h)
         batch = jax.lax.psum(sample, SPP_AXIS)  # sum of n_spp fresh samples
 
-        converged = count >= config.spp
-        k = jnp.int32(n_spp)
-        new_count = jnp.minimum(count + k, jnp.int32(config.spp))
-        taken = (new_count - count).astype(jnp.float32)
-        # Weighted incremental mean: fold `taken` fresh samples at once.
-        new_rgb = jnp.where(
-            taken > 0,
-            (rgb_local * count.astype(jnp.float32) + batch * (taken / jnp.float32(n_spp)))
-            / jnp.maximum(count.astype(jnp.float32) + taken, 1.0),
-            rgb_local,
+        # One canonical fold (ops/accumulate.fold_sample): the mean of the
+        # n_spp fresh samples folds with weight n_spp; n_spp=1 keeps the
+        # reference's exact single-rounding arithmetic.  (_check enforces
+        # spp % n_spp == 0, so a batch never straddles the freeze target.)
+        mean = batch / jnp.float32(n_spp) if n_spp > 1 else batch
+        st = fold_sample(
+            AccumState(rgb=rgb_local, count=count), mean, config.spp,
+            False, num_samples=n_spp,
         )
-        rgb_out = jnp.where(converged, rgb_local, new_rgb)
-        count_out = jnp.where(converged, count, new_count)
-        return rgb_out, count_out
+        return st.rgb, st.count
 
     sharded = jax.shard_map(
         body,

@@ -28,13 +28,19 @@ MIN_BYTES_PER_RAY = 12.0
 MAX_PLAUSIBLE_MRAYS = HBM_BYTES_PER_SEC / MIN_BYTES_PER_RAY / 1e6  # ~68,250
 
 
-def check_plausible(mrays_per_sec: float) -> None:
-    """Raise if a throughput number exceeds the chip's HBM-bandwidth bound."""
-    if mrays_per_sec > MAX_PLAUSIBLE_MRAYS:
+def check_plausible(mrays_per_sec: float, n_chips: int = 1) -> None:
+    """Raise if a throughput number exceeds the HBM-bandwidth bound.
+
+    `n_chips` scales the ceiling for legitimately aggregated multi-chip
+    measurements (a sharded render's combined rate is bounded by the mesh's
+    combined bandwidth, not one chip's)."""
+    ceiling = MAX_PLAUSIBLE_MRAYS * max(n_chips, 1)
+    if mrays_per_sec > ceiling:
         raise RuntimeError(
             f"measured {mrays_per_sec:.0f} Mrays/s exceeds the physical "
-            f"HBM-bandwidth ceiling (~{MAX_PLAUSIBLE_MRAYS:.0f} Mrays/s at "
-            f"{MIN_BYTES_PER_RAY:.0f} B/ray, {HBM_BYTES_PER_SEC/1e9:.0f} GB/s)"
+            f"HBM-bandwidth ceiling (~{ceiling:.0f} Mrays/s at "
+            f"{MIN_BYTES_PER_RAY:.0f} B/ray, {HBM_BYTES_PER_SEC/1e9:.0f} GB/s"
+            f" x {max(n_chips, 1)} chip(s))"
             " — the timing did not materialize the work; refusing to report it"
         )
 
@@ -85,10 +91,18 @@ class FrameStats:
 
     @property
     def window_spread(self) -> float:
-        """max/min ratio across repeated windows (1.0 = perfectly stable)."""
-        if len(self.window_seconds) < 2:
-            return 1.0
-        return max(self.window_seconds) / max(min(self.window_seconds), 1e-12)
+        """max/min ratio across repeated windows (1.0 = perfectly stable).
+
+        For differential measurements both window populations determine the
+        slope equally, so the worst spread of the two is reported — jitter
+        confined to the short windows must not read as a stable run."""
+
+        def spread(ws):
+            if len(ws) < 2:
+                return 1.0
+            return max(ws) / max(min(ws), 1e-12)
+
+        return max(spread(self.window_seconds), spread(self.window_seconds_short))
 
     def to_dict(self) -> dict:
         d = {
@@ -140,7 +154,9 @@ def time_frames(
         acc = jnp.float32(0)
         for i in range(frames):
             acc = acc + jnp.sum(frame_fn(warmup + r * frames + i))
-        checksum = float(acc)  # forces execution of every frame in the window
+        # float() forces execution of every frame in the window; SUM across
+        # windows so the proof-of-work record covers every repeat.
+        checksum += float(acc)
         windows.append(time.perf_counter() - t0)
     seconds = sorted(windows)[len(windows) // 2]
     stats = FrameStats(
@@ -198,17 +214,28 @@ def time_device_loop(
 
     t1s, t2s, checksum = [], [], 0.0
     for r in range(repeats):
+        # Disjoint seed ranges per window: each repeat consumes 3*frames
+        # seeds (N for w1, 2N for w2).
+        base = 1 + 3 * r * frames
         t0 = time.perf_counter()
-        c1 = float(w1(jnp.uint32(1 + 2 * r * frames)))
+        c1 = float(w1(jnp.uint32(base)))
         t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        c2 = float(w2(jnp.uint32(1 + (2 * r + 1) * frames)))
+        c2 = float(w2(jnp.uint32(base + frames)))
         t2s.append(time.perf_counter() - t0)
-        checksum = c1 + c2  # float()s force execution of every frame
+        checksum += c1 + c2  # float()s force execution of every frame
     t1 = sorted(t1s)[len(t1s) // 2]
     t2 = sorted(t2s)[len(t2s) // 2]
     # slope over `frames` extra iterations; fixed = extrapolation to N=0.
-    seconds = max(t2 - t1, 1e-9)
+    if t2 <= t1:
+        raise RuntimeError(
+            "differential timing invalid: the 2N-frame windows were not "
+            f"slower than the N-frame windows (medians {t1:.4f}s vs {t2:.4f}s;"
+            f" N windows {['%.4f' % t for t in t1s]}, 2N windows "
+            f"{['%.4f' % t for t in t2s]}) — tunnel/queue jitter swamped the "
+            "marginal frame cost; rerun or raise `frames`"
+        )
+    seconds = t2 - t1
     fixed = max(t1 - seconds, 0.0)
     stats = FrameStats(
         frames=frames, seconds=seconds, width=width, height=height, spp=spp,
