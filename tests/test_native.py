@@ -82,3 +82,56 @@ def test_numpy_fallback_always_works():
     mesh = icosphere(1)
     _, bvh = build_mesh_bvh(mesh, method="numpy")
     validate_bvh(bvh, mesh.num_triangles)
+
+
+def test_native_adversarial_depth_no_stack_overflow():
+    """Exponentially skewed centroid spacing makes SAH peel a handful of
+    primitives per level -> O(n)-depth trees; the builder must survive
+    (iterative job stack, not C recursion) and emit a valid layout."""
+    from gpu_ray_tracing_tpu.ops.bvh import build_bvh
+
+    n = 20000
+    x = np.linspace(0, 1, n) ** 8 * 1e12
+    c = np.stack([x, np.zeros(n), np.zeros(n)], -1)
+    bvh, order = build_bvh(c, c - 0.1, c + 0.1, leaf_size=1, method="native")
+    validate_bvh(bvh, n)
+    assert bvh.num_nodes == 2 * n - 1  # every leaf holds one primitive
+
+
+def test_build_bvh_validates_inputs():
+    import pytest
+
+    from gpu_ray_tracing_tpu.ops.bvh import build_bvh
+
+    z = np.zeros((0, 3))
+    with pytest.raises(ValueError, match="zero primitives"):
+        build_bvh(z, z, z)
+    c = np.zeros((4, 3))
+    with pytest.raises(ValueError, match="leaf_size"):
+        build_bvh(c, c - 1, c + 1, leaf_size=0)
+
+
+def test_f32_bounds_round_outward():
+    """Narrowing float64 primitive bounds to f32 must round outward so no
+    node box shrinks below the extent it covers (a grazing hit culled by a
+    half-ulp-short box is a BVH-vs-brute mismatch)."""
+    from gpu_ray_tracing_tpu.ops.bvh import build_bvh
+
+    # Values chosen to NOT be f32-representable.
+    hi = 1.0 + 1e-9
+    lo = -1.0 - 1e-9
+    c = np.asarray([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]])
+    bvh, _ = build_bvh(c, np.full((2, 3), lo), np.full((2, 3), hi),
+                       method="numpy")
+    root_min = np.asarray(bvh.bbox_min)[0].astype(np.float64)
+    root_max = np.asarray(bvh.bbox_max)[0].astype(np.float64)
+    assert np.all(root_min <= lo) and np.all(root_max >= hi)
+
+
+def test_transform_mesh_rejects_negative_scale():
+    import pytest
+
+    from gpu_ray_tracing_tpu.models.mesh import transform_mesh
+
+    with pytest.raises(ValueError, match="scale"):
+        transform_mesh(icosphere(1), scale=-1.0)
