@@ -56,7 +56,9 @@ def main(argv=None) -> int:
     backend = "wavefront" if jax.default_backend() == "tpu" else "jax"
     cfg = rt.RenderConfig(
         width=args.width, height=args.height, spp=args.spp,
-        max_depth=args.depth, backend=backend, regenerate="auto",
+        max_depth=args.depth, backend=backend,
+        # regeneration is a wavefront-engine mode
+        regenerate="auto" if backend == "wavefront" else "off",
         russian_roulette_depth=args.rr,
     )
     cam = rt.CameraSettings.default()

@@ -77,14 +77,15 @@ def _trace_chunked(
     p = h * w
     block = _trace_block_size(p, _scene_width(spheres))
 
-    def trace(o, d, seeds):
+    def trace(o, d, seeds, **extra):
         if config.integrator == "normal":
             return integrators.shade_normals(o, d, spheres, config.t_min, config.t_max)
         return integrators.trace_path(
             o, d, spheres, config.max_depth, config.t_min, config.t_max,
             parity=config.parity, pixel_seeds=seeds,
             russian_roulette_depth=config.russian_roulette_depth,
-            sky_intensity=config.sky_intensity, nee=config.nee, **rng_kw,
+            sky_intensity=config.sky_intensity, nee=config.nee,
+            **rng_kw, **extra,
         )
 
     if block == p:
@@ -92,7 +93,22 @@ def _trace_chunked(
     o = origins.reshape(p // block, block, 3)
     d = dirs.reshape(p // block, block, 3)
     if pixel_seeds is None:
-        out = jax.lax.map(lambda od: trace(od[0], od[1], None), (o, d))
+        key = rng_kw.pop("key", None)
+        if key is not None:
+            # Threefry draws are shape-keyed, so one key shared by every
+            # block would give all blocks bit-identical scatter/RR/NEE
+            # streams — tiled correlated noise whose pattern silently
+            # depends on the platform-chosen block size.  Fold the block
+            # index in for an independent stream per block.
+            keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                key, jnp.arange(p // block)
+            )
+            out = jax.lax.map(
+                lambda odk: trace(odk[0], odk[1], None, key=odk[2]),
+                (o, d, keys),
+            )
+        else:
+            out = jax.lax.map(lambda od: trace(od[0], od[1], None), (o, d))
     else:
         s = pixel_seeds.reshape(p // block, block)
         out = jax.lax.map(lambda ods: trace(ods[0], ods[1], ods[2]), (o, d, s))
@@ -431,6 +447,13 @@ def render_animation(
     sequential lax.map (memory-bounded), each frame a full config.spp render.
     """
     num_frames = jax.tree_util.tree_leaves(settings_track)[0].shape[0]
+    if frame_seeds is not None and frame_seeds.shape[0] != num_frames:
+        # A short array would be CLAMP-gathered inside the loop: the last
+        # seed would silently repeat (frozen noise) for the tail frames.
+        raise ValueError(
+            f"frame_seeds has {frame_seeds.shape[0]} entries for "
+            f"{num_frames} track frames"
+        )
 
     def one(f):
         settings = jax.tree.map(lambda x: x[f], settings_track)

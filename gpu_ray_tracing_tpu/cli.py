@@ -23,6 +23,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compile cache: Mosaic/XLA megakernel compiles take seconds to
+# minutes on the tunneled TPU; without this every CLI invocation pays them
+# cold (CLAUDE.md platform rule).
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
 
 def _vec3(text: str):
     parts = [float(x) for x in text.split(",")]
@@ -144,6 +149,10 @@ def _build_config(args, spp=None):
             if jax.default_backend() == "tpu" and args.rng == "hash"
             else "jax"
         )
+        # Ray regeneration is a wavefront-engine mode; an explicit
+        # --regenerate with auto backend selects the engine that honors it.
+        if args.regenerate != "off" and backend == "pallas":
+            backend = "wavefront"
     return rt.RenderConfig(
         width=args.width, height=args.height, spp=spp or args.spp,
         max_depth=args.depth, integrator=args.integrator, backend=backend,
@@ -206,14 +215,25 @@ def cmd_progressive(args) -> int:
     scene, cam, cfg = _build_scene(args), _build_camera(args), _build_config(args)
     if args.checkpoint and os.path.exists(args.checkpoint):
         state = load_accum(args.checkpoint)
+        if state.rgb.shape != (cfg.height, cfg.width, 3):
+            raise SystemExit(
+                f"checkpoint {args.checkpoint} is {state.rgb.shape[1]}x"
+                f"{state.rgb.shape[0]}, but --width/--height request "
+                f"{cfg.width}x{cfg.height}; the state cannot be resumed at a "
+                "different resolution (scene/seed/rng flags must match too — "
+                "the file carries no fingerprint of those)"
+            )
         print(f"resumed from {args.checkpoint} at {int(state.count)} spp")
     else:
         state = rt.init_accum(cfg.height, cfg.width)
+    resumed = int(state.count)
     for step in range(args.steps):
         # hash/wgsl: constant frame seed — the accumulated count is the
         # sample index, matching render(). threefry ignores sample_index, so
-        # it needs a fresh key per step or every step repeats the same draw.
-        kw = _rng_kwargs(args, step if args.rng == "threefry" else 0)
+        # it needs a fresh key per step — offset by the RESUMED count, or a
+        # resumed session re-draws the first session's exact keys and folds
+        # duplicate samples.
+        kw = _rng_kwargs(args, resumed + step if args.rng == "threefry" else 0)
         state = rt.progressive_step(state, scene, cam, cfg, **kw)
     state = jax.block_until_ready(state)
     if args.checkpoint:

@@ -70,7 +70,7 @@ def extract_lights(spheres: Spheres) -> Lights | None:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["spheres", "mesh", "bvh", "sphere_bvh", "lights"],
-    meta_fields=["bvh_leaf_size"],
+    meta_fields=["bvh_leaf_size", "mesh_has_emissive"],
 )
 @dataclasses.dataclass(frozen=True)
 class Scene:
@@ -79,7 +79,11 @@ class Scene:
     `mesh`/`bvh` are None for sphere-only scenes (the reference's entire
     repertoire); `sphere_bvh` (spheres reordered leaf-contiguously) lets the
     megakernel cull the sphere scan on large scenes; `bvh_leaf_size` is
-    static metadata for the traversal loop.
+    static metadata for the traversal loop.  `mesh_has_emissive` is a
+    STATIC flag recorded by make_scene (the NEE light list covers spheres
+    only, so emissive mesh faces must be rejected — and the check must be
+    host-side metadata, not a traced-array inspection, or it explodes
+    under jit).
     """
 
     spheres: Spheres
@@ -88,6 +92,7 @@ class Scene:
     sphere_bvh: BVH | None = None
     lights: Lights | None = None
     bvh_leaf_size: int = 4
+    mesh_has_emissive: bool = False
 
 
 #: Sphere count above which make_scene builds a sphere BVH by default.
@@ -118,6 +123,11 @@ def make_scene(
 
     if mesh is None:
         return Scene(spheres=spheres, sphere_bvh=s_bvh, lights=lights)
+    import numpy as np
+
+    from gpu_ray_tracing_tpu.models.spheres import EMISSIVE
+
+    mesh_has_emissive = bool(np.any(np.asarray(mesh.mat_kind) == EMISSIVE))
     if use_bvh:
         from gpu_ray_tracing_tpu.ops.pallas.megakernel import MAX_PALLAS_BVH_NODES
 
@@ -138,8 +148,10 @@ def make_scene(
         return Scene(
             spheres=spheres, mesh=mesh, bvh=bvh, sphere_bvh=s_bvh,
             lights=lights, bvh_leaf_size=bvh_leaf_size,
+            mesh_has_emissive=mesh_has_emissive,
         )
-    return Scene(spheres=spheres, mesh=mesh, bvh=None, sphere_bvh=s_bvh, lights=lights)
+    return Scene(spheres=spheres, mesh=mesh, bvh=None, sphere_bvh=s_bvh,
+                 lights=lights, mesh_has_emissive=mesh_has_emissive)
 
 
 def as_scene(scene_or_spheres) -> Scene:

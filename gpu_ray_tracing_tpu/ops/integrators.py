@@ -103,14 +103,13 @@ def trace_path(
             "nee=True needs a Scene with emissive lights; build it with "
             "make_scene so the light list is extracted"
         )
-    if nee and scene.mesh is not None:
-        import numpy as _np
-
-        if bool(_np.any(_np.asarray(scene.mesh.mat_kind) == EMISSIVE)):
-            raise ValueError(
-                "nee=True cannot sample EMISSIVE mesh faces (the light list "
-                "covers spheres only); use sphere lights or nee=False"
-            )
+    # Static metadata check (never inspect traced arrays here — this runs
+    # inside jit with a dynamic scene; make_scene records the flag).
+    if nee and scene.mesh is not None and scene.mesh_has_emissive:
+        raise ValueError(
+            "nee=True cannot sample EMISSIVE mesh faces (the light list "
+            "covers spheres only); use sphere lights or nee=False"
+        )
 
     batch_shape = dirs.shape[:-1]
     throughput = jnp.ones((*batch_shape, 3), jnp.float32)
@@ -296,8 +295,9 @@ def trace_path(
         if russian_roulette_depth > 0:
             # Unbiased stochastic termination: survive with p = max channel
             # throughput (clamped), divide by p on survival.  Salt space
-            # 1000+i is disjoint from the scatter salts, so enabling RR does
-            # not perturb the base sample stream.
+            # 1000+i is disjoint from the scatter salts (16+3i) for
+            # max_depth <= 328 — far beyond any practical depth — so
+            # enabling RR does not perturb the base sample stream.
             if pixel_seeds is not None:
                 u_rr = rng_ops.uniform_hash(pixel_seeds, jnp.uint32(1000) + jnp.asarray(i, jnp.uint32))
             elif key is not None:

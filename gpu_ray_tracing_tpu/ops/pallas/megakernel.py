@@ -239,6 +239,40 @@ def _mesh_group_scan(tbl_ref, ls, trip, carry, tri_test):
     return jax.lax.fori_loop(0, ng, group_body, carry)
 
 
+def _tri_intersect(row, b, ox, oy, oz, dx, dy, dz, t_min, tb):
+    """Moller-Trumbore against triangle `b` of a VMEM table row, with the
+    scalar triangle data broadcast over the tile.
+
+    Returns (t, u, v, better): candidate distance, hit barycentrics, and
+    the valid-and-strictly-closer mask vs the shrinking window `tb`.  The
+    ONE copy of the triangle test — closest-hit attribute resolution and
+    the t-only shadow scan both build on it, so epsilons and window
+    semantics cannot drift apart.
+    """
+    at = lambda k: row[0, b + k]
+    v0x, v0y, v0z = at(_TV0), at(_TV0 + 1), at(_TV0 + 2)
+    e1x, e1y, e1z = at(_TE1), at(_TE1 + 1), at(_TE1 + 2)
+    e2x, e2y, e2z = at(_TE2), at(_TE2 + 1), at(_TE2 + 2)
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    ok_det = jnp.abs(det) > 1e-12
+    inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
+    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    better = (
+        ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min) & (t < tb)
+    )
+    return t, u, v, better
+
+
 def _traverse_mesh(
     tbl_ref, bvhf_ref, bvhi_ref,
     t_min, ox, oy, oz, dx, dy, dz,
@@ -257,26 +291,8 @@ def _traverse_mesh(
     def tri_test(row, b, carry):
         tb, nxp, nyp, nzp, ar, ag, ab, kp, pp = carry
         at = lambda k: row[0, b + k]
-        v0x, v0y, v0z = at(_TV0), at(_TV0 + 1), at(_TV0 + 2)
-        e1x, e1y, e1z = at(_TE1), at(_TE1 + 1), at(_TE1 + 2)
-        e2x, e2y, e2z = at(_TE2), at(_TE2 + 1), at(_TE2 + 2)
-        # Moller-Trumbore with scalar triangle data broadcast over the tile.
-        pvx = dy * e2z - dz * e2y
-        pvy = dz * e2x - dx * e2z
-        pvz = dx * e2y - dy * e2x
-        det = e1x * pvx + e1y * pvy + e1z * pvz
-        ok_det = jnp.abs(det) > 1e-12
-        inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
-        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-        qvx = tvy * e1z - tvz * e1y
-        qvy = tvz * e1x - tvx * e1z
-        qvz = tvx * e1y - tvy * e1x
-        v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-        better = (
-            ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-            & (t > t_min) & (t < tb)
+        t, u, v, better = _tri_intersect(
+            row, b, ox, oy, oz, dx, dy, dz, t_min, tb
         )
         if smooth:
             w0 = 1.0 - u - v
@@ -304,6 +320,30 @@ def _traverse_mesh(
     )
 
 
+def _sphere_root(scene_ref, j, a, inv_a, od, oo, ox, oy, oz, dx, dy, dz, t_min, tb):
+    """Shrinking-window sphere test for scene column j (wgsl:167-221 root
+    selection incl. the far-root fallback).  Returns (cx, cy, cz, root,
+    better) — the ONE copy of the quadratic; closest-hit and the t-only
+    shadow scan both build on it so the root semantics cannot drift."""
+    cx = scene_ref[_CX, j]
+    cy = scene_ref[_CY, j]
+    cz = scene_ref[_CZ, j]
+    c2r2 = scene_ref[_C2R2, j]
+    active = scene_ref[_ACTIVE, j]
+    h = cx * dx + cy * dy + cz * dz - od  # dot(center-origin, d)
+    cc = c2r2 - 2.0 * (cx * ox + cy * oy + cz * oz) + oo
+    disc = h * h - a * cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    rn = (h - sq) * inv_a
+    rf = (h + sq) * inv_a
+    # Shrinking window: tb is the current closest (wgsl:167,174).
+    nok = (rn > t_min) & (rn < tb)
+    fok = (rf > t_min) & (rf < tb)
+    root = jnp.where(nok, rn, rf)
+    better = (disc >= 0.0) & (nok | fok) & (active > 0.0)
+    return cx, cy, cz, root, better
+
+
 def _closest_t(
     scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
     mesh_refs=None, sphere_bvh_refs=None,
@@ -321,21 +361,9 @@ def _closest_t(
     big = jnp.float32(t_max)
 
     def sphere_body(j, tb):
-        cx = scene_ref[_CX, j]
-        cy = scene_ref[_CY, j]
-        cz = scene_ref[_CZ, j]
-        c2r2 = scene_ref[_C2R2, j]
-        active = scene_ref[_ACTIVE, j]
-        h = cx * dx + cy * dy + cz * dz - od
-        cc = c2r2 - 2.0 * (cx * ox + cy * oy + cz * oz) + oo
-        disc = h * h - a * cc
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        rn = (h - sq) * inv_a
-        rf = (h + sq) * inv_a
-        nok = (rn > t_min) & (rn < tb)
-        fok = (rf > t_min) & (rf < tb)
-        root = jnp.where(nok, rn, rf)
-        better = (disc >= 0.0) & (nok | fok) & (active > 0.0)
+        _, _, _, root, better = _sphere_root(
+            scene_ref, j, a, inv_a, od, oo, ox, oy, oz, dx, dy, dz, t_min, tb
+        )
         return jnp.where(better, root, tb)
 
     tb0 = jnp.full(ox.shape, big, jnp.float32)
@@ -356,26 +384,8 @@ def _closest_t(
 
         def tri_test(row, b, carry):
             (tb,) = carry
-            at = lambda k: row[0, b + k]
-            v0x, v0y, v0z = at(_TV0), at(_TV0 + 1), at(_TV0 + 2)
-            e1x, e1y, e1z = at(_TE1), at(_TE1 + 1), at(_TE1 + 2)
-            e2x, e2y, e2z = at(_TE2), at(_TE2 + 1), at(_TE2 + 2)
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            ok_det = jnp.abs(det) > 1e-12
-            inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
-            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-            better = (
-                ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t > t_min) & (t < tb)
+            t, _, _, better = _tri_intersect(
+                row, b, ox, oy, oz, dx, dy, dz, t_min, tb
             )
             return (jnp.where(better, t, tb),)
 
@@ -413,23 +423,9 @@ def _closest_hit(
 
     def body(j, carry):
         tb, cxp, cyp, czp, rp, ar, ag, ab, kp, pp = carry
-        cx = scene_ref[_CX, j]
-        cy = scene_ref[_CY, j]
-        cz = scene_ref[_CZ, j]
-        c2r2 = scene_ref[_C2R2, j]
-        active = scene_ref[_ACTIVE, j]
-
-        h = cx * dx + cy * dy + cz * dz - od  # dot(center-origin, d)
-        cc = c2r2 - 2.0 * (cx * ox + cy * oy + cz * oz) + oo
-        disc = h * h - a * cc
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        rn = (h - sq) * inv_a
-        rf = (h + sq) * inv_a
-        # Shrinking window: tb is the current closest (wgsl:167,174).
-        nok = (rn > t_min) & (rn < tb)
-        fok = (rf > t_min) & (rf < tb)
-        root = jnp.where(nok, rn, rf)
-        better = (disc >= 0.0) & (nok | fok) & (active > 0.0)
+        cx, cy, cz, root, better = _sphere_root(
+            scene_ref, j, a, inv_a, od, oo, ox, oy, oz, dx, dy, dz, t_min, tb
+        )
 
         tb = jnp.where(better, root, tb)
         cxp = jnp.where(better, cx, cxp)
@@ -800,7 +796,7 @@ def _path_bounce(
 
 def _kernel(
     cam_ref,  # (1, 24) f32 SMEM camera scalars
-    ints_ref,  # (1, 8) u32 SMEM: [sample_index, frame_seed, y_offset, ...]
+    ints_ref,  # (1, 4) u32 SMEM: [sample_index, frame_seed, y_offset, 0]
     scene_ref,  # (16, N) f32 SMEM scene
     *rest,  # [mesh+bvh refs] + [sphere-bvh refs] + out refs (see has_* flags)
     width: int,
@@ -1001,11 +997,14 @@ def render_pallas(
     inside one kernel.  `y_offset`/`width` address a row shard of a larger
     frame (the sharded renderer passes the shard's global row offset).
 
-    Accepts a Spheres SoA or a Scene; mesh scenes must have a BVH and fit the
-    SMEM budget (MAX_PALLAS_TRIANGLES / MAX_PALLAS_BVH_NODES).
+    Accepts a Spheres SoA or a Scene; mesh scenes must have a BVH and fit
+    the Pallas budgets: triangles in the VMEM table (MAX_PALLAS_TRIANGLES),
+    BVH nodes in SMEM (MAX_PALLAS_BVH_NODES).
     """
     from gpu_ray_tracing_tpu.models.scene import as_scene
 
+    if spp < 1:
+        raise ValueError(f"spp must be >= 1, got {spp}")  # avoids 0/0 NaN
     sc = as_scene(scene_or_spheres)
     spheres = sc.spheres
     if sc.mesh is not None:
@@ -1077,14 +1076,13 @@ def render_pallas(
             raise ValueError(
                 "nee=True needs a Scene with emissive lights (make_scene)"
             )
-        if sc.mesh is not None:
-            import numpy as _np
-
-            if bool(_np.any(_np.asarray(sc.mesh.mat_kind) == 3)):
-                raise ValueError(
-                    "nee=True cannot sample EMISSIVE mesh faces (the light "
-                    "list covers spheres only); use sphere lights or nee=False"
-                )
+        # Static metadata check (this runs under jit with a traced scene;
+        # make_scene records the flag host-side).
+        if sc.mesh is not None and sc.mesh_has_emissive:
+            raise ValueError(
+                "nee=True cannot sample EMISSIVE mesh faces (the light "
+                "list covers spheres only); use sphere lights or nee=False"
+            )
         num_lights = sc.lights.count
         in_specs += [smem((8, num_lights))]
         args += [lights_planes(sc.lights)]

@@ -329,6 +329,11 @@ def render_wavefront(
     if nee:
         if sc.lights is None or sc.lights.count == 0:
             raise ValueError("nee=True needs a Scene with emissive lights")
+        if sc.mesh is not None and sc.mesh_has_emissive:
+            raise ValueError(
+                "nee=True cannot sample EMISSIVE mesh faces (the light "
+                "list covers spheres only); use sphere lights or nee=False"
+            )
         num_lights = sc.lights.count
         in_specs += [smem((8, num_lights))]
         static_args += [lights_planes(sc.lights)]

@@ -106,6 +106,13 @@ class RenderConfig:
             raise ValueError("parity=True requires rng='wgsl'")
         if self.backend in ("pallas", "wavefront") and self.rng != "hash":
             raise ValueError(f"backend={self.backend!r} requires rng='hash'")
+        if self.regenerate != "off" and self.backend != "wavefront":
+            # Silently ignoring the request would benchmark the wrong engine.
+            raise ValueError(
+                f"regenerate={self.regenerate!r} is a wavefront-engine mode; "
+                f"backend={self.backend!r} ignores it — set "
+                "backend='wavefront' or regenerate='off'"
+            )
 
     @property
     def resolution(self) -> tuple[int, int]:

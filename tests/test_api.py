@@ -153,6 +153,38 @@ def test_progressive_batched_step_with_regeneration():
     )
 
 
+def test_threefry_chunked_blocks_draw_independent_streams(monkeypatch):
+    """When the framebuffer splits into pixel blocks, block i must trace
+    with fold_in(key, i): one shared key gave every block the bit-identical
+    scatter/RR draw stream (tiled correlated noise whose layout depended on
+    the platform-chosen block size).  Pin the contract: chunked block i ==
+    an unchunked trace of those rays under fold_in(key, i)."""
+    from gpu_ray_tracing_tpu import api as api_mod
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops import rays as rays_ops
+
+    h, w = 8, 64
+    scene = base_scene()
+    cfg = _cfg(width=w, height=h, spp=1, max_depth=4, rng="threefry")
+    cam = derive_camera(BASE_CAMERA, w, h)
+    key = jax.random.key(3)
+    origins, dirs = rays_ops.generate_rays_threefry(cam, w, h, key)
+
+    monkeypatch.setattr(api_mod, "_trace_block_size", lambda p, n: p // 4)
+    chunked = np.asarray(
+        api_mod._trace_chunked(origins, dirs, scene, cfg, key=key)
+    ).reshape(4, (h * w) // 4, 3)
+    monkeypatch.undo()
+
+    for i in (0, 2):
+        o_i = origins.reshape(4, 2, w, 3)[i]
+        d_i = dirs.reshape(4, 2, w, 3)[i]
+        ref = np.asarray(api_mod._trace_chunked(
+            o_i, d_i, scene, cfg, key=jax.random.fold_in(key, i)
+        )).reshape(-1, 3)
+        np.testing.assert_array_equal(chunked[i], ref)
+
+
 def test_progressive_rejects_nonpositive_spp_per_step():
     import pytest
 

@@ -111,3 +111,69 @@ def test_pad_to_multiple():
     s = base_scene().pad_to_multiple(128)
     assert s.count == 128
     assert float(jnp.sum(s.radii > 0)) == 3
+
+
+def test_nee_mesh_scene_renders_under_jit():
+    """NEE with a non-emissive mesh + sphere lights must work through the
+    jitted public API: the emissive-mesh-face rejection is STATIC metadata
+    (make_scene's mesh_has_emissive flag), not a traced-array inspection —
+    inspecting the traced mat_kind raised TracerArrayConversionError on
+    every such render (review-confirmed crash)."""
+    import pytest
+
+    from gpu_ray_tracing_tpu import (
+        CameraSettings,
+        RenderConfig,
+        icosphere,
+        make_scene,
+        render,
+        transform_mesh,
+    )
+    from gpu_ray_tracing_tpu.models.spheres import EMISSIVE, LAMBERTIAN, make_spheres
+
+    ground = make_spheres([
+        ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.5, 0.5, 0.5), 0.0),
+        ((0.0, 3.0, 0.0), 0.5, EMISSIVE, (1.0, 0.9, 0.8), 5.0),
+    ])
+    mesh = transform_mesh(icosphere(1, albedo=(0.7, 0.5, 0.3)),
+                          scale=0.6, translate=(0.0, 0.6, 0.0))
+    scene = make_scene(ground, mesh)
+    assert scene.mesh_has_emissive is False
+    cam = CameraSettings(
+        look_from=jnp.asarray([0.0, 1.0, 4.0]),
+        look_at=jnp.asarray([0.0, 0.5, 0.0]),
+        vup=jnp.asarray([0.0, 1.0, 0.0]),
+        field_of_view=jnp.float32(45.0),
+        defocus_angle=jnp.float32(0.0),
+        focus_distance=jnp.float32(4.0),
+    )
+    for backend in ("jax", "pallas"):
+        cfg = RenderConfig(width=32, height=24, spp=1, max_depth=4, nee=True,
+                           sky_intensity=0.0, backend=backend)
+        img = np.asarray(render(scene, cam, cfg, frame_seed=jnp.uint32(1)))
+        assert np.isfinite(img).all()
+
+    # An EMISSIVE mesh face IS rejected — via the static flag.
+    em_mesh = transform_mesh(
+        icosphere(1, albedo=(1.0, 0.9, 0.8), mat_kind=EMISSIVE, mat_param=4.0),
+        scale=0.6, translate=(0.0, 0.6, 0.0))
+    em_scene = make_scene(ground, em_mesh)
+    assert em_scene.mesh_has_emissive is True
+    cfg = RenderConfig(width=32, height=24, spp=1, max_depth=4, nee=True,
+                       sky_intensity=0.0)
+    with pytest.raises(ValueError, match="EMISSIVE mesh"):
+        render(em_scene, cam, cfg, frame_seed=jnp.uint32(1))
+
+
+def test_pallas_spp_zero_rejected():
+    import pytest
+
+    from gpu_ray_tracing_tpu import CameraSettings, base_scene
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
+
+    cam = derive_camera(CameraSettings.default(), 16, 8)
+    with pytest.raises(ValueError, match="spp"):
+        render_pallas(base_scene(), cam, width=16, height=8,
+                      sample_index=jnp.uint32(0), frame_seed=jnp.uint32(0),
+                      max_depth=3, t_min=1e-3, spp=0)

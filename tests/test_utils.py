@@ -77,8 +77,22 @@ def test_time_device_loop_differential():
         # rays/s that (correctly) trips the guard.
         return jnp.sin(x * seed.astype(jnp.float32))
 
-    stats = time_device_loop(frame, width=512, height=512, spp=1, frames=4, repeats=2)
-    assert stats.frames == 4 and stats.seconds > 0
+    # Host-timing jitter can make the 2N windows come out no slower than
+    # the N windows for a near-zero-cost frame; the harness then (by
+    # design) raises its invalid-measurement diagnostic rather than
+    # reporting a garbage slope.  Retry with more frames so the marginal
+    # cost dominates the jitter.
+    stats = None
+    for frames in (4, 16, 64):
+        try:
+            stats = time_device_loop(
+                frame, width=512, height=512, spp=1, frames=frames, repeats=2
+            )
+            break
+        except RuntimeError as e:
+            assert "differential timing invalid" in str(e)
+    assert stats is not None, "slope unmeasurable even at 64 frames/window"
+    assert stats.frames in (4, 16, 64) and stats.seconds > 0
     assert len(stats.window_seconds) == 2  # the 2N windows
     assert len(stats.window_seconds_short) == 2  # the N windows
     assert stats.window_fixed_seconds >= 0.0
