@@ -209,11 +209,15 @@ def cmd_animate(args) -> int:
 
 def cmd_progressive(args) -> int:
     import gpu_ray_tracing_tpu as rt
-    from gpu_ray_tracing_tpu.utils.checkpoint import load_accum, save_accum
+    from gpu_ray_tracing_tpu.utils.checkpoint import (
+        checkpoint_path,
+        load_accum,
+        save_accum,
+    )
     from gpu_ray_tracing_tpu.utils.image import write_image
 
     scene, cam, cfg = _build_scene(args), _build_camera(args), _build_config(args)
-    if args.checkpoint and os.path.exists(args.checkpoint):
+    if args.checkpoint and os.path.exists(checkpoint_path(args.checkpoint)):
         state = load_accum(args.checkpoint)
         if state.rgb.shape != (cfg.height, cfg.width, 3):
             raise SystemExit(

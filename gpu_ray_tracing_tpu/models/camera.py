@@ -19,7 +19,6 @@ vmapped over camera tracks, and differentiated (d image / d look_from works).
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 
 import jax

@@ -122,6 +122,17 @@ def pack_materials(spheres: Spheres) -> np.ndarray:
     albedo = np.asarray(spheres.albedo)
     kind = np.asarray(spheres.mat_kind)
     param = np.asarray(spheres.mat_param)
+    metal_fuzz = param[kind == METAL]
+    if metal_fuzz.size and bool(
+        np.any((metal_fuzz < -1.0) | (metal_fuzz > 1.0))
+    ):
+        # w in (-inf,-1) decodes as lambertian and w in (1, 2] as
+        # dielectric (wgsl:276-281): out-of-range fuzz would silently
+        # re-type the sphere on the unpack side.
+        raise ValueError(
+            "metal fuzz must be within [-1, 1] to round-trip the albedo.w "
+            f"codec; got {metal_fuzz.min()}..{metal_fuzz.max()}"
+        )
     out = np.zeros((albedo.shape[0], 4), np.float32)
     out[:, :3] = albedo
     out[kind == LAMBERTIAN, 3] = -2.0
@@ -189,8 +200,15 @@ def one_weekend_scene(key: jax.Array, grid_min: int = -7, grid_max: int = 7) -> 
     entries = [((0.0, -1000.0, 0.0), 1000.0, LAMBERTIAN, (0.5, 0.5, 0.5), 0.0)]
 
     # Host-side generation with numpy randomness derived from the JAX key:
-    # scene construction is setup code, not kernel code.
-    seed = int(jax.random.key_data(key).ravel()[-1])
+    # scene construction is setup code, not kernel code.  Mix EVERY key
+    # word into the numpy seed — using only the last word dropped half the
+    # key's entropy (keys differing in the high bits generated identical
+    # "random" scenes).  key(0) still maps to seed 0, so all existing
+    # golden scenes are unchanged.
+    words = np.asarray(jax.random.key_data(key)).ravel().astype(np.uint64)
+    seed = 0
+    for w in words:
+        seed = int((np.uint64(seed) * np.uint64(0x100000001B3) ^ w) & np.uint64(0xFFFFFFFFFFFFFFFF))
     rng = np.random.default_rng(seed)
 
     for a in range(grid_min, grid_max):

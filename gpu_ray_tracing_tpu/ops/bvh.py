@@ -54,7 +54,7 @@ def _round_out_f32(vals, up: bool) -> np.ndarray:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["bbox_min", "bbox_max", "miss_link", "leaf_start", "leaf_count"],
-    meta_fields=[],
+    meta_fields=["leaf_size"],
 )
 @dataclasses.dataclass(frozen=True)
 class BVH:
@@ -65,6 +65,12 @@ class BVH:
     leaf_start   (M,)   i32   first primitive (in BVH order) for leaves, -1
                               for inner nodes
     leaf_count   (M,)   i32   primitives in the leaf (0 for inner nodes)
+    leaf_size    int          STATIC build-time cap on leaf_count — the
+                              traversal's unrolled leaf scan must cover at
+                              least this many slots, so it rides with the
+                              structure instead of being re-threaded by
+                              every caller (a smaller guess silently skips
+                              triangles).
 
     Invariant: the hit-successor of inner node i is i+1 (depth-first layout).
     """
@@ -74,6 +80,7 @@ class BVH:
     miss_link: Array
     leaf_start: Array
     leaf_count: Array
+    leaf_size: int = 4
 
     @property
     def num_nodes(self) -> int:
@@ -125,6 +132,7 @@ def build_bvh(
                     miss_link=jnp.asarray(miss),
                     leaf_start=jnp.asarray(ls),
                     leaf_count=jnp.asarray(lc),
+                    leaf_size=leaf_size,
                 ),
                 order,
             )
@@ -179,6 +187,7 @@ def build_bvh(
         miss_link=jnp.asarray(np.asarray(miss, np.int32)),
         leaf_start=jnp.asarray(np.asarray(leaf_start, np.int32)),
         leaf_count=jnp.asarray(np.asarray(leaf_count, np.int32)),
+        leaf_size=leaf_size,
     )
     return bvh, np.asarray(order, np.int64)
 

@@ -53,22 +53,14 @@ class Hit:
     front_face: Array  # (...,) bool
 
 
-def intersect_spheres(
-    origins: Array,
-    dirs: Array,
-    spheres: Spheres,
-    t_min: float,
-    t_max: float,
-) -> Hit:
-    """Closest sphere hit for a batch of rays.
+def _sphere_roots(o, d, spheres: Spheres, t_min: float, t_max: float):
+    """All-spheres quadratic for flat rays (P, 3): returns ((P, N) root,
+    (P, N) valid) with the reference's near-then-far root pick.
 
-    origins, dirs: (..., 3) f32.  Returns a Hit with batch shape (...).
-    Inactive pad spheres (radius <= 0) never hit.
+    The ONE copy of the XLA-backend sphere quadratic — closest-hit and the
+    t-only shadow scan both build on it so epsilons and interval semantics
+    cannot drift (the Pallas kernels share theirs the same way).
     """
-    batch_shape = origins.shape[:-1]
-    o = origins.reshape(-1, 3)
-    d = dirs.reshape(-1, 3)
-
     c = spheres.centers  # (N, 3)
     r = spheres.radii  # (N,)
     active = r > 0.0
@@ -113,10 +105,33 @@ def intersect_spheres(
     far_ok = _valid(root_far)
     root = jnp.where(near_ok, root_near, root_far)
     valid = (disc >= 0.0) & (near_ok | far_ok) & active[None, :]
+    return root, valid
 
+
+def intersect_spheres(
+    origins: Array,
+    dirs: Array,
+    spheres: Spheres,
+    t_min: float,
+    t_max: float,
+) -> Hit:
+    """Closest sphere hit for a batch of rays.
+
+    origins, dirs: (..., 3) f32.  Returns a Hit with batch shape (...).
+    Inactive pad spheres (radius <= 0) never hit.
+    """
+    batch_shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    c = spheres.centers  # (N, 3)
+    r = spheres.radii  # (N,)
+
+    root, valid = _sphere_roots(o, d, spheres, t_min, t_max)
     t_cand = jnp.where(valid, root, jnp.float32(jnp.inf))
     idx = jnp.argmin(t_cand, axis=-1)  # (P,)
-    t_best = jnp.take_along_axis(t_cand, idx[:, None], axis=-1)[:, 0]
+    # min == the argmin element bitwise (no NaNs in t_cand) without the
+    # per-ray element gather take_along_axis pays at (P, N) scale.
+    t_best = jnp.min(t_cand, axis=-1)
     hit = jnp.isfinite(t_best)
     t_best = jnp.where(hit, t_best, jnp.float32(t_max))
 
@@ -181,8 +196,6 @@ def intersect_triangles(origins: Array, dirs: Array, mesh, t_min: float, t_max: 
     batch_shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
-    p = o.shape[0]
-    f = mesh.num_triangles
 
     # (P, F) via broadcasting, chunk-free (caller controls P).
     t, hit = _moller_trumbore(
@@ -192,7 +205,7 @@ def intersect_triangles(origins: Array, dirs: Array, mesh, t_min: float, t_max: 
     )
     t_cand = jnp.where(hit, t, jnp.float32(jnp.inf))
     idx = jnp.argmin(t_cand, axis=-1)
-    t_best = jnp.take_along_axis(t_cand, idx[:, None], axis=-1)[:, 0]
+    t_best = jnp.min(t_cand, axis=-1)
     any_hit = jnp.isfinite(t_best)
     t_best = jnp.where(any_hit, t_best, jnp.float32(t_max))
     return _mesh_hit_record(o, d, mesh, t_best, idx.astype(jnp.int32), any_hit, batch_shape)
@@ -240,7 +253,7 @@ def intersect_bvh(
     bvh,
     t_min: float,
     t_max: float,
-    leaf_size: int = 4,
+    leaf_size: int | None = None,
 ) -> Hit:
     """Stackless threaded-BVH closest hit (see ops/bvh.py for the layout).
 
@@ -249,7 +262,12 @@ def intersect_bvh(
     link.  A lax.while_loop runs until every lane's cursor hits the sentinel;
     there is no per-lane stack, so the traversal state is O(1) per ray —
     the shape a vector machine wants.
+
+    `leaf_size` defaults to the BVH's own build-time value (bvh.leaf_size);
+    an explicit smaller value would silently skip triangles in large leaves.
     """
+    if leaf_size is None:
+        leaf_size = bvh.leaf_size
     batch_shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
@@ -320,30 +338,6 @@ def nearest_t_spheres(origins: Array, dirs: Array, spheres: Spheres, t_min: floa
     batch_shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
-    c = spheres.centers
-    r = spheres.radii
-    active = r > 0.0
-
-    dc = jnp.dot(d, c.T, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    oc_dot_c = jnp.dot(o, c.T, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-    od = jnp.sum(o * d, axis=-1, keepdims=True)
-    oo = jnp.sum(o * o, axis=-1, keepdims=True)
-    a = jnp.sum(d * d, axis=-1, keepdims=True)
-    c2 = jnp.sum(c * c, axis=-1)
-
-    h = dc - od
-    cc = (c2 - r * r)[None, :] - 2.0 * oc_dot_c + oo
-    disc = h * h - a * cc
-    disc_pos = disc > 0.0
-    sqrt_disc = jnp.where(disc_pos, jnp.sqrt(jnp.where(disc_pos, disc, 1.0)), 0.0)
-    inv_a = 1.0 / a
-    root_near = (h - sqrt_disc) * inv_a
-    root_far = (h + sqrt_disc) * inv_a
-    near_ok = (root_near > t_min) & (root_near < t_max)
-    far_ok = (root_far > t_min) & (root_far < t_max)
-    root = jnp.where(near_ok, root_near, root_far)
-    valid = (disc >= 0.0) & (near_ok | far_ok) & active[None, :]
+    root, valid = _sphere_roots(o, d, spheres, t_min, t_max)
     t = jnp.min(jnp.where(valid, root, jnp.float32(t_max)), axis=-1)
     return t.reshape(batch_shape)

@@ -58,6 +58,9 @@ def seed_from_f32(seed01: Array) -> Array:
     u32::MAX = 4294967295; replicate that explicitly (XLA's out-of-range
     float->uint cast is platform-dependent, so it can't be relied on)."""
     x = jnp.maximum(jnp.asarray(seed01, jnp.float32) * jnp.float32(_U32_MAX_F), 0.0)
+    # NaN would fall through every comparison below into the very
+    # platform-dependent float->uint cast this function exists to avoid.
+    x = jnp.where(jnp.isnan(x), 0.0, x)
     return jnp.where(
         x >= jnp.float32(4294967296.0),
         jnp.uint32(0xFFFFFFFF),
@@ -68,14 +71,15 @@ def seed_from_f32(seed01: Array) -> Array:
 
 
 def random_unit_vector(seed: Array) -> Array:
-    """Uniform point on the unit sphere from two hash draws (wgsl:234-243):
-    z = 2*rand(seed) - 1, a = rand(seed+1) * 2pi, r = sqrt(1-z^2).
-    Returns shape seed.shape + (3,)."""
+    """Uniform point on the unit sphere from two hash draws (wgsl:234-243).
+    Returns shape seed.shape + (3,).  One sphere-sampling formula exists
+    (unit_vector_from_uniforms); this composes it with the hash stream —
+    the two 2*pi literals round to the same f32, so this is bit-identical
+    to the previous inline form."""
     seed = jnp.asarray(seed, jnp.uint32)
-    z = 2.0 * wgsl_random_float(seed) - 1.0
-    a = wgsl_random_float(seed + jnp.uint32(1)) * jnp.float32(6.283185307)
-    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-    return jnp.stack([r * jnp.cos(a), r * jnp.sin(a), z], axis=-1)
+    return unit_vector_from_uniforms(
+        wgsl_random_float(seed), wgsl_random_float(seed + jnp.uint32(1))
+    )
 
 
 def unit_vector_from_uniforms(u1: Array, u2: Array) -> Array:

@@ -117,6 +117,29 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
 
 
+def test_checkpoint_extensionless_path_roundtrips(tmp_path):
+    """np.savez appends '.npz' to bare paths: save/load/exists must agree
+    on the on-disk name or extension-less --checkpoint paths save fine but
+    silently never resume."""
+    import pytest
+
+    from gpu_ray_tracing_tpu.utils.checkpoint import checkpoint_path
+
+    state = init_accum(8, 16)
+    bare = os.path.join(tmp_path, "ck")
+    save_accum(bare, state)
+    assert os.path.exists(checkpoint_path(bare))
+    restored = load_accum(bare)
+    assert restored.rgb.shape == (8, 16, 3)
+    # No stray temp file left behind by the atomic write.
+    assert not [f for f in os.listdir(tmp_path) if ".tmp" in f]
+    # A foreign .npz fails with the format diagnostic, not a KeyError.
+    foreign = os.path.join(tmp_path, "foreign.npz")
+    np.savez(foreign, stuff=np.zeros(3))
+    with pytest.raises(ValueError, match="not a save_accum checkpoint"):
+        load_accum(foreign)
+
+
 def test_cli_render(tmp_path):
     from gpu_ray_tracing_tpu.cli import main
 
