@@ -122,12 +122,16 @@ def main() -> None:
                 text=True,
             )
         except subprocess.TimeoutExpired:
+            last = attempt == 1
             print(
                 f"bench child timed out after {CHILD_TIMEOUT_S}s (axon tunnel "
-                f"wedge?); waiting {WEDGE_RETRY_WAIT_S}s and retrying once",
+                "wedge?)"
+                + ("" if last else
+                   f"; waiting {WEDGE_RETRY_WAIT_S}s and retrying once"),
                 file=sys.stderr,
             )
-            time.sleep(WEDGE_RETRY_WAIT_S)
+            if not last:  # no pointless sleep after the final attempt
+                time.sleep(WEDGE_RETRY_WAIT_S)
             continue
         if proc.returncode == 0 and proc.stdout.strip():
             print(proc.stdout.strip().splitlines()[-1])

@@ -216,11 +216,11 @@ def config5(quick: bool, obj: str | None) -> dict:
         float(cs)  # compile + warm (also the first `steps` samples)
         state, cs = window(state, 2 * steps)
         float(cs)
-        t1s, t2s = [], []
+        t1s, t2s, checksum = [], [], 0.0
         for _ in range(3):
             t0 = time.perf_counter()
             state, cs = window(state, steps)
-            checksum = float(cs)
+            checksum += float(cs)  # proof-of-work covers EVERY repeat
             t1s.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             state, cs = window(state, 2 * steps)
@@ -228,7 +228,17 @@ def config5(quick: bool, obj: str | None) -> dict:
             t2s.append(time.perf_counter() - t0)
         t1 = sorted(t1s)[len(t1s) // 2]
         t2 = sorted(t2s)[len(t2s) // 2]
-        seconds = max(t2 - t1, 1e-9)
+        if t2 <= t1:
+            # Same rejection as utils/profiling.time_device_loop: a slope
+            # swamped by window jitter must not be published (a tiny
+            # positive residue would inflate spp/sec; clamping would raise
+            # check_plausible with the WRONG diagnosis).
+            raise RuntimeError(
+                "differential timing invalid: 2N-step windows not slower "
+                f"than N-step windows ({t1:.4f}s vs {t2:.4f}s) — rerun or "
+                "raise the step count"
+            )
+        seconds = t2 - t1
         stats = FrameStats(frames=steps, seconds=seconds, width=step_cfg.width,
                            height=step_cfg.height, spp=spp_per_step,
                            checksum=checksum,
@@ -254,8 +264,8 @@ def config5(quick: bool, obj: str | None) -> dict:
         batched = {
             "spp_per_step": 8,
             "regenerate": "auto",
-            "ms_per_step": round(b_stats.seconds / b_stats.frames * 1e3, 2),
-            "spp_per_sec": round(8 * b_stats.frames / b_stats.seconds, 2),
+            "ms_per_step": round(b_stats.ms_per_frame, 2),
+            "spp_per_sec": round(b_stats.spp_per_sec, 2),
         }
 
     # Sharded-correctness pass (BASELINE names a sharded framebuffer): one
@@ -282,7 +292,10 @@ def config5(quick: bool, obj: str | None) -> dict:
             s_state, s_scene, jax.device_put(cam, rep), s_cfg, mesh,
             frame_seed=jax.device_put(jnp.uint32(0), rep),
         )
-        sharded_ok = bool(jnp.isfinite(s_state.rgb).all()) and int(s_state.count) == 2
+        # One step folds one sample per spp-axis shard.
+        sharded_ok = bool(jnp.isfinite(s_state.rgb).all()) and (
+            int(s_state.count) == mesh.shape["s"]
+        )
     except Exception as e:  # pragma: no cover - diagnostic path
         print(f"sharded correctness pass failed: {e}", file=sys.stderr)
 

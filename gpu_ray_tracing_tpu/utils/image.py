@@ -13,8 +13,19 @@ import numpy as np
 
 
 def tonemap(linear_rgb, gamma: float = 2.2) -> np.ndarray:
-    """Linear HDR RGB -> clipped gamma-encoded [0,1] f32."""
+    """Linear HDR RGB -> clipped gamma-encoded [0,1] f32.
+
+    NaN pixels are rejected loudly: np.clip propagates NaN and the uint8
+    cast downstream is platform-undefined, so a diverged render would
+    otherwise silently emit plausible-looking garbage pixels.
+    """
     arr = np.asarray(linear_rgb, np.float32)
+    if not np.isfinite(arr).all():
+        bad = int(np.size(arr) - np.isfinite(arr).sum())
+        raise ValueError(
+            f"tonemap input contains {bad} non-finite values — the render "
+            "diverged; refusing to encode garbage pixels"
+        )
     return np.clip(arr, 0.0, 1.0) ** (1.0 / gamma)
 
 
@@ -32,14 +43,43 @@ def write_ppm(path: str, linear_rgb, gamma: float = 2.2) -> None:
 
 
 def read_ppm(path: str) -> np.ndarray:
-    """Read a binary PPM back as uint8 (H, W, 3)."""
+    """Read a binary 8-bit PPM back as uint8 (H, W, 3).
+
+    Parses the spec's token-based header (whitespace-separated magic,
+    width, height, maxval, with # comments), not just write_ppm's exact
+    layout; 16-bit files and truncated payloads are rejected rather than
+    misread.
+    """
     with open(path, "rb") as f:
         data = f.read()
-    parts = data.split(b"\n", 3)
-    if parts[0] != b"P6":
+
+    # Tokenize the header: up to 4 whitespace-separated tokens, skipping
+    # comment lines, then exactly one whitespace byte before the payload.
+    tokens, i = [], 0
+    while len(tokens) < 4 and i < len(data):
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        tokens.append(data[i:j])
+        i = j
+    i += 1  # the single whitespace separating maxval from the payload
+
+    if len(tokens) < 4 or tokens[0] != b"P6":
         raise ValueError(f"not a binary PPM: {path}")
-    w, h = (int(x) for x in parts[1].split())
-    return np.frombuffer(parts[3], np.uint8)[: w * h * 3].reshape(h, w, 3)
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (only 8-bit): {path}")
+    payload = data[i : i + w * h * 3]
+    if len(payload) < w * h * 3:
+        raise ValueError(f"truncated PPM payload in {path}")
+    # Copy: frombuffer over bytes is read-only, surprising callers.
+    return np.frombuffer(payload, np.uint8).reshape(h, w, 3).copy()
 
 
 def write_image(path: str, linear_rgb, gamma: float = 2.2) -> str:
@@ -47,7 +87,7 @@ def write_image(path: str, linear_rgb, gamma: float = 2.2) -> str:
 
     Returns the path actually written (a .ppm fallback when PIL is missing,
     so callers report the real file)."""
-    if path.endswith(".png"):
+    if path.lower().endswith(".png"):
         try:
             from PIL import Image
         except ImportError:
