@@ -185,6 +185,47 @@ def test_threefry_chunked_blocks_draw_independent_streams(monkeypatch):
         np.testing.assert_array_equal(chunked[i], ref)
 
 
+def test_feature_matrix_smoke():
+    """Cross-feature interaction sweep: every combination renders finite
+    through the public API on every applicable backend and agrees with the
+    jax backend to image tolerance.  Catches feature pairs no focused test
+    exercises together (e.g. NEE+RR+regen on an odd frame)."""
+    from gpu_ray_tracing_tpu import make_scene, one_weekend_scene
+    from gpu_ray_tracing_tpu.models.spheres import EMISSIVE, LAMBERTIAN, make_spheres
+    from tests.test_sharding import assert_images_match
+
+    lit = make_scene(make_spheres([
+        ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.6, 0.6, 0.6), 0.0),
+        ((0.0, 2.0, 0.0), 0.4, EMISSIVE, (1.0, 0.9, 0.8), 5.0),
+    ]))
+    ow = make_scene(one_weekend_scene(jax.random.key(0)))
+    cases = [
+        # (scene, dict(config overrides))
+        (lit, dict(nee=True, sky_intensity=0.0, russian_roulette_depth=2)),
+        (lit, dict(nee=True, sky_intensity=0.1, spp=2)),
+        (ow, dict(russian_roulette_depth=2, spp=2)),
+        (ow, dict(integrator="normal", spp=1)),
+    ]
+    for scene, overrides in cases:
+        base = dict(width=35, height=22, spp=2, max_depth=4)
+        base.update(overrides)
+        ref = np.asarray(render(scene, BASE_CAMERA,
+                                RenderConfig(backend="jax", **base),
+                                frame_seed=jnp.uint32(9)))
+        assert np.isfinite(ref).all()
+        backends = ["pallas"]
+        if base.get("integrator", "path") == "path":
+            backends.append("wavefront")
+        for backend in backends:
+            for regen in (["off", "auto"] if backend == "wavefront" else ["off"]):
+                img = np.asarray(render(
+                    scene, BASE_CAMERA,
+                    RenderConfig(backend=backend, regenerate=regen, **base),
+                    frame_seed=jnp.uint32(9)))
+                assert np.isfinite(img).all(), (backend, regen, overrides)
+                assert_images_match(img, ref, flip_frac=0.02, mean_tol=5e-3)
+
+
 def test_progressive_rejects_nonpositive_spp_per_step():
     import pytest
 
