@@ -35,8 +35,14 @@ Array = jax.Array
 # footprint at 1080p x hundreds of spheres.  (The Pallas backend tiles VMEM
 # explicitly and ignores this.)  TPU/GPU HBM takes far larger blocks than the
 # CPU test runs; tiny blocks would serialize the chip into dispatch overhead.
+# Platform resolution mirrors ops.pallas.megakernel.default_platform: a
+# jax.default_device scope wins (and never touches other backends, keeping
+# CPU-pinned gates hermetic), then the default backend, then 'cpu' if even
+# that fails to initialize — the small budget is safe everywhere.
 def _block_budget() -> int:
-    return (1 << 22) if jax.default_backend() == "cpu" else (1 << 27)
+    from gpu_ray_tracing_tpu.ops.pallas.megakernel import default_platform
+
+    return (1 << 22) if default_platform() == "cpu" else (1 << 27)
 
 
 def _scene_width(scene) -> int:
@@ -126,6 +132,7 @@ def _dispatch_kernel_render(
     height: int | None = None,
     y_offset: Array | int = 0,
     total_width: int | None = None,
+    interpret: bool | None = None,
 ) -> Array:
     """Route a hash-stream render to the configured Pallas engine.
 
@@ -133,7 +140,11 @@ def _dispatch_kernel_render(
     per-sample path, the full-frame kernel path, and the sharded renderer —
     so every engine kwarg stays in sync across entry points.  `height`/
     `y_offset`/`total_width` address a row shard of a larger frame; the
-    default renders the full config frame.
+    default renders the full config frame.  `interpret` forces/disables
+    Pallas interpret mode; the sharded renderer passes the platform of the
+    mesh it is actually compiling for (a TPU-default process can legally
+    drive a CPU mesh — the driver's dryrun does), everything else defaults
+    to the current platform.
     """
     w = config.width
     h = config.height if height is None else height
@@ -148,6 +159,7 @@ def _dispatch_kernel_render(
             russian_roulette_depth=config.russian_roulette_depth,
             sky_intensity=config.sky_intensity, nee=config.nee,
             spp=spp, y_offset=y_offset, total_width=total_width,
+            interpret=interpret,
             regenerate=(
                 config.regenerate == "on"
                 or (config.regenerate == "auto" and spp > 1)
@@ -165,7 +177,7 @@ def _dispatch_kernel_render(
         mode="normal" if config.integrator == "normal" else "path",
         russian_roulette_depth=config.russian_roulette_depth,
         sky_intensity=config.sky_intensity, nee=config.nee,
-        spp=spp, y_offset=y_offset,
+        spp=spp, y_offset=y_offset, interpret=interpret,
     )
 
 
@@ -308,7 +320,10 @@ def _render_kernel_frame_bwd(config, residuals, g):
     import numpy as np
 
     spheres, camera, frame_seed = residuals
-    jax_config = dataclasses.replace(config, backend="jax")
+    # regenerate is a wavefront-engine mode; the jax-backend replay config
+    # must drop it or RenderConfig.__post_init__ rejects the combination
+    # (grad through backend='wavefront', regenerate='on' crashed otherwise).
+    jax_config = dataclasses.replace(config, backend="jax", regenerate="off")
 
     def replay(s, c):
         return _render_spp_jax(s, c, jax_config, None, frame_seed)

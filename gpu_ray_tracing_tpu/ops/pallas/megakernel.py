@@ -51,6 +51,29 @@ from gpu_ray_tracing_tpu.ops import rng as rng_ops
 
 Array = jax.Array
 
+
+def default_platform() -> str:
+    """Best-effort platform for the interpret-mode default.
+
+    A `jax.default_device` scope wins (its device IS where the computation
+    will run — and consulting it never initializes any other backend, which
+    keeps CPU-pinned gates hermetic even when the process's default backend
+    is a broken TPU).  Otherwise fall back to the process default backend;
+    if even that cannot initialize, interpret mode (CPU) is the safe answer.
+
+    Callers that know the target devices (the sharded renderer's mesh) must
+    pass `interpret` explicitly instead: a TPU-default process driving a CPU
+    mesh — the driver's dryrun shape — is invisible to this function.
+    """
+    dev = jax.config.jax_default_device
+    platform = getattr(dev, "platform", None)
+    if platform is not None:
+        return platform
+    try:
+        return jax.default_backend()
+    except Exception:  # backend init failure -> interpret anywhere
+        return "cpu"
+
 # Scene plane rows (first axis of the (16, N) VMEM scene array).
 _CX, _CY, _CZ, _RAD, _C2R2, _ALR, _ALG, _ALB, _KIND, _PARAM, _ACTIVE = range(11)
 _SCENE_ROWS = 16  # padded to a sublane multiple
@@ -1043,7 +1066,7 @@ def render_pallas(
     n = spheres.count
 
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = default_platform() != "tpu"
 
     tile_spec = pl.BlockSpec((TILE_ROWS, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0), memory_space=pltpu.SMEM)

@@ -63,6 +63,7 @@ from gpu_ray_tracing_tpu.ops.pallas.megakernel import (
     _SCENE_ROWS,
     _path_bounce,
     bvh_planes,
+    default_platform,
     lights_planes,
     mesh_table,
     scene_planes,
@@ -292,7 +293,7 @@ def render_wavefront(
             raise ValueError("BVH too large for SMEM; rebuild with larger leaves")
 
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = default_platform() != "tpu"
 
     if tile_rows < 8 or tile_rows % 8:
         raise ValueError(f"tile_rows={tile_rows} must be a positive multiple of 8")

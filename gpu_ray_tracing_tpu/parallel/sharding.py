@@ -67,7 +67,20 @@ def _check(config: RenderConfig, mesh: Mesh):
     return n_rows, n_spp
 
 
-def _local_sample(spheres, camera, config: RenderConfig, sample_index, frame_seed, y0, local_h):
+def _mesh_interpret(mesh: Mesh) -> bool:
+    """Pallas interpret-mode flag for the devices a mesh computation will
+    actually run on.
+
+    Keyed off the MESH devices, never `jax.default_backend()`: a TPU-default
+    process driving a CPU mesh (the driver's dryrun shape, and the test
+    suite's virtual 8-device pool) must compile interpret-mode Pallas for
+    those CPU devices, while a real TPU mesh must get the Mosaic kernels.
+    """
+    return mesh.devices.flat[0].platform != "tpu"
+
+
+def _local_sample(spheres, camera, config: RenderConfig, sample_index, frame_seed, y0, local_h,
+                  interpret: bool):
     """Trace one 1-spp pass for rows [y0, y0+local_h) of the global frame."""
     w = config.width
     if config.rng == "hash":
@@ -76,6 +89,7 @@ def _local_sample(spheres, camera, config: RenderConfig, sample_index, frame_see
                 spheres, camera, config,  # spheres may be a Scene
                 sample_index=sample_index, frame_seed=frame_seed,
                 height=local_h, y_offset=y0, total_width=w,
+                interpret=interpret,
             )
         origins, dirs, seeds = rays.generate_rays_hash(
             camera, w, local_h, sample_index, frame_seed,
@@ -117,6 +131,7 @@ def render_sharded(
     n_rows, n_spp = _check(config, mesh)
     local_h = config.height // n_rows
     spp_local = config.spp // n_spp
+    interpret = _mesh_interpret(mesh)
     if frame_seed is None:
         frame_seed = jnp.uint32(0)
     frame_seed = jnp.asarray(frame_seed, jnp.uint32)
@@ -129,7 +144,8 @@ def render_sharded(
         def sample_body(j, acc):
             s_global = si * spp_local + j
             return acc + _local_sample(
-                spheres, camera, config, s_global, frame_seed, y0, local_h
+                spheres, camera, config, s_global, frame_seed, y0, local_h,
+                interpret,
             )
 
         acc = jax.lax.fori_loop(
@@ -170,6 +186,7 @@ def progressive_step_sharded(
         camera = derive_camera(camera, config.width, config.height)
     n_rows, n_spp = _check(config, mesh)
     local_h = config.height // n_rows
+    interpret = _mesh_interpret(mesh)
     if frame_seed is None:
         frame_seed = jnp.uint32(0)
     frame_seed = jnp.asarray(frame_seed, jnp.uint32)
@@ -185,7 +202,8 @@ def progressive_step_sharded(
         count = jnp.where(reset, 0, count)
 
         s_global = count + si
-        sample = _local_sample(spheres, camera, config, s_global, frame_seed, y0, local_h)
+        sample = _local_sample(spheres, camera, config, s_global, frame_seed, y0, local_h,
+                               interpret)
         batch = jax.lax.psum(sample, SPP_AXIS)  # sum of n_spp fresh samples
 
         # One canonical fold (ops/accumulate.fold_sample): the mean of the
