@@ -50,7 +50,7 @@ from gpu_ray_tracing_tpu.models.spheres import (
 from gpu_ray_tracing_tpu.ops.accumulate import AccumState, init_accum
 from gpu_ray_tracing_tpu.utils.config import REFERENCE_CONFIG, RenderConfig
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "AccumState",

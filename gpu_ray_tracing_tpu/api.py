@@ -367,6 +367,14 @@ def progressive_step(
     """
     if spp_per_step < 1:
         raise ValueError(f"spp_per_step must be >= 1, got {spp_per_step}")
+    if spp_per_step > 1 and config.spp % spp_per_step != 0:
+        # A batch straddling the spp target would fold whole and overshoot
+        # the accumulated count by up to spp_per_step-1 samples (the sharded
+        # path already enforces the equivalent divisibility).
+        raise ValueError(
+            f"spp_per_step={spp_per_step} must divide config.spp="
+            f"{config.spp} so accumulation freezes exactly at the target"
+        )
     if isinstance(camera, CameraSettings):
         camera = derive_camera(camera, config.width, config.height)
     key, frame_seed = _resolve_rng(config, key, frame_seed)

@@ -150,8 +150,11 @@ def _build_config(args, spp=None):
             else "jax"
         )
         # Ray regeneration is a wavefront-engine mode; an explicit
-        # --regenerate with auto backend selects the engine that honors it.
-        if args.regenerate != "off" and backend == "pallas":
+        # --regenerate with auto backend selects the engine that honors it
+        # on EVERY host (a non-TPU host resolves auto to 'jax', which
+        # RenderConfig would reject with regenerate != 'off' — the
+        # wavefront engine interprets fine on CPU).
+        if args.regenerate != "off":
             backend = "wavefront"
     return rt.RenderConfig(
         width=args.width, height=args.height, spp=spp or args.spp,

@@ -83,7 +83,11 @@ class Scene:
     STATIC flag recorded by make_scene (the NEE light list covers spheres
     only, so emissive mesh faces must be rejected — and the check must be
     host-side metadata, not a traced-array inspection, or it explodes
-    under jit).
+    under jit).  Its default None means "unknown" — a directly-constructed
+    Scene (bypassing make_scene) resolves it lazily at the nee=True guard
+    via `resolve_mesh_has_emissive`, which inspects the mesh when concrete
+    and refuses to guess when traced, so a hand-built emissive-mesh scene
+    can never silently render a biased NEE image.
     """
 
     spheres: Spheres
@@ -92,7 +96,7 @@ class Scene:
     sphere_bvh: BVH | None = None
     lights: Lights | None = None
     bvh_leaf_size: int = 4
-    mesh_has_emissive: bool = False
+    mesh_has_emissive: bool | None = None
 
 
 #: Sphere count above which make_scene builds a sphere BVH by default.
@@ -156,6 +160,32 @@ def make_scene(
 
 def as_scene(scene_or_spheres) -> Scene:
     return scene_or_spheres if isinstance(scene_or_spheres, Scene) else Scene(spheres=scene_or_spheres)
+
+
+def resolve_mesh_has_emissive(scene: Scene) -> bool:
+    """Static answer to "does the mesh carry EMISSIVE faces?" for the
+    nee=True guards.
+
+    make_scene records the flag; a directly-constructed Scene leaves it
+    None, in which case the mesh is inspected host-side when concrete.  A
+    TRACED mesh with an unresolved flag is an error: guessing False would
+    let an emissive-mesh scene pass the guard and silently render a biased
+    image (NEE's light list covers spheres only and suppresses BSDF-hit
+    emission behind diffuse bounces)."""
+    if scene.mesh is None:
+        return False
+    if scene.mesh_has_emissive is not None:
+        return scene.mesh_has_emissive
+    import numpy as np
+
+    mk = scene.mesh.mat_kind
+    if isinstance(mk, jax.core.Tracer):
+        raise ValueError(
+            "nee=True with a mesh needs static mesh_has_emissive metadata; "
+            "build the Scene via make_scene (or pass mesh_has_emissive "
+            "explicitly) — it cannot be derived from a traced mesh"
+        )
+    return bool(np.any(np.asarray(mk) == EMISSIVE))
 
 
 def intersect_scene(

@@ -68,9 +68,10 @@ def fold_sample(
     `c += (x - c) / (n + 1)` at k=1.
 
     reset: traced bool — clears the state first (camera moved).
-    The update freezes once count reaches spp_target (wgsl:352); a batched
-    step that straddles the target folds whole (count may overshoot by up
-    to num_samples - 1).
+    The update freezes once count reaches spp_target (wgsl:352).  A batched
+    step that straddles the target would fold whole and overshoot the count
+    by up to num_samples - 1 — progressive_step and the sharded path both
+    enforce the divisibility that rules the straddle out.
     """
     reset = jnp.asarray(reset, bool)
     rgb = jnp.where(reset, 0.0, state.rgb)

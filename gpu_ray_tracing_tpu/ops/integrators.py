@@ -94,7 +94,11 @@ def trace_path(
     if n_rng != 1:
         raise ValueError("pass exactly one of key=, bounce_seeds=, or pixel_seeds=")
 
-    from gpu_ray_tracing_tpu.models.scene import as_scene, intersect_scene
+    from gpu_ray_tracing_tpu.models.scene import (
+        as_scene,
+        intersect_scene,
+        resolve_mesh_has_emissive,
+    )
     from gpu_ray_tracing_tpu.models.spheres import LAMBERTIAN
 
     scene = as_scene(scene)
@@ -104,8 +108,9 @@ def trace_path(
             "make_scene so the light list is extracted"
         )
     # Static metadata check (never inspect traced arrays here — this runs
-    # inside jit with a dynamic scene; make_scene records the flag).
-    if nee and scene.mesh is not None and scene.mesh_has_emissive:
+    # inside jit with a dynamic scene; make_scene records the flag, and
+    # resolve_mesh_has_emissive covers directly-constructed Scenes).
+    if nee and resolve_mesh_has_emissive(scene):
         raise ValueError(
             "nee=True cannot sample EMISSIVE mesh faces (the light list "
             "covers spheres only); use sphere lights or nee=False"

@@ -1024,7 +1024,7 @@ def render_pallas(
     the Pallas budgets: triangles in the VMEM table (MAX_PALLAS_TRIANGLES),
     BVH nodes in SMEM (MAX_PALLAS_BVH_NODES).
     """
-    from gpu_ray_tracing_tpu.models.scene import as_scene
+    from gpu_ray_tracing_tpu.models.scene import as_scene, resolve_mesh_has_emissive
 
     if spp < 1:
         raise ValueError(f"spp must be >= 1, got {spp}")  # avoids 0/0 NaN
@@ -1101,7 +1101,7 @@ def render_pallas(
             )
         # Static metadata check (this runs under jit with a traced scene;
         # make_scene records the flag host-side).
-        if sc.mesh is not None and sc.mesh_has_emissive:
+        if resolve_mesh_has_emissive(sc):
             raise ValueError(
                 "nee=True cannot sample EMISSIVE mesh faces (the light "
                 "list covers spheres only); use sphere lights or nee=False"

@@ -264,7 +264,7 @@ def render_wavefront(
     bits only because radiance deltas accumulate in pool order rather than
     sample-major order.
     """
-    from gpu_ray_tracing_tpu.models.scene import as_scene
+    from gpu_ray_tracing_tpu.models.scene import as_scene, resolve_mesh_has_emissive
     from gpu_ray_tracing_tpu.ops import rays as rays_ops
 
     if sort not in ("octant", "octant-flat", "live"):
@@ -330,7 +330,7 @@ def render_wavefront(
     if nee:
         if sc.lights is None or sc.lights.count == 0:
             raise ValueError("nee=True needs a Scene with emissive lights")
-        if sc.mesh is not None and sc.mesh_has_emissive:
+        if resolve_mesh_has_emissive(sc):
             raise ValueError(
                 "nee=True cannot sample EMISSIVE mesh faces (the light "
                 "list covers spheres only); use sphere lights or nee=False"

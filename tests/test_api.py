@@ -235,6 +235,11 @@ def test_progressive_rejects_nonpositive_spp_per_step():
     with pytest.raises(ValueError, match="spp_per_step"):
         progressive_step(state, scene, BASE_CAMERA, cfg,
                          frame_seed=jnp.uint32(0), spp_per_step=0)
+    # A batch straddling the spp target would overshoot the accumulated
+    # count past config.spp (advisor finding, r2): rejected up front.
+    with pytest.raises(ValueError, match="divide"):
+        progressive_step(state, scene, BASE_CAMERA, cfg,
+                         frame_seed=jnp.uint32(0), spp_per_step=3)
 
 
 def test_progressive_freezes_at_target():

@@ -164,6 +164,20 @@ def test_nee_mesh_scene_renders_under_jit():
     with pytest.raises(ValueError, match="EMISSIVE mesh"):
         render(em_scene, cam, cfg, frame_seed=jnp.uint32(1))
 
+    # A DIRECTLY-constructed Scene (bypassing make_scene) leaves the flag
+    # None; the nee guard must refuse to guess (the mesh is traced under
+    # jit) instead of silently rendering a biased image (advisor finding,
+    # r2).  Eagerly, the resolver inspects the concrete mesh.
+    import dataclasses
+
+    from gpu_ray_tracing_tpu.models.scene import resolve_mesh_has_emissive
+
+    direct = dataclasses.replace(em_scene, mesh_has_emissive=None)
+    assert direct.mesh_has_emissive is None
+    assert resolve_mesh_has_emissive(direct) is True  # concrete: derived
+    with pytest.raises(ValueError, match="make_scene"):
+        render(direct, cam, cfg, frame_seed=jnp.uint32(1))
+
 
 def test_pallas_spp_zero_rejected():
     import pytest

@@ -151,6 +151,20 @@ def test_cli_render(tmp_path):
     assert rc == 0 and os.path.exists(out)
 
 
+def test_cli_regenerate_with_auto_backend(tmp_path):
+    """--backend auto + --regenerate on must select the wavefront engine on
+    ANY host (on a non-TPU host auto used to resolve to 'jax', which
+    RenderConfig rejects with regenerate != 'off' — advisor finding, r2)."""
+    from gpu_ray_tracing_tpu.cli import main
+
+    out = os.path.join(tmp_path, "regen.png")
+    rc = main([
+        "render", "--scene", "base", "--width", "48", "--height", "36",
+        "--spp", "2", "--depth", "4", "--regenerate", "on", "--out", out,
+    ])
+    assert rc == 0 and os.path.exists(out)
+
+
 def test_cli_progressive_resume(tmp_path):
     from gpu_ray_tracing_tpu.cli import main
 
