@@ -45,6 +45,9 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint", default="accum.npz")
     ap.add_argument("--checkpoint-every", type=int, default=4,
                     help="checkpoint every N batched steps")
+    ap.add_argument("--preview-every", type=int, default=0, metavar="N",
+                    help="also write <out>_preview every N steps (0 = off); "
+                         "only fires on checkpoint steps")
     ap.add_argument("--out", default="render.png")
     args = ap.parse_args(argv)
 
@@ -82,6 +85,16 @@ def main(argv=None) -> int:
             save_accum(args.checkpoint, state)
             n = int(state.count)
             print(f"{n}/{args.spp} spp  ({n / max(time.time() - t0, 1e-9):.1f} spp/s)")
+            if args.preview_every and step % args.preview_every == 0:
+                # Inspectable mid-run snapshot (the offline answer to the
+                # reference's live progressive window, lib.rs:96-102).
+                root, ext = os.path.splitext(args.out)
+                from PIL import Image
+
+                Image.fromarray(to_uint8(tonemap(np.asarray(state.rgb)))).save(
+                    f"{root}_preview{ext or '.png'}"
+                )
+                print(f"preview -> {root}_preview{ext or '.png'}")
 
     save_accum(args.checkpoint, state)
     from PIL import Image

@@ -234,6 +234,7 @@ def cmd_progressive(args) -> int:
     else:
         state = rt.init_accum(cfg.height, cfg.width)
     resumed = int(state.count)
+    preview_base = args.out or "progressive.png"
     for step in range(args.steps):
         # hash/wgsl: constant frame seed — the accumulated count is the
         # sample index, matching render(). threefry ignores sample_index, so
@@ -242,6 +243,15 @@ def cmd_progressive(args) -> int:
         # duplicate samples.
         kw = _rng_kwargs(args, resumed + step if args.rng == "threefry" else 0)
         state = rt.progressive_step(state, scene, cam, cfg, **kw)
+        if args.preview_every and (step + 1) % args.preview_every == 0:
+            # Periodic snapshot: the offline answer to the reference's live
+            # progressive view (lib.rs:96-102) — a long render is
+            # inspectable (and cheaply abortable) while it accumulates.
+            state = jax.block_until_ready(state)
+            root, ext = os.path.splitext(preview_base)
+            p = write_image(f"{root}_preview{ext or '.png'}",
+                            np.asarray(state.rgb), args.gamma)
+            print(f"preview at {int(state.count)} spp -> {p}", flush=True)
     state = jax.block_until_ready(state)
     if args.checkpoint:
         save_accum(args.checkpoint, state)
@@ -275,6 +285,9 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=16)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--out", default=None)
+    p.add_argument("--preview-every", type=int, default=0, metavar="N",
+                   help="write a <out>_preview image snapshot every N steps "
+                        "(0 = off) so long renders are inspectable mid-run")
     p.set_defaults(fn=cmd_progressive)
 
     p = sub.add_parser("bench", help="run the 5-config benchmark suite")

@@ -165,6 +165,21 @@ def test_cli_regenerate_with_auto_backend(tmp_path):
     assert rc == 0 and os.path.exists(out)
 
 
+def test_cli_progressive_preview_every(tmp_path):
+    """--preview-every N writes inspectable snapshots mid-accumulation
+    (VERDICT r2 item 7: long renders must not be a black box)."""
+    from gpu_ray_tracing_tpu.cli import main
+
+    out = os.path.join(tmp_path, "prog.png")
+    rc = main([
+        "progressive", "--scene", "base", "--width", "32", "--height", "24",
+        "--spp", "4", "--depth", "3", "--steps", "4", "--preview-every", "2",
+        "--out", out,
+    ])
+    assert rc == 0 and os.path.exists(out)
+    assert os.path.exists(os.path.join(tmp_path, "prog_preview.png"))
+
+
 def test_cli_progressive_resume(tmp_path):
     from gpu_ray_tracing_tpu.cli import main
 
