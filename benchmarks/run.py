@@ -129,9 +129,10 @@ def config3(quick: bool, obj: str | None) -> dict:
     scene = jax.device_put(
         make_scene(one_weekend_scene(jax.random.key(0), grid_min=-11, grid_max=11))
     )
-    # Depth 50 is the wavefront engine's home turf (per-bounce row
-    # compaction beats the megakernel ~1.3x once most lanes are dead).
-    backend = "wavefront" if _tpu() else "jax"
+    # r3: live-lane-masked traversal made the megakernel the depth-50
+    # winner too (128.0 vs 146.6 ms at 720p — docs/PERFORMANCE.md
+    # "Round 3"); it had been the wavefront engine's home turf in r2.
+    backend = "pallas" if _tpu() else "jax"
     res = (320, 180) if jax.default_backend() == "cpu" else (1280, 720)
     cfg = RenderConfig(width=res[0], height=res[1], spp=1, max_depth=50, backend=backend)
     fn = lambda s: render(scene, CameraSettings.default(), cfg, frame_seed=s)
@@ -189,7 +190,9 @@ def config5(quick: bool, obj: str | None) -> dict:
     correctness on an 8-virtual-device CPU mesh below.
     """
     scene = jax.device_put(make_scene(one_weekend_scene(jax.random.key(0))))
-    backend = "wavefront" if _tpu() else "jax"  # d20+RR: wavefront wins ~1.2x
+    # r3: megakernel wins d20+RR as well (79.4 vs 99.9 ms at 1080p); the
+    # batched step below still uses the wavefront engine for regeneration.
+    backend = "pallas" if _tpu() else "jax"
     res = (480, 270) if jax.default_backend() == "cpu" else (1920, 1080)
     cfg = RenderConfig(width=res[0], height=res[1], spp=1024, max_depth=20,
                        backend=backend, russian_roulette_depth=5)
@@ -259,7 +262,8 @@ def config5(quick: bool, obj: str | None) -> dict:
         import dataclasses as _dc
 
         b_stats, _ = measure_steps(
-            _dc.replace(cfg, regenerate="auto"), 2 if quick else 4, 8
+            _dc.replace(cfg, backend="wavefront", regenerate="auto"),
+            2 if quick else 4, 8,
         )
         batched = {
             "spp_per_step": 8,

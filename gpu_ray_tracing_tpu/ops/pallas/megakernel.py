@@ -222,7 +222,14 @@ def _traverse_bvh(bvhf_ref, bvhi_ref, t_min, ox, oy, oz, dx, dy, dz, carry, leaf
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.maximum(t0z, t1z),
         )
-        lane_hit = (tf >= jnp.maximum(tn, jnp.float32(t_min))) & (tn < tb)
+        # Entry test as interval overlap of (t_min, tb) with [tn, tf], with
+        # tn clamped to t_min FIRST: an empty window (tb <= t_min — dead or
+        # occlusion-resolved lanes) then fails even for boxes straddling
+        # the ray origin (tn < 0), so inert lanes can never drive descent.
+        # For live windows (tb > t_min) the decisions are identical to the
+        # unclamped form.
+        tn_eff = jnp.maximum(tn, jnp.float32(t_min))
+        lane_hit = (tf >= tn_eff) & (tn_eff < tb)
         enter = jnp.max(lane_hit.astype(jnp.float32)) > 0.5  # any() as scalar
 
         ls = bvhi_ref[_LSTART, cursor]
@@ -237,6 +244,42 @@ def _traverse_bvh(bvhf_ref, bvhi_ref, t_min, ox, oy, oz, dx, dy, dz, carry, leaf
 
     _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
     return carry
+
+
+# Sub-tile granularity of the MESH BVH walk: one independent scalar cursor
+# per MESH_GROUP_ROWS sublanes instead of one per (TILE_ROWS, 128) tile.  A
+# group only descends nodes its OWN lanes' slab tests overlap, so a
+# direction-coherent subset stops paying for the whole tile's frustum union
+# (VERDICT r2 item 4's "finer traversal granularity" suggestion).  MEASURED
+# RESULT on v5e, config-4 mesh path (82k tris, 640x480 d8): grouping LOSES
+# — 587 ms ungrouped vs 612 ms at 16-row groups — because deep-bounce rays
+# are incoherent even within a group (each sub-walk still visits ~the whole
+# tree, so vector work doesn't shrink while scalar cursor work multiplies).
+# Default 0 = off; kept as an env knob (read once at import; jit caches key
+# on RenderConfig, so a sweep needs one process per value) for atypically
+# coherent mesh workloads.  See docs/PERFORMANCE.md mesh A/B table.
+import os as _os
+
+MESH_GROUP_ROWS = int(_os.environ.get("GRT_MESH_GROUP_ROWS", "0"))
+
+
+def _row_grouped(group_rows, rays, carry, run):
+    """Run `run(rays, carry)` independently over row groups of a lane tile.
+
+    `rays` is the (ox, oy, oz, dx, dy, dz) planes, `carry` the traversal
+    state planes; both are split into (group_rows, 128) slices (static
+    sublane slicing — Mosaic-legal), walked sequentially, and re-joined.
+    group_rows in (None, 0) or >= the tile height degrades to one call.
+    """
+    r = rays[0].shape[0]
+    if not group_rows or group_rows >= r:
+        return run(rays, carry)
+    outs = []
+    for g in range(0, r, group_rows):
+        rows = slice(g, g + group_rows)
+        outs.append(run(tuple(x[rows] for x in rays),
+                        tuple(x[rows] for x in carry)))
+    return tuple(jnp.concatenate([o[k] for o in outs]) for k in range(len(outs[0])))
 
 
 def _mesh_group_scan(tbl_ref, ls, trip, carry, tri_test):
@@ -367,31 +410,42 @@ def _sphere_root(scene_ref, j, a, inv_a, od, oo, ox, oy, oz, dx, dy, dz, t_min, 
     return cx, cy, cz, root, better
 
 
-def _closest_t(
-    scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
+def _occluded(
+    scene_ref, n_spheres, t_min, ox, oy, oz, dx, dy, dz, window,
     mesh_refs=None, sphere_bvh_refs=None,
 ):
-    """Shadow-ray variant of the closest hit: t and hit mask only.
+    """Any-hit occlusion query: blocked mask for per-lane shadow rays.
 
-    Carries a single plane through the scans (no attribute/normal planes),
-    roughly halving the per-primitive op count — occlusion tests don't need
-    to know WHAT blocked the ray, only how close it is.
+    `window` is each lane's search-interval end — the NEE light distance,
+    pre-shrunk by the caller, and ZERO for lanes whose NEE sample is
+    already invalid for scan-independent reasons (non-diffuse hit, facing
+    away, inside the light).  The carry is the remaining window: finding
+    ANY primitive inside (t_min, window) collapses it to 0, which both
+    marks the lane blocked and prunes it from every later node and
+    primitive test (the `t < tb` window check fails at tb=0).  When every
+    lane's window is closed the BVH walk drains through miss links in
+    O(depth) steps — distance-bounded, any-hit, early-exiting, with no
+    extra control flow.
+
+    vs the previous closest-hit shadow scan (VERDICT r2 item 5): no true-
+    nearest bookkeeping, nodes beyond the light are never entered, invalid
+    lanes never drive traversal, and the first blocker retires a lane.
+    Estimator-invariant: NEE validity consumed only the boolean
+    `nearest < light distance`, which equals `any hit < light distance`.
     """
     a = dx * dx + dy * dy + dz * dz
     inv_a = 1.0 / a
     od = ox * dx + oy * dy + oz * dz
     oo = ox * ox + oy * oy + oz * oz
-    big = jnp.float32(t_max)
 
     def sphere_body(j, tb):
-        _, _, _, root, better = _sphere_root(
+        _, _, _, _, better = _sphere_root(
             scene_ref, j, a, inv_a, od, oo, ox, oy, oz, dx, dy, dz, t_min, tb
         )
-        return jnp.where(better, root, tb)
+        return jnp.where(better, jnp.float32(0.0), tb)
 
-    tb0 = jnp.full(ox.shape, big, jnp.float32)
     if sphere_bvh_refs is None:
-        tb = jax.lax.fori_loop(0, n_spheres, sphere_body, tb0)
+        tb = jax.lax.fori_loop(0, n_spheres, sphere_body, window)
     else:
         def leaf_scan_s(ls, trip, carry):
             tb = jax.lax.fori_loop(0, trip, lambda k, t: sphere_body(ls + k, t), carry[0])
@@ -399,28 +453,34 @@ def _closest_t(
 
         (tb,) = _traverse_bvh(
             sphere_bvh_refs[0], sphere_bvh_refs[1], t_min,
-            ox, oy, oz, dx, dy, dz, (tb0,), leaf_scan_s,
+            ox, oy, oz, dx, dy, dz, (window,), leaf_scan_s,
         )
 
     if mesh_refs is not None:
         tbl_ref, bvhf_ref, bvhi_ref = mesh_refs
 
-        def tri_test(row, b, carry):
-            (tb,) = carry
-            t, _, _, better = _tri_intersect(
-                row, b, ox, oy, oz, dx, dy, dz, t_min, tb
+        def run(rays, carry):
+            gox, goy, goz, gdx, gdy, gdz = rays
+
+            def tri_test(row, b, carry):
+                (tb,) = carry
+                _, _, _, better = _tri_intersect(
+                    row, b, gox, goy, goz, gdx, gdy, gdz, t_min, tb
+                )
+                return (jnp.where(better, jnp.float32(0.0), tb),)
+
+            def leaf_scan_m(ls, trip, carry):
+                return _mesh_group_scan(tbl_ref, ls, trip, carry, tri_test)
+
+            return _traverse_bvh(
+                bvhf_ref, bvhi_ref, t_min, *rays, carry, leaf_scan_m,
             )
-            return (jnp.where(better, t, tb),)
 
-        def leaf_scan_m(ls, trip, carry):
-            return _mesh_group_scan(tbl_ref, ls, trip, carry, tri_test)
-
-        (tb,) = _traverse_bvh(
-            bvhf_ref, bvhi_ref, t_min, ox, oy, oz, dx, dy, dz, (tb,), leaf_scan_m,
+        (tb,) = _row_grouped(
+            MESH_GROUP_ROWS, (ox, oy, oz, dx, dy, dz), (tb,), run
         )
 
-    hit = tb < big
-    return jnp.where(hit, tb, 1.0), hit
+    return tb < window
 
 
 def _closest_hit(
@@ -428,9 +488,22 @@ def _closest_hit(
     mesh_refs=None,
     sphere_bvh_refs=None,
     mesh_smooth: bool = False,
+    live_f=None,
 ):
     """Vectorized shrinking-window sphere scan (wgsl:164-221), plus the
     tile-coherent mesh BVH traversal when `mesh_refs` is given.
+
+    `live_f` (f32 mask plane, optional): DEAD lanes get an empty closest-
+    hit window (tb = t_min), so their stale rays are excluded from every
+    BVH descent decision and primitive window test — a tile's traversal
+    unions only its LIVE lanes' subtrees.  Without this, a deep-bounce
+    tile with one live lane re-walked whatever its 4095 dead lanes last
+    looked at.  Dead lanes' returned planes (including `hit`, which reads
+    True at the unmoved tb = t_min) are garbage by contract: every
+    consumer masks by `live`, which `_path_bounce` always did.  Live
+    lanes' results are bitwise unchanged — a node a live lane's window
+    overlaps is entered either way, and a skipped leaf can only contain
+    candidates at t >= that lane's window.
 
     Returns (t, hit, px, py, pz, nx, ny, nz (face normal), front, alr, alg,
     alb, kind, param) as (R, 128) planes.
@@ -442,6 +515,8 @@ def _closest_hit(
 
     big = jnp.float32(t_max)
     t0 = jnp.full(ox.shape, big, jnp.float32)
+    if live_f is not None:
+        t0 = jnp.where(live_f > 0.5, t0, jnp.float32(t_min))
     zero = jnp.zeros(ox.shape, jnp.float32)
 
     def body(j, carry):
@@ -486,10 +561,13 @@ def _closest_hit(
     nz = (oz + ts * dz - czp) * inv_r
 
     if mesh_refs is not None:
-        tb, nx, ny, nz, ar, ag, ab, kp, pp = _traverse_mesh(
-            *mesh_refs, t_min, ox, oy, oz, dx, dy, dz,
+        tb, nx, ny, nz, ar, ag, ab, kp, pp = _row_grouped(
+            MESH_GROUP_ROWS,
+            (ox, oy, oz, dx, dy, dz),
             (tb, nx, ny, nz, ar, ag, ab, kp, pp),
-            smooth=mesh_smooth,
+            lambda rays, carry: _traverse_mesh(
+                *mesh_refs, t_min, *rays, carry, smooth=mesh_smooth
+            ),
         )
         if mesh_smooth:
             # Interpolated normals fold unnormalized; one renormalize here
@@ -646,7 +724,7 @@ def _path_bounce(
     (_, hit, px, py, pz, nx, ny, nz, front, ar, ag, ab, kp, pp) = _closest_hit(
         scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
         mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
-        mesh_smooth=mesh_smooth,
+        mesh_smooth=mesh_smooth, live_f=live_f,
     )
     salt_base = jnp.uint32(16) + jnp.uint32(3) * jnp.asarray(i_b, jnp.uint32)
     sx, sy, sz, attr, attg, attb, ok = _scatter(
@@ -757,17 +835,20 @@ def _path_bounce(
             disc_l = h_l * h_l - (d2 - lrad * lrad)
             t_l = h_l - jnp.sqrt(jnp.maximum(disc_l, 0.0))
 
-            t_s, hit_s = _closest_t(
-                scene_ref, n_spheres, t_min, t_max, px, py, pz, omx, omy, omz,
+            # Every scan-independent validity term is known BEFORE the
+            # shadow scan; folding them into the occlusion window (0 =
+            # lane inert) means only genuinely samplable lambertian lanes
+            # drive the any-hit walk — metal/glass/miss lanes cost nothing.
+            inside = d2 <= lrad * lrad * 1.0001
+            prevalid = nee_base & (cos_i > 0.0) & ~inside & (disc_l > 0.0)
+            win = jnp.where(
+                prevalid, jnp.maximum(t_l, 0.0) * (1.0 - 1e-3), 0.0
+            )
+            blocked = _occluded(
+                scene_ref, n_spheres, t_min, px, py, pz, omx, omy, omz, win,
                 mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
             )
-            # t_s is clamped to 1.0 on miss; treat miss as visible.
-            visible = (~hit_s) | (t_s >= t_l * (1.0 - 1e-3))
-
-            inside = d2 <= lrad * lrad * 1.0001
-            valid = (
-                nee_base & (cos_i > 0.0) & ~inside & (disc_l > 0.0) & visible
-            )
+            valid = prevalid & ~blocked
             wgt = cos_i * 2.0 * (1.0 - cos_max) * jnp.float32(pick_weight)
             rr = jnp.where(valid, rr + tr * ar * (ler * wgt), rr)
             rg = jnp.where(valid, rg + tg * ag * (leg * wgt), rg)

@@ -31,10 +31,16 @@ tiles, so the tile-coherent BVH cursor descends tighter subtrees — a
 further ~3% measured (125.0 -> 121.2 ms at depth 50) for one small argsort
 per bounce.
 
-End to end vs the megakernel: depth-50 177.9 -> ~121 ms/frame (~1.4x),
-depth-20+RR 66.8 -> ~52 ms (~1.3x), identical checksums.  The megakernel
-remains the default engine: it wins everything shallow, and the wavefront's
-per-bounce HBM state round trip only pays off when most lanes are dead.
+End to end vs the megakernel (r2 measurements): depth-50 177.9 -> ~121
+ms/frame (~1.4x), depth-20+RR 66.8 -> ~52 ms (~1.3x), identical checksums.
+ROUND-3 UPDATE: live-lane-masked traversal (megakernel._closest_hit's
+live_f window) gives the megakernel exact lane-level liveness at zero data
+movement, which moved the crossover — the megakernel now WINS depth-50
+(128.0 vs 146.6 ms, 720p One-Weekend) and remains default everywhere; this
+engine keeps ray regeneration (the batched progressive step's overlap of
+one sample's deep tail with the next's primaries) and its compaction is
+still the right shape for workloads whose rows die whole.  Measured table:
+docs/PERFORMANCE.md "Round 3".
 
 Correctness falls out of the RNG design: every draw is a counter hash of
 (GLOBAL pixel id, sample, frame seed, salt) (ops/rng.py), so compaction
