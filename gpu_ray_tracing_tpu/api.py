@@ -133,6 +133,7 @@ def _dispatch_kernel_render(
     y_offset: Array | int = 0,
     total_width: int | None = None,
     interpret: bool | None = None,
+    row_stride: Array | int = 1,
 ) -> Array:
     """Route a hash-stream render to the configured Pallas engine.
 
@@ -159,7 +160,7 @@ def _dispatch_kernel_render(
             russian_roulette_depth=config.russian_roulette_depth,
             sky_intensity=config.sky_intensity, nee=config.nee,
             spp=spp, y_offset=y_offset, total_width=total_width,
-            interpret=interpret,
+            interpret=interpret, row_stride=row_stride,
             regenerate=(
                 config.regenerate == "on"
                 or (config.regenerate == "auto" and spp > 1)
@@ -178,6 +179,7 @@ def _dispatch_kernel_render(
         russian_roulette_depth=config.russian_roulette_depth,
         sky_intensity=config.sky_intensity, nee=config.nee,
         spp=spp, y_offset=y_offset, interpret=interpret,
+        row_stride=row_stride,
     )
 
 

@@ -900,7 +900,7 @@ def _path_bounce(
 
 def _kernel(
     cam_ref,  # (1, 24) f32 SMEM camera scalars
-    ints_ref,  # (1, 4) u32 SMEM: [sample_index, frame_seed, y_offset, 0]
+    ints_ref,  # (1, 4) u32 SMEM: [sample_index, frame_seed, y_offset, row_stride]
     scene_ref,  # (16, N) f32 SMEM scene
     *rest,  # [mesh+bvh refs] + [sphere-bvh refs] + out refs (see has_* flags)
     width: int,
@@ -944,7 +944,10 @@ def _kernel(
 
     y = i * shape[0] + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     x = j * shape[1] + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    y = y + ints_ref[0, 2]  # row shard offset
+    # Global row = local row * stride + offset: stride 1 renders a
+    # contiguous band, stride n the interleaved row partition (both are
+    # dynamic SMEM scalars — one compiled kernel serves every sharding).
+    y = y * ints_ref[0, 3] + ints_ref[0, 2]
     # Global pixel id uses the REAL frame width so the stream matches the
     # pure-JAX 'hash' integrator exactly (ops/rays.generate_rays_hash).
     # i32 -> u32 astype is modular (bit-preserving); Mosaic supports it,
@@ -1090,6 +1093,7 @@ def render_pallas(
     y_offset: Array | int = 0,
     interpret: bool | None = None,
     spp: int = 1,
+    row_stride: Array | int = 1,
 ) -> Array:
     """Render spp samples fully on-chip; returns the (height, width, 3) RGB
     mean.  Sample s of the call uses stream index `sample_index + s`, so one
@@ -1099,7 +1103,9 @@ def render_pallas(
     The only HBM traffic is the output image: ray generation, the sphere
     scan, the mesh BVH traversal, materials, and the bounce loop all run
     inside one kernel.  `y_offset`/`width` address a row shard of a larger
-    frame (the sharded renderer passes the shard's global row offset).
+    frame (the sharded renderer passes the shard's global row offset);
+    local row r maps to global row `y_offset + r * row_stride` (stride n =
+    the interleaved partition, parallel/sharding.py).
 
     Accepts a Spheres SoA or a Scene; mesh scenes must have a BVH and fit
     the Pallas budgets: triangles in the VMEM table (MAX_PALLAS_TRIANGLES),
@@ -1138,7 +1144,7 @@ def render_pallas(
                 jnp.asarray(sample_index, jnp.uint32),
                 jnp.asarray(frame_seed, jnp.uint32),
                 jnp.asarray(y_offset, jnp.uint32),
-                jnp.uint32(0),
+                jnp.asarray(row_stride, jnp.uint32),
             ]
         ),
         jnp.int32,

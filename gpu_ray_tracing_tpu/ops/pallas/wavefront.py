@@ -177,16 +177,21 @@ def _wf_kernel(
 
 
 def _global_pids(local: Array, *, p: int, width: int, height: int,
-                 y_offset, total_width: int) -> Array:
+                 y_offset, total_width: int, row_stride=1) -> Array:
     """GLOBAL pixel ids for local flat indices of a (padded) row shard.
 
-    Pad slots (local >= p) get unique ids just past the shard's own range so
-    pid-keyed bookkeeping stays collision-free; their lanes are born dead."""
+    Local row r maps to global row `y_offset + r * row_stride` (stride 1 =
+    contiguous band; stride n = the interleaved partition).  Pad slots
+    (local >= p) get ids just past the shard's own range — unique WITHIN
+    the shard and sorting after all its real ids, which is all the
+    shard-local un-permute and regen bookkeeping need; their lanes are
+    born dead."""
     y_off = jnp.asarray(y_offset, jnp.int32)
+    stride = jnp.asarray(row_stride, jnp.int32)
     return jnp.where(
         local < p,
-        (local // width + y_off) * total_width + local % width,
-        (y_off + height) * total_width + (local - p),
+        (local // width * stride + y_off) * total_width + local % width,
+        (y_off + height * stride) * total_width + (local - p),
     )
 
 
@@ -244,6 +249,7 @@ def render_wavefront(
     compact_threshold: float = 0.9,
     y_offset: Array | int = 0,
     total_width: int | None = None,
+    row_stride: Array | int = 1,
     tile_rows: int = WF_ROWS,
     regenerate: bool = False,
     refill_threshold: float = 0.25,
@@ -367,7 +373,7 @@ def render_wavefront(
     tw = width if total_width is None else total_width
     pid0 = _global_pids(
         jnp.arange(p_pad, dtype=jnp.int32), p=p, width=width, height=height,
-        y_offset=y_offset, total_width=tw,
+        y_offset=y_offset, total_width=tw, row_stride=row_stride,
     ).reshape(rows, 128)
     pad_live = jnp.concatenate(
         [jnp.ones((p,), jnp.float32), jnp.zeros((p_pad - p,), jnp.float32)]
@@ -389,13 +395,13 @@ def render_wavefront(
             frame_seed=frame_seed, sort=sort,
             compact_threshold=compact_threshold,
             refill_threshold=refill_threshold,
-            y_offset=y_offset, total_width=tw,
+            y_offset=y_offset, total_width=tw, row_stride=row_stride,
         )
 
     def one_sample(s_u32):
         origins, dirs, _ = rays_ops.generate_rays_hash(
             camera, width, height, s_u32, frame_seed,
-            y_offset=y_offset, total_width=tw,
+            y_offset=y_offset, total_width=tw, row_stride=row_stride,
         )
         state = (
             pid0,
@@ -496,6 +502,7 @@ def _run_regen(
     refill_threshold: float,
     y_offset: Array | int,
     total_width: int,
+    row_stride: Array | int = 1,
 ) -> Array:
     """Ray-regeneration wavefront loop: one persistent pool over all samples.
 
@@ -543,6 +550,7 @@ def _run_regen(
         pid = _global_pids(
             local, p=p, width=width, height=height,
             y_offset=y_offset, total_width=total_width,
+            row_stride=row_stride,
         )
         smp = jnp.broadcast_to((s0 + blk // bpf)[:, None], (rows, 128))
         o, d, _ = rays_ops.generate_rays_for_ids(

@@ -95,19 +95,25 @@ def generate_rays_hash(
     *,
     y_offset: Array | int = 0,
     total_width: int | None = None,
+    row_stride: Array | int = 1,
 ) -> tuple[Array, Array, Array]:
     """Counter-based ray generation (the TPU-native default).
 
     All draws derive from the GLOBAL pixel id, so the result is independent of
     sharding/tiling: rendering rows [y0, y0+height) of a total_width-wide
-    frame yields exactly those rows of the full-frame render.
+    frame yields exactly those rows of the full-frame render.  Local row r
+    maps to global row `y_offset + r * row_stride` — stride 1 is a
+    contiguous band, stride n with y_offset xi is the load-balanced
+    interleaved partition (shard xi owns every n-th row).
 
     Returns (origins, dirs, pixel_seeds); pixel_seeds feeds the integrator's
     per-bounce draws.
     """
     tw = width if total_width is None else total_width
     x = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 1)
-    y = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 0) + jnp.uint32(y_offset)
+    y = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 0) * jnp.uint32(
+        row_stride
+    ) + jnp.uint32(y_offset)
     pixel_ids = y * jnp.uint32(tw) + x
     # One sampling-arithmetic implementation for the full-frame grid and
     # arbitrary id sets: pid % tw / pid // tw reproduce the x / y iotas

@@ -43,7 +43,16 @@ from gpu_ray_tracing_tpu.utils.config import RenderConfig
 Array = jax.Array
 
 
-def _check(config: RenderConfig, mesh: Mesh):
+def _check(config: RenderConfig, mesh: Mesh, row_partition: str = "contiguous"):
+    if row_partition not in ("contiguous", "interleaved"):
+        raise ValueError(
+            f"row_partition={row_partition!r}; expected 'contiguous' or "
+            "'interleaved'"
+        )
+    if row_partition == "interleaved" and config.rng != "hash":
+        # The wgsl parity stream's seed derivation has no strided-row form;
+        # interleaving exists for load balance, which parity runs don't need.
+        raise ValueError("row_partition='interleaved' requires config.rng='hash'")
     if config.rng == "threefry":
         raise ValueError(
             "sharded rendering requires a position-equivariant RNG; use "
@@ -80,8 +89,10 @@ def _mesh_interpret(mesh: Mesh) -> bool:
 
 
 def _local_sample(spheres, camera, config: RenderConfig, sample_index, frame_seed, y0, local_h,
-                  interpret: bool):
-    """Trace one 1-spp pass for rows [y0, y0+local_h) of the global frame."""
+                  interpret: bool, row_stride=1):
+    """Trace one 1-spp pass for this shard's rows of the global frame:
+    local row r = global row y0 + r * row_stride (stride 1 = contiguous
+    band, stride n_rows = the interleaved partition)."""
     w = config.width
     if config.rng == "hash":
         if config.backend in ("pallas", "wavefront"):
@@ -89,11 +100,11 @@ def _local_sample(spheres, camera, config: RenderConfig, sample_index, frame_see
                 spheres, camera, config,  # spheres may be a Scene
                 sample_index=sample_index, frame_seed=frame_seed,
                 height=local_h, y_offset=y0, total_width=w,
-                interpret=interpret,
+                interpret=interpret, row_stride=row_stride,
             )
         origins, dirs, seeds = rays.generate_rays_hash(
             camera, w, local_h, sample_index, frame_seed,
-            y_offset=y0, total_width=w,
+            y_offset=y0, total_width=w, row_stride=row_stride,
         )
         return _trace_chunked(origins, dirs, spheres, config, pixel_seeds=seeds)
     # wgsl stream (see api._render_one_sample for the seed chain mapping)
@@ -108,7 +119,41 @@ def _local_sample(spheres, camera, config: RenderConfig, sample_index, frame_see
     return _trace_chunked(origins, dirs, spheres, config, bounce_seeds=bounce_seeds)
 
 
-@partial(jax.jit, static_argnames=("config", "mesh"))
+def _partition_params(row_partition: str, xi, local_h, n_rows):
+    """Shard xi's (y_offset, row_stride) for its chosen row partition."""
+    if row_partition == "interleaved":
+        return xi, n_rows
+    return xi * local_h, 1
+
+
+def deinterleave_rows(img: Array, n_rows: int) -> Array:
+    """Undo the interleaved partition's shard-major row order.
+
+    With `row_partition='interleaved'`, shard xi computes global rows
+    {xi, xi + n, xi + 2n, ...}; the P('x') output therefore holds image
+    row (r*n + xi) at array row (xi*local_h + r).  This transpose restores
+    image order.  On one device it is a cheap row shuffle; across a real
+    mesh XLA lowers it to the one unavoidable all-to-all — which is why
+    render_sharded applies it ONCE per frame at the end, and sharded
+    progressive state stays in partition order until `accum_image`.
+    """
+    h = img.shape[0]
+    local_h = h // n_rows
+    return (
+        img.reshape(n_rows, local_h, *img.shape[1:])
+        .swapaxes(0, 1)
+        .reshape(img.shape)
+    )
+
+
+def accum_image(state: AccumState, mesh: Mesh, row_partition: str = "contiguous") -> Array:
+    """The accumulated image in IMAGE row order (identity for contiguous)."""
+    if row_partition == "interleaved":
+        return deinterleave_rows(state.rgb, mesh.shape[ROW_AXIS])
+    return state.rgb
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "row_partition"))
 def render_sharded(
     spheres: Spheres,
     camera: Camera | CameraSettings,
@@ -116,19 +161,32 @@ def render_sharded(
     mesh: Mesh,
     *,
     frame_seed: Array | None = None,
+    row_partition: str = "contiguous",
 ) -> Array:
     """Render one frame with rows sharded over mesh axis 'x' and spp over 's'.
 
-    Returns the (height, width, 3) image, sharded (rows) across the mesh.
-    Draw-for-draw the same sample stream as the unsharded `render` (global
-    pixel-id RNG); the images are statistically identical but NOT bitwise
-    equal in general — per-shape XLA rounding and the spp-axis psum's
-    addition order differ (see the module-header equality caveat and
-    tests/test_sharding.py::assert_images_match).
+    Returns the (height, width, 3) image in image row order, sharded across
+    the mesh.  Draw-for-draw the same sample stream as the unsharded
+    `render` (global pixel-id RNG); the images are statistically identical
+    but NOT bitwise equal in general — per-shape XLA rounding and the
+    spp-axis psum's addition order differ (see the module-header equality
+    caveat and tests/test_sharding.py::assert_images_match).
+
+    row_partition:
+      - 'contiguous' (default): shard xi renders band [xi*H/n, (xi+1)*H/n).
+      - 'interleaved': shard xi renders rows {xi, xi+n, ...} — the
+        load-balanced partition.  Contiguous bands of a real scene differ
+        up to ~6x in path-trace cost (sky rows vs scene rows; measured
+        2.8-16.4 ms across the 8 bands of the 1080p One-Weekend frame),
+        capping contiguous 8-way row scaling at ~71%% parallel efficiency;
+        interleaving gives every shard a cost-representative row sample.
+        The per-frame price is one row de-interleave of the final image.
+        The RNG is keyed on global pixel ids, so the estimator is
+        unchanged under either partition.
     """
     if isinstance(camera, CameraSettings):
         camera = derive_camera(camera, config.width, config.height)
-    n_rows, n_spp = _check(config, mesh)
+    n_rows, n_spp = _check(config, mesh, row_partition)
     local_h = config.height // n_rows
     spp_local = config.spp // n_spp
     interpret = _mesh_interpret(mesh)
@@ -139,13 +197,13 @@ def render_sharded(
     def body(spheres, camera, frame_seed):
         xi = jax.lax.axis_index(ROW_AXIS)
         si = jax.lax.axis_index(SPP_AXIS)
-        y0 = xi * local_h
+        y0, stride = _partition_params(row_partition, xi, local_h, n_rows)
 
         def sample_body(j, acc):
             s_global = si * spp_local + j
             return acc + _local_sample(
                 spheres, camera, config, s_global, frame_seed, y0, local_h,
-                interpret,
+                interpret, stride,
             )
 
         acc = jax.lax.fori_loop(
@@ -162,10 +220,13 @@ def render_sharded(
         out_specs=P(ROW_AXIS, None, None),
         check_vma=False,
     )
-    return sharded(spheres, camera, frame_seed)
+    img = sharded(spheres, camera, frame_seed)
+    if row_partition == "interleaved":
+        img = deinterleave_rows(img, n_rows)
+    return img
 
 
-@partial(jax.jit, static_argnames=("config", "mesh"))
+@partial(jax.jit, static_argnames=("config", "mesh", "row_partition"))
 def progressive_step_sharded(
     state: AccumState,
     spheres: Spheres,
@@ -175,16 +236,22 @@ def progressive_step_sharded(
     *,
     frame_seed: Array | None = None,
     reset: Array | bool = False,
+    row_partition: str = "contiguous",
 ) -> AccumState:
     """Sharded progressive accumulation step (one spp-axis batch per call).
 
     The accumulation state rgb stays row-sharded across the mesh for its whole
     lifetime; with an 's' axis of size k, each step folds k samples (weighted
     incremental mean), so convergence needs spp/k steps.
+
+    With row_partition='interleaved' the state's rows live in PARTITION
+    order (shard-major) for the whole accumulation — folding is elementwise
+    so no step ever pays a reorder; call `accum_image(state, mesh,
+    'interleaved')` once at the end to materialize image row order.
     """
     if isinstance(camera, CameraSettings):
         camera = derive_camera(camera, config.width, config.height)
-    n_rows, n_spp = _check(config, mesh)
+    n_rows, n_spp = _check(config, mesh, row_partition)
     local_h = config.height // n_rows
     interpret = _mesh_interpret(mesh)
     if frame_seed is None:
@@ -195,7 +262,7 @@ def progressive_step_sharded(
     def body(rgb_local, count, spheres, camera, frame_seed, reset):
         xi = jax.lax.axis_index(ROW_AXIS)
         si = jax.lax.axis_index(SPP_AXIS)
-        y0 = xi * local_h
+        y0, stride = _partition_params(row_partition, xi, local_h, n_rows)
 
         # Reset BEFORE deriving sample indices (s_global must restart at 0).
         rgb_local = jnp.where(reset, 0.0, rgb_local)
@@ -203,7 +270,7 @@ def progressive_step_sharded(
 
         s_global = count + si
         sample = _local_sample(spheres, camera, config, s_global, frame_seed, y0, local_h,
-                               interpret)
+                               interpret, stride)
         batch = jax.lax.psum(sample, SPP_AXIS)  # sum of n_spp fresh samples
 
         # One canonical fold (ops/accumulate.fold_sample): the mean of the

@@ -156,3 +156,61 @@ def test_progressive_sharded_pallas(scene):
         )
     assert int(state.count) == 2
     assert np.all(np.isfinite(np.asarray(state.rgb)))
+
+
+def test_interleaved_row_partition_matches_unsharded(scene):
+    """row_partition='interleaved' (shard xi owns rows {xi, xi+n, ...}, the
+    load-balanced partition) must produce the SAME image as the unsharded
+    render after the de-interleave render_sharded applies internally — the
+    RNG is keyed on global pixel ids, so the partition is invisible to the
+    estimator."""
+    mesh = make_mesh(8, 1)
+    cfg = _cfg()
+    a = np.asarray(render_sharded(scene, BASE_CAMERA, cfg, mesh,
+                                  frame_seed=jnp.uint32(5),
+                                  row_partition="interleaved"))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(5)))
+    assert_images_match(a, b)
+    # And against the contiguous partition (same sample stream either way).
+    c = np.asarray(render_sharded(scene, BASE_CAMERA, cfg, mesh,
+                                  frame_seed=jnp.uint32(5)))
+    assert_images_match(a, c)
+
+
+def test_interleaved_kernel_backends(scene):
+    """Interleaved rows through both Pallas engines (strided global pixel
+    ids in-kernel)."""
+    mesh = make_mesh(4, 2)
+    for backend in ("pallas", "wavefront"):
+        cfg = _cfg(spp=2, backend=backend)
+        a = np.asarray(render_sharded(scene, BASE_CAMERA, cfg, mesh,
+                                      frame_seed=jnp.uint32(7),
+                                      row_partition="interleaved"))
+        b = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(7)))
+        assert_images_match(a, b)
+
+
+def test_interleaved_progressive_accum_image(scene):
+    """Sharded progressive state stays in partition order; accum_image
+    restores image order at materialization."""
+    from gpu_ray_tracing_tpu.parallel.sharding import accum_image
+
+    mesh = make_mesh(8, 1)
+    cfg = _cfg(spp=2)
+    fs = jnp.uint32(3)
+    state = shard_accum_state(init_accum(cfg.height, cfg.width), mesh)
+    for _ in range(2):
+        state = progressive_step_sharded(state, scene, BASE_CAMERA, cfg, mesh,
+                                         frame_seed=fs,
+                                         row_partition="interleaved")
+    assert int(state.count) == 2
+    img = np.asarray(accum_image(state, mesh, "interleaved"))
+    ref = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=fs))
+    assert_images_match(img, ref)
+
+
+def test_interleaved_rejects_wgsl(scene):
+    mesh = make_mesh(8, 1)
+    with pytest.raises(ValueError, match="interleaved"):
+        render_sharded(scene, BASE_CAMERA, _cfg(rng="wgsl"), mesh,
+                       row_partition="interleaved")
