@@ -81,8 +81,13 @@ _SCENE_ROWS = 16  # padded to a sublane multiple
 # Pixels per tile = TILE_ROWS * 128.  Swept on v5e: 32 beats 16 on primary
 # rays (5.9 vs 7.5 ms at 1080p), mesh path (122 vs 145 ms), and 1080p d20+RR
 # (69 vs 79 ms); 16 only wins deep-bounce 720p d50 (78 vs 88 ms) where finer
-# early-exit granularity pays.  128 is worse everywhere tested.
-TILE_ROWS = 32
+# early-exit granularity pays.  128 is worse everywhere tested.  Re-swept
+# after r3's live-lane-masked traversal (which removes the dead-lane
+# motivation for smaller tiles): 32 still wins — see docs/PERFORMANCE.md.
+# Env knob for sweeps only (read once at import; one process per value).
+import os as _os
+
+TILE_ROWS = int(_os.environ.get("GRT_TILE_ROWS", "32"))
 
 
 def scene_planes(spheres: Spheres) -> Array:
@@ -258,8 +263,6 @@ def _traverse_bvh(bvhf_ref, bvhi_ref, t_min, ox, oy, oz, dx, dy, dz, carry, leaf
 # Default 0 = off; kept as an env knob (read once at import; jit caches key
 # on RenderConfig, so a sweep needs one process per value) for atypically
 # coherent mesh workloads.  See docs/PERFORMANCE.md mesh A/B table.
-import os as _os
-
 MESH_GROUP_ROWS = int(_os.environ.get("GRT_MESH_GROUP_ROWS", "0"))
 
 
