@@ -128,6 +128,11 @@ def _build_camera(args):
         cam = cam.replace(defocus_angle=jnp.float32(args.defocus_angle))
     if args.focus_distance is not None:
         cam = cam.replace(focus_distance=jnp.float32(args.focus_distance))
+    # Catch degenerate poses HERE, eagerly — the render path derives the
+    # camera under jit where the values are traced and the check skips.
+    from gpu_ray_tracing_tpu.models.camera import validate_camera
+
+    validate_camera(cam)
     return cam
 
 

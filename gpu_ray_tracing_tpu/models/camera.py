@@ -110,6 +110,36 @@ def _normalize(v: Array) -> Array:
     return v / jnp.linalg.norm(v)
 
 
+def validate_camera(settings: CameraSettings) -> None:
+    """Reject degenerate poses that would normalize a zero vector and
+    render silent NaNs: look_from == look_at, or vup parallel to the view
+    axis.  Only effective when the settings are CONCRETE — the public
+    render path derives the camera under jit, where values are traced and
+    the check skips (gradients through a degenerate pose are the caller's
+    problem to regularize) — so eager entry points (the CLI, direct
+    derive_camera calls) are where it bites."""
+    s = settings
+    if isinstance(s.look_from, jax.core.Tracer) or isinstance(
+        s.look_at, jax.core.Tracer
+    ):
+        return
+    import numpy as _np
+
+    gaze = _np.asarray(s.look_from, _np.float64) - _np.asarray(s.look_at, _np.float64)
+    if float(_np.dot(gaze, gaze)) == 0.0:
+        raise ValueError(
+            "degenerate camera: look_from == look_at (the view basis "
+            "would normalize a zero vector and render NaNs)"
+        )
+    if not isinstance(s.vup, jax.core.Tracer):
+        cr = _np.cross(_np.asarray(s.vup, _np.float64), gaze)
+        if float(_np.dot(cr, cr)) == 0.0:
+            raise ValueError(
+                "degenerate camera: vup is parallel to the view axis "
+                "(u = vup x w would normalize a zero vector)"
+            )
+
+
 def derive_camera(settings: CameraSettings, width: int, height: int) -> Camera:
     """CameraSettings -> Camera, the closed-form math of camera.rs:293-350.
 
@@ -121,6 +151,7 @@ def derive_camera(settings: CameraSettings, width: int, height: int) -> Camera:
     defocus_radius = focus * tan(defocus_angle/2)            (camera.rs:322-325)
     """
     s = settings
+    validate_camera(s)
     aspect_ratio = jnp.float32(width) / jnp.float32(height)
 
     theta = jnp.deg2rad(s.field_of_view)

@@ -125,3 +125,30 @@ def test_zoom_clamps_fov():
     assert float(cam.zoom(s, -100.0).field_of_view) == 10.0
     assert float(cam.zoom(s, +500.0).field_of_view) == 120.0
     assert abs(float(cam.zoom(s, 5.0).field_of_view) - 25.0) < 1e-5
+
+
+def test_degenerate_camera_rejected_eagerly():
+    """look_from == look_at (or vup parallel to the gaze) rendered silent
+    NaNs; eager derive_camera / the CLI now reject them up front."""
+    import pytest
+
+    from gpu_ray_tracing_tpu.models.camera import (
+        CameraSettings,
+        derive_camera,
+        validate_camera,
+    )
+
+    same = CameraSettings.default().replace(
+        look_from=jnp.asarray([1.0, 2.0, 3.0]),
+        look_at=jnp.asarray([1.0, 2.0, 3.0]),
+    )
+    with pytest.raises(ValueError, match="look_from == look_at"):
+        derive_camera(same, 32, 24)
+
+    parallel_up = CameraSettings.default().replace(
+        look_from=jnp.asarray([0.0, 1.0, 0.0]),
+        look_at=jnp.asarray([0.0, 0.0, 0.0]),
+        vup=jnp.asarray([0.0, 2.0, 0.0]),
+    )
+    with pytest.raises(ValueError, match="parallel"):
+        validate_camera(parallel_up)
