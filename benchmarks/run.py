@@ -103,7 +103,32 @@ def config1(quick: bool, obj: str | None) -> dict:
     # honest.
     stats = time_frames(fn, width=800, height=600, spp=1,
                         frames=3 if quick else 10, repeats=3)
-    return _emit("1_base_normal_800x600", stats, {"backend": "jax"})
+
+    # Supplementary: the engine's true marginal cost via vmap batching —
+    # one dispatch renders N frames (vmap compiles fine where lax.scan
+    # hangs the TPU compiler), and the N->2N slope removes the dispatch
+    # cost the host-loop number above includes.
+    batched = None
+    if _tpu():
+        @partial(jax.jit, static_argnames=("n",))
+        def batch(n):
+            seeds = jnp.arange(n, dtype=jnp.uint32)
+            return jax.vmap(fn)(seeds).sum()
+
+        n = 2 if quick else 4
+        float(batch(n)); float(batch(2 * n))  # compile + warm
+        t1s, t2s = [], []
+        for _ in range(3):
+            t0 = time.perf_counter(); float(batch(n)); t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); float(batch(2 * n)); t2s.append(time.perf_counter() - t0)
+        t1, t2 = sorted(t1s)[1], sorted(t2s)[1]
+        if t2 > t1:
+            ms = (t2 - t1) / n * 1e3
+            batched = {"frames_per_dispatch": 2 * n,
+                       "marginal_ms_per_frame": round(ms, 3),
+                       "mrays_per_sec": round(800 * 600 / ms / 1e3, 1)}
+    return _emit("1_base_normal_800x600", stats,
+                 {"backend": "jax", "batched_vmap": batched})
 
 
 def config2(quick: bool, obj: str | None) -> dict:
