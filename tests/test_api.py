@@ -226,6 +226,36 @@ def test_feature_matrix_smoke():
                 assert_images_match(img, ref, flip_frac=0.02, mean_tol=5e-3)
 
 
+def test_feature_matrix_smoke_sharded_interleaved():
+    """The sharded + interleaved-partition axis of the cross-feature
+    matrix: NEE/RR/regen combinations through render_sharded with
+    row_partition='interleaved' on the 8-device CPU mesh, against the
+    unsharded jax image."""
+    from gpu_ray_tracing_tpu import make_scene
+    from gpu_ray_tracing_tpu.models.spheres import EMISSIVE, LAMBERTIAN, make_spheres
+    from gpu_ray_tracing_tpu.parallel.mesh import make_mesh
+    from gpu_ray_tracing_tpu.parallel.sharding import render_sharded
+    from tests.test_sharding import assert_images_match
+
+    lit = make_scene(make_spheres([
+        ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.6, 0.6, 0.6), 0.0),
+        ((0.0, 2.0, 0.0), 0.4, EMISSIVE, (1.0, 0.9, 0.8), 5.0),
+    ]))
+    mesh = make_mesh(4, 2)
+    base = dict(width=32, height=24, spp=2, max_depth=4,
+                nee=True, sky_intensity=0.1, russian_roulette_depth=2)
+    ref = np.asarray(render(lit, BASE_CAMERA,
+                            RenderConfig(backend="jax", **base),
+                            frame_seed=jnp.uint32(4)))
+    for backend, regen in (("pallas", "off"), ("wavefront", "auto")):
+        img = np.asarray(render_sharded(
+            lit, BASE_CAMERA,
+            RenderConfig(backend=backend, regenerate=regen, **base),
+            mesh, frame_seed=jnp.uint32(4), row_partition="interleaved"))
+        assert np.isfinite(img).all(), (backend, regen)
+        assert_images_match(img, ref, flip_frac=0.02, mean_tol=5e-3)
+
+
 def test_progressive_rejects_nonpositive_spp_per_step():
     import pytest
 
