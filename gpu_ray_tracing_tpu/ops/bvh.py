@@ -210,7 +210,7 @@ def build_mesh_bvh(
     return reordered, bvh
 
 
-def build_sphere_bvh(spheres, leaf_size: int = 32, method: str = "auto"):
+def build_sphere_bvh(spheres, leaf_size: int = 16, method: str = "auto"):
     """BVH over the ACTIVE spheres of a Spheres SoA.
 
     Returns (reordered spheres, bvh): active spheres permuted into
