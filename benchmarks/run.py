@@ -6,7 +6,7 @@ Each config prints one JSON line and the aggregate is written to --out.
 The reference publishes no numbers (BASELINE.md); the north star is
 >= 500 Mrays/sec/chip at 1080p primary rays on v5e.
 
-  1. base scene, 800x600, 1 spp, normal shading          (XLA-engine anchor)
+  1. base scene, 800x600, 1 spp, normal shading          (pallas headline + XLA anchor)
   2. animated fly-through, 16 spp jittered AA            (frame loop)
   3. One-Weekend final scene (~480 spheres), 50 bounces  (path tracer)
   4. triangle mesh (bunny-scale, ~82k tris) with BVH     (mesh path)
@@ -93,14 +93,20 @@ def _tpu() -> bool:
 
 
 def config1(quick: bool, obj: str | None) -> dict:
-    """Base scene, 800x600, 1 spp primary rays, normal shading (XLA engine)."""
+    """Base scene, 800x600, 1 spp primary rays, normal shading.
+
+    On TPU the headline engine is the Pallas megakernel's normal mode,
+    device-looped (0.05 ms/frame marginal); the XLA engine — the
+    correctness anchor BASELINE names ("CPU jit render") — is reported
+    alongside, host-looped + vmap-batched, because scanning it on device
+    SIGILLs the TPU compiler's fusion pass (jellyfish
+    TpuPriorityFusionQueue) so it cannot be device-loop timed.
+    """
     scene = jax.device_put(base_scene())
     cfg = RenderConfig(width=800, height=600, spp=1, integrator="normal", backend="jax")
     fn = lambda i: render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(i))
-    # Host-loop timing: scanning the XLA-backend render on device SIGILLs the
-    # TPU compiler's fusion pass (jellyfish TpuPriorityFusionQueue), so this
-    # config pays the per-dispatch tunnel latency; checksum forcing keeps it
-    # honest.
+    # Host-loop timing for the XLA engine (pays per-dispatch tunnel
+    # latency; checksum forcing keeps it honest).
     stats = time_frames(fn, width=800, height=600, spp=1,
                         frames=3 if quick else 10, repeats=3)
 
@@ -127,8 +133,22 @@ def config1(quick: bool, obj: str | None) -> dict:
             batched = {"frames_per_dispatch": 2 * n,
                        "marginal_ms_per_frame": round(ms, 3),
                        "mrays_per_sec": round(800 * 600 / ms / 1e3, 1)}
-    return _emit("1_base_normal_800x600", stats,
-                 {"backend": "jax", "batched_vmap": batched})
+    if not _tpu():
+        return _emit("1_base_normal_800x600", stats,
+                     {"backend": "jax", "batched_vmap": batched})
+
+    # Headline engine on TPU: the Pallas megakernel's normal mode,
+    # device-looped (differential), same workload and camera.
+    cfg_pl = RenderConfig(width=800, height=600, spp=1,
+                          integrator="normal", backend="pallas")
+    fn_pl = lambda i: render(scene, BASE_CAMERA, cfg_pl, frame_seed=jnp.uint32(i))
+    pl_stats = time_device_loop(fn_pl, width=800, height=600, spp=1,
+                                frames=10 if quick else 40, repeats=3)
+    return _emit("1_base_normal_800x600", pl_stats,
+                 {"backend": "pallas",
+                  "xla_engine": {**stats.to_dict(), "backend": "jax",
+                                 "timing": "host_loop",
+                                 "batched_vmap": batched}})
 
 
 def config2(quick: bool, obj: str | None) -> dict:
