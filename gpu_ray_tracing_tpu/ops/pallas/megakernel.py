@@ -84,10 +84,22 @@ _SCENE_ROWS = 16  # padded to a sublane multiple
 # early-exit granularity pays.  128 is worse everywhere tested.  Re-swept
 # after r3's live-lane-masked traversal (which removes the dead-lane
 # motivation for smaller tiles): 32 still wins — see docs/PERFORMANCE.md.
+# EXCEPTION (r3): the bounce-free 'normal' mode has no early-exit or
+# dead-lane granularity to protect, and 64 rows amortize per-tile scalar
+# setup — 1080p primary rays 0.246 vs 0.288 ms/frame (64/32; 128 is 0.268,
+# worse again), identical checksums, while 64 LOSES on every path workload
+# (mesh 463 vs 328 ms, d50 163 vs 121 ms).  _tile_rows_for picks per mode.
 # Env knob for sweeps only (read once at import; one process per value).
 import os as _os
 
-TILE_ROWS = int(_os.environ.get("GRT_TILE_ROWS", "32"))
+_TILE_ROWS_ENV = _os.environ.get("GRT_TILE_ROWS")
+TILE_ROWS = int(_TILE_ROWS_ENV) if _TILE_ROWS_ENV else 32
+NORMAL_MODE_TILE_ROWS = int(_TILE_ROWS_ENV) if _TILE_ROWS_ENV else 64
+
+
+def _tile_rows_for(mode: str) -> int:
+    """Tile height for an integrator mode (env GRT_TILE_ROWS forces both)."""
+    return NORMAL_MODE_TILE_ROWS if mode == "normal" else TILE_ROWS
 
 
 def scene_planes(spheres: Spheres) -> Array:
@@ -1135,9 +1147,10 @@ def render_pallas(
                 "(make_scene does this automatically) or use backend='jax'"
             )
 
-    h_pad = -(-height // TILE_ROWS) * TILE_ROWS
+    tile_rows = _tile_rows_for(mode)
+    h_pad = -(-height // tile_rows) * tile_rows
     w_pad = -(-width // 128) * 128
-    grid = (h_pad // TILE_ROWS, w_pad // 128)
+    grid = (h_pad // tile_rows, w_pad // 128)
 
     cam_vec = camera_vector(camera)
     # int32 bit-patterns (SMEM scalars); the kernel astypes back to uint32.
@@ -1158,7 +1171,7 @@ def render_pallas(
     if interpret is None:
         interpret = default_platform() != "tpu"
 
-    tile_spec = pl.BlockSpec((TILE_ROWS, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((tile_rows, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
 
