@@ -85,16 +85,17 @@ def main(argv=None) -> int:
             save_accum(args.checkpoint, state)
             n = int(state.count)
             print(f"{n}/{args.spp} spp  ({n / max(time.time() - t0, 1e-9):.1f} spp/s)")
-            if args.preview_every and step % args.preview_every == 0:
-                # Inspectable mid-run snapshot (the offline answer to the
-                # reference's live progressive window, lib.rs:96-102).
-                root, ext = os.path.splitext(args.out)
-                from PIL import Image
+        if args.preview_every and step % args.preview_every == 0:
+            # Inspectable mid-run snapshot (the offline answer to the
+            # reference's live progressive window, lib.rs:96-102).  Own
+            # cadence — previews must not gate on the checkpoint interval.
+            root, ext = os.path.splitext(args.out)
+            from PIL import Image
 
-                Image.fromarray(to_uint8(tonemap(np.asarray(state.rgb)))).save(
-                    f"{root}_preview{ext or '.png'}"
-                )
-                print(f"preview -> {root}_preview{ext or '.png'}")
+            Image.fromarray(to_uint8(tonemap(np.asarray(state.rgb)))).save(
+                f"{root}_preview{ext or '.png'}"
+            )
+            print(f"preview -> {root}_preview{ext or '.png'}")
 
     save_accum(args.checkpoint, state)
     from PIL import Image

@@ -98,6 +98,27 @@ class Scene:
     bvh_leaf_size: int = 4
     mesh_has_emissive: bool | None = None
 
+    def __post_init__(self):
+        # Derive the static flag at construction when the mesh is concrete:
+        # a directly-built Scene then carries it as pytree metadata through
+        # any later jit/vmap (meta fields survive tracing), so only Scenes
+        # whose mesh was ALREADY traced at construction hit the nee=True
+        # guard's refuse-to-guess error.  Tracers subclass jax.Array, hence
+        # the explicit exclusion; unflattening with sentinel leaves (shape
+        # probes) falls through the isinstance checks and stays None.
+        if self.mesh is not None and self.mesh_has_emissive is None:
+            import numpy as np
+
+            mk = self.mesh.mat_kind
+            concrete = isinstance(mk, np.ndarray) or (
+                isinstance(mk, jax.Array) and not isinstance(mk, jax.core.Tracer)
+            )
+            if concrete:
+                object.__setattr__(
+                    self, "mesh_has_emissive",
+                    bool((np.asarray(mk) == EMISSIVE).any()),
+                )
+
 
 #: Sphere count above which make_scene builds a sphere BVH by default.
 SPHERE_BVH_THRESHOLD = 128

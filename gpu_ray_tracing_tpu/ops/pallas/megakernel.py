@@ -67,6 +67,11 @@ def default_platform() -> str:
     """
     dev = jax.config.jax_default_device
     platform = getattr(dev, "platform", None)
+    if platform is None and isinstance(dev, str):
+        # jax.default_device also accepts platform-name strings ('cpu',
+        # 'cpu:0'); treating only Device objects here would mis-key
+        # interpret mode for string scopes.
+        platform = dev.split(":", 1)[0]
     if platform is not None:
         return platform
     try:

@@ -178,7 +178,7 @@ def render_sharded(
         load-balanced partition.  Contiguous bands of a real scene differ
         up to ~6x in path-trace cost (sky rows vs scene rows; measured
         2.8-16.4 ms across the 8 bands of the 1080p One-Weekend frame),
-        capping contiguous 8-way row scaling at ~71%% parallel efficiency;
+        capping contiguous 8-way row scaling at ~71% parallel efficiency;
         interleaving gives every shard a cost-representative row sample.
         The per-frame price is one row de-interleave of the final image.
         The RNG is keyed on global pixel ids, so the estimator is

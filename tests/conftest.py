@@ -21,3 +21,9 @@ import jax  # noqa: E402
 # The axon sitecustomize may have already appended its platform; override.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Never read the persistent compilation cache in tests: cli.py enables it at
+# import (tests import cli), and a cache entry half-written by a concurrent
+# TPU bench process SIGSEGVs the suite inside XLA's executable deserializer
+# (observed at test_wavefront_many_lights..., jax compilation_cache.py:238).
+# CPU test compiles are seconds; determinism beats reuse here.
+jax.config.update("jax_enable_compilation_cache", False)

@@ -164,19 +164,41 @@ def test_nee_mesh_scene_renders_under_jit():
     with pytest.raises(ValueError, match="EMISSIVE mesh"):
         render(em_scene, cam, cfg, frame_seed=jnp.uint32(1))
 
-    # A DIRECTLY-constructed Scene (bypassing make_scene) leaves the flag
-    # None; the nee guard must refuse to guess (the mesh is traced under
-    # jit) instead of silently rendering a biased image (advisor finding,
-    # r2).  Eagerly, the resolver inspects the concrete mesh.
+    # A DIRECTLY-constructed Scene (bypassing make_scene) with a CONCRETE
+    # mesh derives the flag in __post_init__ (advisor finding r2 + review
+    # refinement r3): the emissive case is rejected by the guard, and —
+    # crucially — a non-emissive direct Scene keeps working even when the
+    # caller wraps render in their own jit (the flag rides along as static
+    # pytree metadata, so tracing never needs to inspect the mesh).
     import dataclasses
 
-    from gpu_ray_tracing_tpu.models.scene import resolve_mesh_has_emissive
-
     direct = dataclasses.replace(em_scene, mesh_has_emissive=None)
-    assert direct.mesh_has_emissive is None
-    assert resolve_mesh_has_emissive(direct) is True  # concrete: derived
-    with pytest.raises(ValueError, match="make_scene"):
+    assert direct.mesh_has_emissive is True  # re-derived at construction
+    with pytest.raises(ValueError, match="EMISSIVE mesh"):
         render(direct, cam, cfg, frame_seed=jnp.uint32(1))
+
+    from gpu_ray_tracing_tpu.models.scene import Scene
+
+    plain = Scene(spheres=scene.spheres, mesh=scene.mesh, bvh=scene.bvh,
+                  lights=scene.lights, bvh_leaf_size=scene.bvh_leaf_size)
+    assert plain.mesh_has_emissive is False  # derived, not guessed
+    cfg_j = RenderConfig(width=32, height=24, spp=1, max_depth=4, nee=True,
+                         sky_intensity=0.0)
+    jitted = jax.jit(lambda s: render(s, cam, cfg_j, frame_seed=jnp.uint32(1)))
+    assert np.isfinite(np.asarray(jitted(plain))).all()
+
+    # Only a Scene whose mat_kind is ALREADY traced at construction (built
+    # inside someone else's jit with the flag unset) still refuses to
+    # guess at the nee guard.
+    def build_traced_kind(mk):
+        traced_mesh = dataclasses.replace(scene.mesh, mat_kind=mk)
+        s = Scene(spheres=scene.spheres, mesh=traced_mesh, bvh=scene.bvh,
+                  lights=scene.lights, bvh_leaf_size=scene.bvh_leaf_size,
+                  mesh_has_emissive=None)
+        return render(s, cam, cfg_j, frame_seed=jnp.uint32(1))
+
+    with pytest.raises(ValueError, match="make_scene"):
+        jax.jit(build_traced_kind)(scene.mesh.mat_kind)
 
 
 def test_pallas_spp_zero_rejected():

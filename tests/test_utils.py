@@ -247,3 +247,39 @@ def test_accum_state_orbax_compatible(tmp_path):
     restored = ckptr.restore(path, item=state)
     assert int(restored.count) == 1
     np.testing.assert_array_equal(np.asarray(restored.rgb), np.asarray(state.rgb))
+
+
+def test_default_platform_string_device_scope():
+    """jax.default_device accepts platform-name STRINGS as well as Device
+    objects; default_platform must honor both (the string form fell through
+    to jax.default_backend(), mis-keying Pallas interpret mode and the
+    trace-block budget for CPU-pinned scopes on a TPU-default host —
+    review finding r3)."""
+    from gpu_ray_tracing_tpu.ops.pallas.megakernel import default_platform
+
+    with jax.default_device("cpu"):
+        assert default_platform() == "cpu"
+    with jax.default_device(jax.devices("cpu")[0]):
+        assert default_platform() == "cpu"
+
+
+def test_offline_example_preview_cadence(tmp_path):
+    """examples/offline_accumulate.py --preview-every N must write previews
+    every N steps on its OWN cadence — not only when the step also lands on
+    a checkpoint boundary (review finding r3: nested under checkpoint-every,
+    previews fired at the LCM and a short run wrote none)."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples", "offline_accumulate.py")
+    spec = importlib.util.spec_from_file_location("offline_accumulate", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = os.path.join(tmp_path, "r.png")
+    ck = os.path.join(tmp_path, "ck.npz")
+    rc = mod.main([
+        "--width", "32", "--height", "24", "--spp", "2", "--spp-per-step", "1",
+        "--depth", "3", "--rr", "0", "--out", out, "--checkpoint", ck,
+        "--checkpoint-every", "1000", "--preview-every", "1",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(tmp_path, "r_preview.png"))
