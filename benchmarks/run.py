@@ -133,9 +133,20 @@ def config1(quick: bool, obj: str | None) -> dict:
             batched = {"frames_per_dispatch": 2 * n,
                        "marginal_ms_per_frame": round(ms, 3),
                        "mrays_per_sec": round(800 * 600 / ms / 1e3, 1)}
+        else:
+            # Record the drop instead of silently omitting the field: a
+            # non-positive N->2N slope means the windows were noise
+            # (wedging tunnel / too-small N), not a free 2N-frame render.
+            print(f"config1: vmap marginal dropped (t({n})={t1:.4f}s >= "
+                  f"t({2*n})={t2:.4f}s — windows too noisy)", flush=True)
+            batched = {"dropped": f"non-positive slope: t({n})={round(t1, 4)}s, "
+                                  f"t({2*n})={round(t2, 4)}s"}
     if not _tpu():
+        # Same shape as the TPU record (batched_vmap nested under the
+        # engine entry) so cross-host record diffs see one schema.
         return _emit("1_base_normal_800x600", stats,
-                     {"backend": "jax", "batched_vmap": batched})
+                     {"backend": "jax",
+                      **({"batched_vmap": batched} if batched else {})})
 
     # Headline engine on TPU: the Pallas megakernel's normal mode,
     # device-looped (differential), same workload and camera.
@@ -300,21 +311,30 @@ def config5(quick: bool, obj: str | None) -> dict:
     # update) — the headline record.
     stats, state = measure_steps(cfg, 4 if quick else 16, 1)
 
-    # Offline accumulation: 8 spp per batched step with wavefront ray
-    # regeneration (regenerate='auto'), the persistent-pool engine's shape.
+    # Offline accumulation: 8 spp per batched step.  r3 late re-measure:
+    # after live-lane-masked traversal the MEGAKERNEL's in-kernel spp loop
+    # (383 ms/8spp) beats the wavefront regenerating pool (480 ms/8spp) on
+    # this workload — masking gave the megakernel exact lane-level liveness
+    # for free, eroding regeneration's row-refill edge.  The wavefront
+    # number is kept nested as the regen engine's record.
     batched = None
     if jax.default_backend() == "tpu":
         import dataclasses as _dc
 
-        b_stats, _ = measure_steps(
+        b_stats, _ = measure_steps(cfg, 2 if quick else 4, 8)
+        w_stats, _ = measure_steps(
             _dc.replace(cfg, backend="wavefront", regenerate="auto"),
             2 if quick else 4, 8,
         )
         batched = {
             "spp_per_step": 8,
-            "regenerate": "auto",
+            "backend": backend,
             "ms_per_step": round(b_stats.ms_per_frame, 2),
             "spp_per_sec": round(b_stats.spp_per_sec, 2),
+            "wavefront_regen": {
+                "ms_per_step": round(w_stats.ms_per_frame, 2),
+                "spp_per_sec": round(w_stats.spp_per_sec, 2),
+            },
         }
 
     # Sharded-correctness pass (BASELINE names a sharded framebuffer): one
