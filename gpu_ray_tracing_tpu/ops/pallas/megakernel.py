@@ -91,9 +91,12 @@ _SCENE_ROWS = 16  # padded to a sublane multiple
 # motivation for smaller tiles): 32 still wins — see docs/PERFORMANCE.md.
 # EXCEPTION (r3): the bounce-free 'normal' mode has no early-exit or
 # dead-lane granularity to protect, and 64 rows amortize per-tile scalar
-# setup — 1080p primary rays 0.246 vs 0.288 ms/frame (64/32; 128 is 0.268,
-# worse again), identical checksums, while 64 LOSES on every path workload
-# (mesh 463 vs 328 ms, d50 163 vs 121 ms).  _tile_rows_for picks per mode.
+# setup — measured with the signal-adequacy guard (auto-scaled N):
+# 1080p primary rays 0.250 vs 0.274 ms/frame (64/32, ~9%), 800x600
+# 0.0716 vs 0.0744 (~4%), identical images, while 64 LOSES on every path
+# workload (mesh 463 vs 328 ms, d50 163 vs 121 ms).  _tile_rows_for
+# picks per mode.  (An earlier N=40 sweep published 3.3x here — that was
+# window jitter, the exact artifact the harness guard now rejects.)
 # Env knob for sweeps only (read once at import; one process per value).
 import os as _os
 

@@ -193,6 +193,14 @@ def time_device_loop(
     loops pay (render_animation / render_progressive are lax loops already).
     The fixed window cost is reported on the record (`window_fixed_seconds`),
     not hidden; per-host-dispatch latency is `time_frames`' job.
+
+    `frames` is a STARTING point: if the measured slope is smaller than
+    `min_signal` times the window-to-window jitter, the window length
+    doubles and the measurement repeats (up to 64x) — a ~70 us kernel
+    under a ~30 ms fixed cost with ~8% spread needs thousands of frames
+    per window before the slope means anything, and an N chosen for a
+    slow kernel silently published a 2.6x-wrong number for a fast one
+    (0.027 "ms/frame" at N=40 vs 0.070 converged; caught late r3).
     """
 
     def make_window(n):
@@ -208,33 +216,43 @@ def time_device_loop(
 
         return window
 
-    w1, w2 = make_window(frames), make_window(2 * frames)
-    float(w1(jnp.uint32(0)))  # compile + warm
-    float(w2(jnp.uint32(0)))
+    min_signal = 3.0  # slope must exceed this multiple of window jitter
+    frames_cap = frames * 64
+    checksum = 0.0
+    while True:
+        w1, w2 = make_window(frames), make_window(2 * frames)
+        float(w1(jnp.uint32(0)))  # compile + warm
+        float(w2(jnp.uint32(0)))
 
-    t1s, t2s, checksum = [], [], 0.0
-    for r in range(repeats):
-        # Disjoint seed ranges per window: each repeat consumes 3*frames
-        # seeds (N for w1, 2N for w2).
-        base = 1 + 3 * r * frames
-        t0 = time.perf_counter()
-        c1 = float(w1(jnp.uint32(base)))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        c2 = float(w2(jnp.uint32(base + frames)))
-        t2s.append(time.perf_counter() - t0)
-        checksum += c1 + c2  # float()s force execution of every frame
-    t1 = sorted(t1s)[len(t1s) // 2]
-    t2 = sorted(t2s)[len(t2s) // 2]
-    # slope over `frames` extra iterations; fixed = extrapolation to N=0.
-    if t2 <= t1:
-        raise RuntimeError(
-            "differential timing invalid: the 2N-frame windows were not "
-            f"slower than the N-frame windows (medians {t1:.4f}s vs {t2:.4f}s;"
-            f" N windows {['%.4f' % t for t in t1s]}, 2N windows "
-            f"{['%.4f' % t for t in t2s]}) — tunnel/queue jitter swamped the "
-            "marginal frame cost; rerun or raise `frames`"
-        )
+        t1s, t2s = [], []
+        for r in range(repeats):
+            # Disjoint seed ranges per window: each repeat consumes 3*frames
+            # seeds (N for w1, 2N for w2).
+            base = 1 + 3 * r * frames
+            t0 = time.perf_counter()
+            c1 = float(w1(jnp.uint32(base)))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            c2 = float(w2(jnp.uint32(base + frames)))
+            t2s.append(time.perf_counter() - t0)
+            checksum += c1 + c2  # float()s force execution of every frame
+        t1 = sorted(t1s)[len(t1s) // 2]
+        t2 = sorted(t2s)[len(t2s) // 2]
+        jitter = max(max(t1s) - min(t1s), max(t2s) - min(t2s))
+        if t2 > t1 and (t2 - t1) >= min_signal * jitter:
+            break
+        if frames >= frames_cap:
+            # slope over `frames` extra iterations never rose above the
+            # noise; refusing beats publishing (the r1 lesson).
+            raise RuntimeError(
+                "differential timing invalid: the 2N-frame windows were not "
+                f"reliably slower than the N-frame windows at N={frames} "
+                f"(medians {t1:.4f}s vs {t2:.4f}s, jitter {jitter:.4f}s; "
+                f"N windows {['%.4f' % t for t in t1s]}, 2N windows "
+                f"{['%.4f' % t for t in t2s]}) — tunnel/queue jitter swamped "
+                "the marginal frame cost; rerun or raise `frames`"
+            )
+        frames *= 2  # too-short windows: the frame cost is below the noise
     seconds = t2 - t1
     fixed = max(t1 - seconds, 0.0)
     stats = FrameStats(

@@ -92,7 +92,9 @@ def test_time_device_loop_differential():
         except RuntimeError as e:
             assert "differential timing invalid" in str(e)
     assert stats is not None, "slope unmeasurable even at 64 frames/window"
-    assert stats.frames in (4, 16, 64) and stats.seconds > 0
+    # The harness may auto-double the requested window length until the
+    # slope clears the jitter (late-r3 signal-adequacy guard).
+    assert stats.frames >= 4 and stats.seconds > 0
     assert len(stats.window_seconds) == 2  # the 2N windows
     assert len(stats.window_seconds_short) == 2  # the N windows
     assert stats.window_fixed_seconds >= 0.0
