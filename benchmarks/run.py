@@ -128,25 +128,30 @@ def config1(quick: bool, obj: str | None) -> dict:
             t0 = time.perf_counter(); float(batch(n)); t1s.append(time.perf_counter() - t0)
             t0 = time.perf_counter(); float(batch(2 * n)); t2s.append(time.perf_counter() - t0)
         t1, t2 = sorted(t1s)[1], sorted(t2s)[1]
-        if t2 > t1:
+        # Same signal-adequacy rule as time_device_loop: the slope must
+        # clear the window-to-window jitter (worst outlier dropped), not
+        # merely be positive — a positive-but-noisy slope is the exact
+        # artifact class the retracted config-1 number came from.
+        jitter = max(sorted(t1s)[-2] - min(t1s), sorted(t2s)[-2] - min(t2s))
+        if t2 > t1 and (t2 - t1) >= 3.0 * jitter:
             ms = (t2 - t1) / n * 1e3
             batched = {"frames_per_dispatch": 2 * n,
                        "marginal_ms_per_frame": round(ms, 3),
                        "mrays_per_sec": round(800 * 600 / ms / 1e3, 1)}
         else:
-            # Record the drop instead of silently omitting the field: a
-            # non-positive N->2N slope means the windows were noise
+            # Record the drop instead of silently omitting the field: an
+            # inadequate N->2N slope means the windows were noise
             # (wedging tunnel / too-small N), not a free 2N-frame render.
-            print(f"config1: vmap marginal dropped (t({n})={t1:.4f}s >= "
-                  f"t({2*n})={t2:.4f}s — windows too noisy)", flush=True)
-            batched = {"dropped": f"non-positive slope: t({n})={round(t1, 4)}s, "
-                                  f"t({2*n})={round(t2, 4)}s"}
+            print(f"config1: vmap marginal dropped (t({n})={t1:.4f}s vs "
+                  f"t({2*n})={t2:.4f}s, jitter {jitter:.4f}s — slope below "
+                  "the adequacy bar)", flush=True)
+            batched = {"dropped": f"slope below 3x jitter: t({n})={round(t1, 4)}s, "
+                                  f"t({2*n})={round(t2, 4)}s, jitter={round(jitter, 4)}s"}
     if not _tpu():
-        # Same shape as the TPU record (batched_vmap nested under the
-        # engine entry) so cross-host record diffs see one schema.
-        return _emit("1_base_normal_800x600", stats,
-                     {"backend": "jax",
-                      **({"batched_vmap": batched} if batched else {})})
+        # The vmap marginal is only measured on TPU (it exists to remove the
+        # tunnel dispatch cost); non-TPU records carry the host-loop stats
+        # alone.
+        return _emit("1_base_normal_800x600", stats, {"backend": "jax"})
 
     # Headline engine on TPU: the Pallas megakernel's normal mode,
     # device-looped (differential), same workload and camera.

@@ -46,14 +46,14 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint-every", type=int, default=4,
                     help="checkpoint every N batched steps")
     ap.add_argument("--preview-every", type=int, default=0, metavar="N",
-                    help="also write <out>_preview every N steps (0 = off); "
-                         "only fires on checkpoint steps")
+                    help="also write <out>_preview every N steps (0 = off), "
+                         "independent of --checkpoint-every")
     ap.add_argument("--out", default="render.png")
     args = ap.parse_args(argv)
 
     import gpu_ray_tracing_tpu as rt
     from gpu_ray_tracing_tpu.utils.checkpoint import load_accum, save_accum
-    from gpu_ray_tracing_tpu.utils.image import to_uint8, tonemap
+    from gpu_ray_tracing_tpu.utils.image import write_image
 
     scene = jax.device_put(rt.make_scene(rt.one_weekend_scene(jax.random.key(0))))
     backend = "wavefront" if jax.default_backend() == "tpu" else "jax"
@@ -90,18 +90,14 @@ def main(argv=None) -> int:
             # reference's live progressive window, lib.rs:96-102).  Own
             # cadence — previews must not gate on the checkpoint interval.
             root, ext = os.path.splitext(args.out)
-            from PIL import Image
-
-            Image.fromarray(to_uint8(tonemap(np.asarray(state.rgb)))).save(
-                f"{root}_preview{ext or '.png'}"
+            written = write_image(
+                f"{root}_preview{ext or '.png'}", np.asarray(state.rgb)
             )
-            print(f"preview -> {root}_preview{ext or '.png'}")
+            print(f"preview -> {written}")
 
     save_accum(args.checkpoint, state)
-    from PIL import Image
-
-    Image.fromarray(to_uint8(tonemap(np.asarray(state.rgb)))).save(args.out)
-    print(f"wrote {args.out} at {int(state.count)} spp")
+    written = write_image(args.out, np.asarray(state.rgb))
+    print(f"wrote {written} at {int(state.count)} spp")
     return 0
 
 

@@ -370,9 +370,10 @@ def progressive_step(
     if spp_per_step < 1:
         raise ValueError(f"spp_per_step must be >= 1, got {spp_per_step}")
     if spp_per_step > 1 and config.spp % spp_per_step != 0:
-        # A batch straddling the spp target would fold whole and overshoot
-        # the accumulated count by up to spp_per_step-1 samples (the sharded
-        # path already enforces the equivalent divisibility).
+        # Eager misconfiguration guard; a straddling batch that the static
+        # check cannot see (a resumed checkpoint whose count is not a
+        # multiple of spp_per_step) is handled by fold_sample, which folds
+        # only the taken fraction so the count still freezes at the target.
         raise ValueError(
             f"spp_per_step={spp_per_step} must divide config.spp="
             f"{config.spp} so accumulation freezes exactly at the target"

@@ -69,9 +69,14 @@ def fold_sample(
 
     reset: traced bool — clears the state first (camera moved).
     The update freezes once count reaches spp_target (wgsl:352).  A batched
-    step that straddles the target would fold whole and overshoot the count
-    by up to num_samples - 1 — progressive_step and the sharded path both
-    enforce the divisibility that rules the straddle out.
+    step that straddles the target (possible despite progressive_step's
+    static divisibility check when a checkpoint is resumed at a count that
+    is not a multiple of the step size) folds only its TAKEN fraction: the
+    batch mean is weighted as spp_target - count samples, so the count
+    freezes exactly at the target.  Each sample in the batch mean is an
+    unbiased estimate of the pixel value, so down-weighting the batch keeps
+    the estimator unbiased — only the effective per-sample weights differ
+    from the aligned case.
     """
     reset = jnp.asarray(reset, bool)
     rgb = jnp.where(reset, 0.0, state.rgb)
@@ -83,12 +88,14 @@ def fold_sample(
         # division) so 1-spp progressive accumulation stays bit-stable
         # against the goldens.
         new_rgb = rgb + (sample_rgb - rgb) / jnp.float32(count + 1)
+        new_count = count + 1
     else:
-        k = jnp.float32(num_samples)
-        new_rgb = rgb + (sample_rgb - rgb) * (
-            k / (count.astype(jnp.float32) + k)
-        )
+        take = jnp.clip(spp_target - count, 0, num_samples)
+        k = take.astype(jnp.float32)
+        denom = jnp.maximum(count.astype(jnp.float32) + k, 1.0)
+        new_rgb = rgb + (sample_rgb - rgb) * (k / denom)
+        new_count = count + take
     return AccumState(
         rgb=jnp.where(converged, rgb, new_rgb),
-        count=jnp.where(converged, count, count + num_samples),
+        count=jnp.where(converged, count, new_count),
     )

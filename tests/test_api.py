@@ -283,6 +283,26 @@ def test_progressive_freezes_at_target():
     assert int(state.count) == 2  # frozen at the spp target (wgsl:352)
 
 
+def test_fold_sample_straddling_batch_folds_taken_fraction():
+    """A resumed checkpoint whose count is not a multiple of the batch size
+    straddles the target; fold_sample folds only the taken fraction so the
+    count freezes exactly at spp_target (r3 review finding — the static
+    divisibility check in progressive_step cannot see a resumed count)."""
+    from gpu_ray_tracing_tpu.ops.accumulate import AccumState, fold_sample
+
+    state = AccumState(rgb=jnp.full((2, 2, 3), 1.0), count=jnp.int32(3))
+    batch = jnp.full((2, 2, 3), 5.0)  # mean of 8 fresh samples
+    out = fold_sample(state, batch, 16, False, num_samples=8)
+    assert int(out.count) == 11  # 3 + 8, no straddle yet
+    out2 = fold_sample(out, batch, 16, False, num_samples=8)
+    assert int(out2.count) == 16  # straddle: only 5 of 8 folded
+    expected = (11.0 * np.asarray(out.rgb) + 5.0 * np.asarray(batch)) / 16.0
+    np.testing.assert_allclose(np.asarray(out2.rgb), expected, rtol=1e-6)
+    out3 = fold_sample(out2, batch, 16, False, num_samples=8)
+    assert int(out3.count) == 16  # frozen at the target
+    np.testing.assert_array_equal(np.asarray(out3.rgb), np.asarray(out2.rgb))
+
+
 def test_progressive_reset_on_camera_move():
     scene = base_scene()
     cfg = _cfg(spp=8)
