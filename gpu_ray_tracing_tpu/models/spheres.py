@@ -95,6 +95,12 @@ class Spheres:
 
 def make_spheres(entries) -> Spheres:
     """Build a Spheres SoA from (center, radius, kind, albedo, param) tuples."""
+    if not entries:
+        # A zero-sphere SoA dies later with an opaque shape error (the
+        # closest-hit argmin has no candidates); fail at the boundary
+        # instead.  A sky-only frame is `integrator='normal'`-free anyway —
+        # put one sphere behind the camera if the sky gradient is the goal.
+        raise ValueError("make_spheres needs at least one sphere entry")
     centers = jnp.asarray([e[0] for e in entries], jnp.float32).reshape(-1, 3)
     radii = jnp.asarray([e[1] for e in entries], jnp.float32)
     kinds = jnp.asarray([e[2] for e in entries], jnp.int32)

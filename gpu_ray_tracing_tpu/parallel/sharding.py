@@ -276,7 +276,9 @@ def progressive_step_sharded(
         # One canonical fold (ops/accumulate.fold_sample): the mean of the
         # n_spp fresh samples folds with weight n_spp; n_spp=1 keeps the
         # reference's exact single-rounding arithmetic.  (_check enforces
-        # spp % n_spp == 0, so a batch never straddles the freeze target.)
+        # spp % n_spp == 0; a straddle can still arise from a checkpoint
+        # resumed at a misaligned count — fold_sample folds only the taken
+        # fraction so the count freezes exactly at the target.)
         mean = batch / jnp.float32(n_spp) if n_spp > 1 else batch
         st = fold_sample(
             AccumState(rgb=rgb_local, count=count), mean, config.spp,

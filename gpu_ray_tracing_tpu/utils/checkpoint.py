@@ -6,6 +6,12 @@ wgsl:339-341,362 — SURVEY §5).  Here that state is the AccumState pytree, so
 checkpointing is a plain .npz round-trip: a 1024-spp progressive render
 (BASELINE config 5) survives process restarts.  For orbax users,
 AccumState is an ordinary pytree and works with orbax.checkpoint directly.
+
+Sharded states: `progressive_step_sharded(..., row_partition='interleaved')`
+keeps state.rgb in PARTITION (shard-major) row order for its whole lifetime
+(parallel/sharding.py).  This module stores bytes, not partition metadata —
+resume such a checkpoint with the SAME mesh shape and row_partition, or
+save `accum_image(state, mesh, partition)` (image order) instead.
 """
 
 from __future__ import annotations

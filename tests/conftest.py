@@ -17,6 +17,7 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The axon sitecustomize may have already appended its platform; override.
 jax.config.update("jax_platforms", "cpu")
@@ -27,3 +28,20 @@ jax.config.update("jax_enable_x64", False)
 # (observed at test_wavefront_many_lights..., jax compilation_cache.py:238).
 # CPU test compiles are seconds; determinism beats reuse here.
 jax.config.update("jax_enable_compilation_cache", False)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop every live compiled executable after each test module.
+
+    With the process-lifetime caches left alone, the full suite accumulates
+    ~200 tests' worth of XLA:CPU executables and then SEGFAULTS
+    deterministically inside `backend_compile_and_load` while compiling
+    test_wavefront.py::test_wavefront_regen_via_config (~98%) — the same
+    program compiles fine in isolation or after any small prefix, so the
+    crash is cumulative in-process compiler state, not that program.
+    Cross-module cache hits are rare (different shapes/configs), so the
+    cost is a few extra compiles per module.
+    """
+    yield
+    jax.clear_caches()

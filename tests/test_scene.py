@@ -107,6 +107,15 @@ def test_material_pack_unpack_roundtrip():
     np.testing.assert_allclose(np.asarray(s2.albedo), np.asarray(s.albedo))
 
 
+def test_make_spheres_rejects_empty():
+    """A zero-sphere SoA would die deep in the closest-hit argmin with an
+    opaque shape error; the boundary rejects it eagerly."""
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one sphere"):
+        make_spheres([])
+
+
 def test_pad_to_multiple():
     s = base_scene().pad_to_multiple(128)
     assert s.count == 128
