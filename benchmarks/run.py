@@ -355,6 +355,11 @@ def config5(quick: bool, obj: str | None) -> dict:
             shard_accum_state,
         )
 
+        # This step compiles CPU executables; the persistent cache this
+        # process enabled for TPU compiles may hold CPU AOT entries from a
+        # DIFFERENT host (machine-feature mismatch -> loader SIGILL risk,
+        # same hazard dryrun_multichip guards against).  Compile fresh.
+        jax.config.update("jax_enable_compilation_cache", False)
         devices = jax.devices("cpu")[:8]
         mesh = make_mesh(4, 2, devices=devices)
         rep = NamedSharding(mesh, P())
@@ -372,6 +377,8 @@ def config5(quick: bool, obj: str | None) -> dict:
         )
     except Exception as e:  # pragma: no cover - diagnostic path
         print(f"sharded correctness pass failed: {e}", file=sys.stderr)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
 
     return _emit(
         "5_progressive_1080p",
