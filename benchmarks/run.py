@@ -68,6 +68,7 @@ from gpu_ray_tracing_tpu.models.camera import orbit_yaw  # noqa: E402
 from gpu_ray_tracing_tpu.utils.profiling import (  # noqa: E402
     FrameStats,
     check_plausible,
+    robust_spread,
     time_device_loop,
     time_frames,
 )
@@ -132,7 +133,7 @@ def config1(quick: bool, obj: str | None) -> dict:
         # clear the window-to-window jitter (worst outlier dropped), not
         # merely be positive — a positive-but-noisy slope is the exact
         # artifact class the retracted config-1 number came from.
-        jitter = max(sorted(t1s)[-2] - min(t1s), sorted(t2s)[-2] - min(t2s))
+        jitter = max(robust_spread(t1s), robust_spread(t2s))
         if t2 > t1 and (t2 - t1) >= 3.0 * jitter:
             ms = (t2 - t1) / n * 1e3
             batched = {"frames_per_dispatch": 2 * n,

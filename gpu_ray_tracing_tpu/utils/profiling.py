@@ -167,6 +167,19 @@ def time_frames(
     return stats
 
 
+def robust_spread(ts) -> float:
+    """Window-to-window jitter with the single worst window dropped.
+
+    The axon tunnel intermittently wedges ONE window for ~90 s; a max-min
+    spread would let that outlier defeat the slope-adequacy gate (forcing
+    useless window doubling and a spurious refusal) even when the medians
+    carry a clean slope.  The medians already tolerate a minority of wedged
+    windows, so the jitter estimate should too.
+    """
+    s = sorted(ts)
+    return (s[-2] - s[0]) if len(s) >= 3 else (s[-1] - s[0])
+
+
 def time_device_loop(
     frame_fn: Callable[[jax.Array], jax.Array],
     *,
@@ -203,16 +216,6 @@ def time_device_loop(
     (0.027 "ms/frame" at N=40 vs 0.070 converged; caught late r3).
     """
 
-    def _robust_spread(ts):
-        # Window-to-window jitter with the single worst window dropped: the
-        # axon tunnel intermittently wedges ONE window for ~90 s, and a
-        # max-min spread would let that outlier defeat the adequacy gate
-        # (forcing useless window doubling and a spurious refusal) even when
-        # the medians carry a clean slope.  The medians themselves already
-        # tolerate a minority of wedged windows.
-        s = sorted(ts)
-        return (s[-2] - s[0]) if len(s) >= 3 else (s[-1] - s[0])
-
     def make_window(n):
         @jax.jit
         def window(seed0):
@@ -248,7 +251,7 @@ def time_device_loop(
             checksum += c1 + c2  # float()s force execution of every frame
         t1 = sorted(t1s)[len(t1s) // 2]
         t2 = sorted(t2s)[len(t2s) // 2]
-        jitter = max(_robust_spread(t1s), _robust_spread(t2s))
+        jitter = max(robust_spread(t1s), robust_spread(t2s))
         if t2 > t1 and (t2 - t1) >= min_signal * jitter:
             break
         if frames >= frames_cap:

@@ -102,6 +102,19 @@ def test_time_device_loop_differential():
     assert "window_fixed_ms" in stats.to_dict() or stats.window_fixed_seconds == 0.0
 
 
+def test_robust_spread_drops_single_outlier():
+    """The adequacy gate's jitter estimate must survive one wedged window
+    (the tunnel wedges ONE window for ~90 s; the medians tolerate it, so
+    the spread estimate must too)."""
+    from gpu_ray_tracing_tpu.utils.profiling import robust_spread
+
+    assert robust_spread([0.10, 0.11, 0.12]) == pytest.approx(0.01)
+    # One 90 s wedge among clean windows: spread stays at the clean scale.
+    assert robust_spread([0.10, 0.11, 0.12, 90.0]) == pytest.approx(0.02)
+    # Two-sample fallback: plain spread.
+    assert robust_spread([0.10, 0.14]) == pytest.approx(0.04)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     scene = base_scene()
     cfg = RenderConfig(width=32, height=24, spp=8, max_depth=4)
