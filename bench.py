@@ -44,7 +44,10 @@ import time
 
 WIDTH, HEIGHT = 1920, 1080
 CHILD_TIMEOUT_S = 900
-WEDGE_RETRY_WAIT_S = 90
+# Escalating waits between attempts: the common wedge clears in ~90 s, but
+# extended tunnel outages (one observed at >1 h) deserve one longer wait
+# before giving up.
+WEDGE_RETRY_WAITS_S = (90, 300)
 
 
 def measure() -> None:
@@ -113,7 +116,11 @@ def main() -> None:
         measure()
         return
     # Parent: run the measurement in a child process with a wedge timeout.
-    for attempt in range(2):
+    # Retry on timeout AND on child failure — a tunnel wedge can surface
+    # either as a hang or as an RPC error inside the child.
+    attempts = len(WEDGE_RETRY_WAITS_S) + 1
+    for attempt in range(attempts):
+        why = None
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child"],
@@ -122,22 +129,21 @@ def main() -> None:
                 text=True,
             )
         except subprocess.TimeoutExpired:
-            last = attempt == 1
-            print(
-                f"bench child timed out after {CHILD_TIMEOUT_S}s (axon tunnel "
-                "wedge?)"
-                + ("" if last else
-                   f"; waiting {WEDGE_RETRY_WAIT_S}s and retrying once"),
-                file=sys.stderr,
-            )
-            if not last:  # no pointless sleep after the final attempt
-                time.sleep(WEDGE_RETRY_WAIT_S)
-            continue
-        if proc.returncode == 0 and proc.stdout.strip():
-            print(proc.stdout.strip().splitlines()[-1])
-            return
-        print(f"bench child failed rc={proc.returncode}", file=sys.stderr)
-        break
+            why = f"timed out after {CHILD_TIMEOUT_S}s (axon tunnel wedge?)"
+        else:
+            if proc.returncode == 0 and proc.stdout.strip():
+                print(proc.stdout.strip().splitlines()[-1])
+                return
+            why = f"failed rc={proc.returncode}"
+        last = attempt == attempts - 1
+        wait = None if last else WEDGE_RETRY_WAITS_S[attempt]
+        print(
+            f"bench child {why}"
+            + ("" if last else f"; waiting {wait}s and retrying"),
+            file=sys.stderr,
+        )
+        if wait:
+            time.sleep(wait)
     sys.exit(1)
 
 

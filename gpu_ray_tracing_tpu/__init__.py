@@ -16,6 +16,14 @@ Quick start:
     scene = one_weekend_scene(jax.random.key(0))
     cfg = RenderConfig(width=1280, height=720, spp=16, max_depth=30)
     img = render(scene, CameraSettings.default(), cfg, key=jax.random.key(1))
+
+Multi-chip rendering lives under `gpu_ray_tracing_tpu.parallel`
+(`parallel.mesh.make_mesh` builds the ('x', 's') device mesh — distinct
+from the top-level `make_mesh`, which builds triangle geometry —
+`parallel.sharding.render_sharded` / `progressive_step_sharded` /
+`accum_image` shard rows and samples over it).  Interactive-style camera
+motion ops (dolly/strafe/yaw/zoom, the reference's keyboard controls) are
+pure functions in `gpu_ray_tracing_tpu.models.camera`.
 """
 
 from gpu_ray_tracing_tpu.api import (
