@@ -123,6 +123,29 @@ def test_progressive_sharded_freeze_and_reset(scene):
     assert int(state.count) == 1
 
 
+def test_progressive_sharded_resumed_straddle_freezes_at_target(scene):
+    """A checkpoint resumed at a count misaligned to the spp-axis batch
+    straddles the target; fold_sample folds only the taken fraction so the
+    sharded step freezes exactly at config.spp (r3 review finding)."""
+    from gpu_ray_tracing_tpu.ops.accumulate import AccumState
+
+    mesh = make_mesh(4, 2)  # 2-sample batches
+    cfg = _cfg(spp=4)
+    # Simulate a resume at count=3 (e.g. saved from 3 single unsharded steps).
+    resumed = AccumState(
+        rgb=jnp.full((cfg.height, cfg.width, 3), 0.25, jnp.float32),
+        count=jnp.int32(3),
+    )
+    state = shard_accum_state(resumed, mesh)
+    state = progressive_step_sharded(state, scene, BASE_CAMERA, cfg, mesh,
+                                     frame_seed=jnp.uint32(5))
+    assert int(state.count) == 4  # 3 + take(1), not 3 + 2
+    state = progressive_step_sharded(state, scene, BASE_CAMERA, cfg, mesh,
+                                     frame_seed=jnp.uint32(5))
+    assert int(state.count) == 4  # frozen
+    assert np.isfinite(np.asarray(state.rgb)).all()
+
+
 def test_threefry_rejected_for_sharding(scene):
     mesh = make_mesh(8, 1)
     with pytest.raises(ValueError):
