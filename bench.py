@@ -121,6 +121,7 @@ def main() -> None:
     attempts = len(WEDGE_RETRY_WAITS_S) + 1
     for attempt in range(attempts):
         why = None
+        t0 = time.monotonic()
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child"],
@@ -135,6 +136,13 @@ def main() -> None:
                 print(proc.stdout.strip().splitlines()[-1])
                 return
             why = f"failed rc={proc.returncode}"
+            if time.monotonic() - t0 < 60:
+                # A child that dies within seconds is a deterministic
+                # failure (import error, validation raise), not a wedge —
+                # fail fast instead of sleeping through the retry ladder.
+                print(f"bench child {why} in <60s — deterministic, not "
+                      "retrying", file=sys.stderr)
+                break
         last = attempt == attempts - 1
         wait = None if last else WEDGE_RETRY_WAITS_S[attempt]
         print(

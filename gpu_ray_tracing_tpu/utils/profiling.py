@@ -168,16 +168,22 @@ def time_frames(
 
 
 def robust_spread(ts) -> float:
-    """Window-to-window jitter with the single worst window dropped.
+    """Window-to-window jitter with the single worst window dropped — but
+    only when enough windows remain for the rest to estimate the spread.
 
     The axon tunnel intermittently wedges ONE window for ~90 s; a max-min
     spread would let that outlier defeat the slope-adequacy gate (forcing
     useless window doubling and a spurious refusal) even when the medians
     carry a clean slope.  The medians already tolerate a minority of wedged
-    windows, so the jitter estimate should too.
+    windows, so the jitter estimate should too.  Below 5 windows the drop
+    is NOT safe: with 3 windows it would return the gap between the two
+    closest and wave through a noise-driven slope (ordinary 30 ms run-to-
+    run variance, no wedge, would read as ~1 ms jitter) — there, the full
+    spread stands and a wedged window correctly escalates to the
+    refuse-to-publish path rather than under-reporting uncertainty.
     """
     s = sorted(ts)
-    return (s[-2] - s[0]) if len(s) >= 3 else (s[-1] - s[0])
+    return (s[-2] - s[0]) if len(s) >= 5 else (s[-1] - s[0])
 
 
 def time_device_loop(
@@ -232,10 +238,17 @@ def time_device_loop(
     min_signal = 3.0  # slope must exceed this multiple of window jitter
     frames_cap = frames * 64
     checksum = 0.0
+    windows = {}  # n -> compiled+warmed window; doubling reuses the old 2N as the new N
+
+    def warm_window(n):
+        if n not in windows:
+            w = make_window(n)
+            float(w(jnp.uint32(0)))  # compile + warm
+            windows[n] = w
+        return windows[n]
+
     while True:
-        w1, w2 = make_window(frames), make_window(2 * frames)
-        float(w1(jnp.uint32(0)))  # compile + warm
-        float(w2(jnp.uint32(0)))
+        w1, w2 = warm_window(frames), warm_window(2 * frames)
 
         t1s, t2s = [], []
         for r in range(repeats):

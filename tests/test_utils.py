@@ -80,10 +80,11 @@ def test_time_device_loop_differential():
     # Host-timing jitter can make the 2N windows come out no slower than
     # the N windows for a near-zero-cost frame; the harness then (by
     # design) raises its invalid-measurement diagnostic rather than
-    # reporting a garbage slope.  Retry with more frames so the marginal
-    # cost dominates the jitter.
+    # reporting a garbage slope.  The harness itself escalates 64x from
+    # the starting frames, so only one fallback rung is kept for a
+    # pathologically noisy box.
     stats = None
-    for frames in (4, 16, 64):
+    for frames in (4, 64):
         try:
             stats = time_device_loop(
                 frame, width=512, height=512, spp=1, frames=frames, repeats=2
@@ -105,13 +106,16 @@ def test_time_device_loop_differential():
 def test_robust_spread_drops_single_outlier():
     """The adequacy gate's jitter estimate must survive one wedged window
     (the tunnel wedges ONE window for ~90 s; the medians tolerate it, so
-    the spread estimate must too)."""
+    the spread estimate must too) — but only at >=5 windows, where the
+    remaining windows still estimate the spread honestly."""
     from gpu_ray_tracing_tpu.utils.profiling import robust_spread
 
-    assert robust_spread([0.10, 0.11, 0.12]) == pytest.approx(0.01)
-    # One 90 s wedge among clean windows: spread stays at the clean scale.
-    assert robust_spread([0.10, 0.11, 0.12, 90.0]) == pytest.approx(0.02)
-    # Two-sample fallback: plain spread.
+    # One 90 s wedge among >=5 windows: spread stays at the clean scale.
+    assert robust_spread([0.10, 0.11, 0.12, 0.11, 90.0]) == pytest.approx(0.02)
+    # Below 5 windows the drop would hide ordinary variance (the gap
+    # between the two closest of three says nothing about spread): the
+    # full spread stands.
+    assert robust_spread([0.10, 0.11, 0.13]) == pytest.approx(0.03)
     assert robust_spread([0.10, 0.14]) == pytest.approx(0.04)
 
 
