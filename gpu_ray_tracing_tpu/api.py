@@ -165,6 +165,7 @@ def _dispatch_kernel_render(
                 config.regenerate == "on"
                 or (config.regenerate == "auto" and spp > 1)
             ),
+            strata=config.strata,
         )
     from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
 
@@ -179,7 +180,7 @@ def _dispatch_kernel_render(
         russian_roulette_depth=config.russian_roulette_depth,
         sky_intensity=config.sky_intensity, nee=config.nee,
         spp=spp, y_offset=y_offset, interpret=interpret,
-        row_stride=row_stride,
+        row_stride=row_stride, strata=config.strata,
     )
 
 
@@ -206,7 +207,7 @@ def _render_one_sample(
                 sample_index=sample_index, frame_seed=frame_seed,
             )
         origins, dirs, seeds = rays.generate_rays_hash(
-            camera, w, h, sample_index, frame_seed
+            camera, w, h, sample_index, frame_seed, strata=config.strata
         )
         return _trace_chunked(origins, dirs, spheres, config, pixel_seeds=seeds)
 

@@ -48,6 +48,10 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "jax", "pallas", "wavefront"])
     ap.add_argument("--rng", default="hash", choices=["hash", "wgsl", "threefry"])
+    ap.add_argument("--sampler", default="independent",
+                    choices=["independent", "stratified"],
+                    help="pixel-jitter sampler; 'stratified' lowers AA "
+                         "variance at equal spp (requires --rng hash)")
     ap.add_argument("--regenerate", default="off", choices=["auto", "on", "off"],
                     help="wavefront ray regeneration: refill dead ray rows "
                          "with the next sample's primaries (spp > 1)")
@@ -167,6 +171,7 @@ def _build_config(args, spp=None):
         rng=args.rng, nee=args.nee, sky_intensity=args.sky_intensity,
         russian_roulette_depth=args.russian_roulette,
         regenerate=args.regenerate,
+        sampler=args.sampler,
     )
 
 

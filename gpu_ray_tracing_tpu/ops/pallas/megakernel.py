@@ -939,6 +939,7 @@ def _kernel(
     num_lights: int = 0,  # > 0 enables in-kernel next-event estimation
     mesh_smooth: bool = False,
     spp: int = 1,
+    strata: tuple[int, int] | None = None,
 ):
     """One (TILE_ROWS x 128)-pixel image tile: ray gen -> trace -> write.
 
@@ -984,8 +985,16 @@ def _kernel(
         seeds = rng_ops.hash_pixel_seeds(pid, s_u32, frame_seed_u32)
 
         # Jittered pixel center (wgsl:314-317); salts match generate_rays_hash.
-        jx = _uniform(seeds, 1) - 0.5
-        jy = _uniform(seeds, 2) - 0.5
+        u1 = _uniform(seeds, 1)
+        u2 = _uniform(seeds, 2)
+        if strata is None:
+            jx, jy = u1 - 0.5, u2 - 0.5
+        else:
+            # Stratified AA jitter — the same shared function (and stream)
+            # as ops/rays.generate_rays_for_ids, elementwise/Mosaic-safe.
+            jx, jy = rng_ops.stratified_jitter(
+                u1, u2, pid, s_u32, frame_seed_u32, strata
+            )
         fx = x.astype(jnp.float32) + 0.5 + jx
         fy = y.astype(jnp.float32) + 0.5 + jy
 
@@ -1117,6 +1126,7 @@ def render_pallas(
     interpret: bool | None = None,
     spp: int = 1,
     row_stride: Array | int = 1,
+    strata: tuple[int, int] | None = None,
 ) -> Array:
     """Render spp samples fully on-chip; returns the (height, width, 3) RGB
     mean.  Sample s of the call uses stream index `sample_index + s`, so one
@@ -1229,6 +1239,7 @@ def render_pallas(
         num_lights=num_lights,
         mesh_smooth=has_mesh and sc.mesh.smooth,
         spp=spp,
+        strata=strata,
     )
     outr, outg, outb = pl.pallas_call(
         kernel,

@@ -253,6 +253,7 @@ def render_wavefront(
     tile_rows: int = WF_ROWS,
     regenerate: bool = False,
     refill_threshold: float = 0.25,
+    strata: tuple[int, int] | None = None,
 ) -> Array:
     """Path-trace spp samples with per-bounce ray compaction; returns the
     (height, width, 3) RGB mean.  Draw-for-draw the same image as the
@@ -396,12 +397,14 @@ def render_wavefront(
             compact_threshold=compact_threshold,
             refill_threshold=refill_threshold,
             y_offset=y_offset, total_width=tw, row_stride=row_stride,
+            strata=strata,
         )
 
     def one_sample(s_u32):
         origins, dirs, _ = rays_ops.generate_rays_hash(
             camera, width, height, s_u32, frame_seed,
             y_offset=y_offset, total_width=tw, row_stride=row_stride,
+            strata=strata,
         )
         state = (
             pid0,
@@ -503,6 +506,7 @@ def _run_regen(
     y_offset: Array | int,
     total_width: int,
     row_stride: Array | int = 1,
+    strata: tuple[int, int] | None = None,
 ) -> Array:
     """Ray-regeneration wavefront loop: one persistent pool over all samples.
 
@@ -555,7 +559,7 @@ def _run_regen(
         smp = jnp.broadcast_to((s0 + blk // bpf)[:, None], (rows, 128))
         o, d, _ = rays_ops.generate_rays_for_ids(
             camera, pid, smp.astype(jnp.uint32), frame_seed,
-            total_width=total_width,
+            total_width=total_width, strata=strata,
         )
         one = jnp.ones((rows, 128), jnp.float32)
         zero = jnp.zeros((rows, 128), jnp.float32)

@@ -96,6 +96,7 @@ def generate_rays_hash(
     y_offset: Array | int = 0,
     total_width: int | None = None,
     row_stride: Array | int = 1,
+    strata: tuple[int, int] | None = None,
 ) -> tuple[Array, Array, Array]:
     """Counter-based ray generation (the TPU-native default).
 
@@ -120,7 +121,8 @@ def generate_rays_hash(
     # exactly (both integers are f32-exact), so this stays bit-identical to
     # the historical inline grid path.
     return generate_rays_for_ids(
-        camera, pixel_ids, sample_index, frame_seed_u32, total_width=tw
+        camera, pixel_ids, sample_index, frame_seed_u32, total_width=tw,
+        strata=strata,
     )
 
 
@@ -131,6 +133,7 @@ def generate_rays_for_ids(
     frame_seed_u32: Array,
     *,
     total_width: int,
+    strata: tuple[int, int] | None = None,
 ) -> tuple[Array, Array, Array]:
     """Counter-based ray generation for an arbitrary array of GLOBAL pixel ids.
 
@@ -145,8 +148,16 @@ def generate_rays_for_ids(
     pid = jnp.asarray(pixel_ids, jnp.uint32)
     seeds = rng_ops.hash_pixel_seeds(pid, sample_index, frame_seed_u32)
 
-    jx = rng_ops.uniform_hash(seeds, 1) - 0.5
-    jy = rng_ops.uniform_hash(seeds, 2) - 0.5
+    u1 = rng_ops.uniform_hash(seeds, 1)
+    u2 = rng_ops.uniform_hash(seeds, 2)
+    if strata is None:
+        jx, jy = u1 - 0.5, u2 - 0.5
+    else:
+        # Stratified AA jitter (config.sampler='stratified'): same salt-1/2
+        # draws, remapped into sample s's stratum of the (kx, ky) grid.
+        jx, jy = rng_ops.stratified_jitter(
+            u1, u2, pid, sample_index, frame_seed_u32, strata
+        )
     tw = jnp.uint32(total_width)
     # Global x/y from the flat id.  Both fit f32 exactly (ids < 2^24 for any
     # frame this renderer addresses; the pad-id range stays below that too).

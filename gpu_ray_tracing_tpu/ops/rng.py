@@ -126,6 +126,85 @@ def uniform_hash(seed: Array, salt) -> Array:
     return ibits.astype(jnp.float32) * np.float32(1.0 / (1 << 24))
 
 
+#: Salt of the stratified sampler's per-(pixel, frame) stratum rotation,
+#: drawn on the SAMPLE-0 pixel seed (raygen owns salts 1-4, scatter starts
+#: at 16 — see the salt map in CLAUDE.md).
+_STRATUM_ROT_SALT = np.uint32(5)
+
+
+def strata_shape(spp: int) -> tuple[int, int]:
+    """Factor an spp budget into a (kx, ky) stratification grid, kx*ky == spp.
+
+    kx is the largest divisor of spp at most sqrt(spp), so the grid is as
+    square as the budget allows (16 -> 4x4, 8 -> 2x4, primes -> 1xK: still
+    fully stratified along y).
+    """
+    if spp < 1:
+        raise ValueError(f"spp must be >= 1, got {spp}")
+    kx = max(1, int(spp**0.5))
+    while spp % kx:
+        kx -= 1
+    return kx, spp // kx
+
+
+def stratified_jitter(
+    u1: Array,
+    u2: Array,
+    pixel_ids: Array,
+    sample_index: Array,
+    frame_seed_u32: Array,
+    strata: tuple[int, int],
+) -> tuple[Array, Array]:
+    """Jittered-stratified pixel offsets in [-0.5, 0.5) over a kx*ky grid.
+
+    Sample s lands in stratum `(s + rot(pixel, frame)) mod K` of the grid,
+    uniformly jittered inside it by the SAME salt-1/2 draws (u1, u2) the
+    independent sampler uses — so over any K consecutive samples every pixel
+    covers each stratum exactly once (variance drops vs independent jitter),
+    and any SINGLE sample is still marginally uniform over the pixel because
+    the per-(pixel, frame) rotation is (Cranley-Patterson on the stratum
+    index — no bias at partial accumulation counts).
+
+    Pure function of (pixel id, sample, frame seed, salt), like every other
+    draw: sharding, tiling, and ray compaction cannot change the stream, and
+    the Pallas engines share this exact function.  Elementwise and
+    Mosaic-safe (the u32->f32 paths go through the bitcast trick, matching
+    uniform_hash); `sample_index` may be a scalar or a per-lane array (the
+    regenerating wavefront pool).
+    """
+    kx, ky = strata
+    k_total = kx * ky
+    if k_total == 1:
+        return u1 - 0.5, u2 - 0.5
+    rot_u = uniform_hash(
+        hash_pixel_seeds(pixel_ids, jnp.uint32(0), frame_seed_u32),
+        _STRATUM_ROT_SALT,
+    )
+    # floor(u * K) < K for every 24-bit u (the product sits more than half an
+    # ulp below K unless K is a power of two, where it is exact); the min is
+    # belt and braces.
+    rot = jnp.minimum(
+        jnp.floor(rot_u * jnp.float32(k_total)), jnp.float32(k_total - 1)
+    )
+    s_mod = jnp.asarray(sample_index, jnp.uint32) % jnp.uint32(k_total)
+    # u32 -> i32 astype is modular/bit-preserving and Mosaic supports it for
+    # SCALARS too (sample_index is a scalar in the megakernel), where the
+    # bitcast trick uniform_hash uses is vector-only; s_mod < K so the i32
+    # value is exact.
+    s_f = s_mod.astype(jnp.int32).astype(jnp.float32)
+    stratum = rot + s_f
+    stratum = jnp.where(
+        stratum >= k_total, stratum - jnp.float32(k_total), stratum
+    )
+    # Exact for K <= 2^23: representable quotients divide exactly and
+    # non-exact ones sit > half an ulp below the next integer.
+    cy = jnp.floor(stratum / jnp.float32(kx))
+    cx = stratum - cy * jnp.float32(kx)
+    jx = (cx + u1) / jnp.float32(kx) - 0.5
+    jy = (cy + u2) / jnp.float32(ky) - 0.5
+    return jx, jy
+
+
 def hash_pixel_seeds(pixel_ids: Array, sample_index: Array, frame_seed_u32: Array) -> Array:
     """Per-pixel base seed from global pixel id + sample index + frame seed."""
     return wgsl_hash(

@@ -75,6 +75,18 @@ class RenderConfig:
     # a pure BSDF-sampling tracer.
     nee: bool = False
 
+    # Pixel-jitter sampler:
+    #   'independent' = one independent uniform jitter per sample (the
+    #                   reference's sample_square, wgsl:299-303)
+    #   'stratified'  = jittered stratification of the spp budget over a
+    #                   near-square (kx, ky) pixel-area grid with a
+    #                   per-(pixel, frame) rotation of the stratum order
+    #                   (ops/rng.stratified_jitter): lower AA variance at
+    #                   equal spp, unbiased at any partial accumulation
+    #                   count, zero per-sample cost.  Requires rng='hash'
+    #                   (the grid is addressed by absolute sample index).
+    sampler: Literal["independent", "stratified"] = "independent"
+
     # Wavefront ray regeneration (backend='wavefront' only): keep ONE
     # persistent ray pool across the spp samples, refilling ray rows whose
     # 128 rays have all died with the next sample's primary rays, so the
@@ -106,6 +118,12 @@ class RenderConfig:
             raise ValueError("parity=True requires rng='wgsl'")
         if self.backend in ("pallas", "wavefront") and self.rng != "hash":
             raise ValueError(f"backend={self.backend!r} requires rng='hash'")
+        if self.sampler == "stratified" and self.rng != "hash":
+            raise ValueError(
+                "sampler='stratified' requires rng='hash' (strata are "
+                "addressed by absolute sample index, which threefry keys "
+                "and the wgsl parity chain don't carry)"
+            )
         if self.regenerate != "off" and self.backend != "wavefront":
             # Silently ignoring the request would benchmark the wrong engine.
             raise ValueError(
@@ -113,6 +131,20 @@ class RenderConfig:
                 f"backend={self.backend!r} ignores it — set "
                 "backend='wavefront' or regenerate='off'"
             )
+
+    @property
+    def strata(self) -> tuple[int, int] | None:
+        """The sampler's (kx, ky) stratification grid (None = independent).
+
+        Derived from the spp BUDGET (config.spp), not any per-call batch
+        size, so progressive steps and spp-axis shards of the same target
+        draw the identical stream.
+        """
+        if self.sampler != "stratified":
+            return None
+        from gpu_ray_tracing_tpu.ops.rng import strata_shape
+
+        return strata_shape(self.spp)
 
     @property
     def resolution(self) -> tuple[int, int]:

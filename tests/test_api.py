@@ -543,3 +543,45 @@ def test_animation_pallas_backend():
         scene, track, cfg, frame_seeds=jnp.arange(2, dtype=jnp.uint32)))
     assert frames.shape == (2, 16, 32, 3)
     assert np.all(np.isfinite(frames))
+
+
+def test_stratified_sampler_reduces_aa_variance():
+    """The sampler's contract: at equal spp, stratified AA jitter converges
+    closer to the converged image than independent jitter (measured ~4x MSE
+    at 16 spp on edge-dominated normal shading; assert the direction with
+    margin)."""
+    scene = base_scene()
+    ref = np.asarray(render(
+        scene, BASE_CAMERA,
+        _cfg(spp=1024, integrator="normal"),
+        frame_seed=jnp.uint32(999),
+    ))
+    mses = {}
+    for sampler in ("stratified", "independent"):
+        cfg = _cfg(spp=16, integrator="normal", sampler=sampler)
+        err = 0.0
+        for fs in (0, 1):
+            img = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(fs)))
+            err += float(np.mean((img - ref) ** 2))
+        mses[sampler] = err
+    assert mses["stratified"] < 0.6 * mses["independent"], mses
+
+
+def test_stratified_sampler_requires_hash_rng():
+    with pytest.raises(ValueError, match="stratified"):
+        _cfg(rng="threefry", sampler="stratified")
+    with pytest.raises(ValueError, match="stratified"):
+        _cfg(rng="wgsl", sampler="stratified")
+
+
+def test_stratified_progressive_matches_render():
+    """Progressive accumulation addresses strata by absolute sample index:
+    stepping to the spp target equals the one-shot stratified render (same
+    stream; float fold order differs)."""
+    cfg = _cfg(spp=4, max_depth=4, sampler="stratified")
+    scene = base_scene()
+    st = init_accum(cfg.height, cfg.width)
+    for _ in range(cfg.spp):
+        st = progressive_step(st, scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3))
+    one = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3)))
+    np.testing.assert_allclose(np.asarray(st.rgb), one, atol=1e-5)

@@ -307,3 +307,28 @@ def test_pallas_backend_is_differentiable():
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gj), rtol=1e-4, atol=1e-9)
     # The forward VALUE comes from the pallas kernel.
     np.testing.assert_allclose(float(vp), float(vj), rtol=1e-4)
+
+
+def test_stratified_sampler_matches_across_engines():
+    """sampler='stratified' is part of the shared counter-RNG stream: the
+    megakernel and wavefront engines draw it identically (bitwise), and the
+    jax path agrees up to the documented decision-flip contract."""
+    scene = base_scene()
+    cam = CameraSettings(
+        look_from=jnp.asarray([0.0, 0.0, 1.0]),
+        look_at=jnp.asarray([0.0, 0.0, -1.0]),
+        vup=jnp.asarray([0.0, 1.0, 0.0]),
+        field_of_view=jnp.float32(60.0),
+        defocus_angle=jnp.float32(0.3),  # defocus draws ride along unchanged
+        focus_distance=jnp.float32(2.0),
+    )
+    imgs = {}
+    for be in ("jax", "pallas", "wavefront"):
+        cfg = _cfg(spp=4, max_depth=4, backend=be, sampler="stratified")
+        imgs[be] = np.asarray(render(scene, cam, cfg, frame_seed=jnp.uint32(7)))
+    np.testing.assert_array_equal(imgs["pallas"], imgs["wavefront"])
+    assert_images_match(imgs["jax"], imgs["pallas"], flip_frac=0.01, mean_tol=2e-4)
+    # And it actually changes the jitter stream vs the independent sampler.
+    cfg_i = _cfg(spp=4, max_depth=4, backend="pallas", sampler="independent")
+    img_i = np.asarray(render(scene, cam, cfg_i, frame_seed=jnp.uint32(7)))
+    assert not np.array_equal(img_i, imgs["pallas"])

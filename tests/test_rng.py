@@ -112,3 +112,67 @@ def test_uniform_hash_salts_decorrelated():
     a = np.asarray(uniform_hash(seeds, 1))
     b = np.asarray(uniform_hash(seeds, 2))
     assert abs(np.corrcoef(a, b)[0, 1]) < 0.05
+
+
+# --------------------------------------------------------------------------
+# Stratified sampler (ops/rng.strata_shape + stratified_jitter)
+# --------------------------------------------------------------------------
+
+
+def test_strata_shape_factors_exactly():
+    for spp, want in [(1, (1, 1)), (2, (1, 2)), (7, (1, 7)), (8, (2, 4)),
+                      (12, (3, 4)), (16, (4, 4)), (500, (20, 25))]:
+        kx, ky = rng.strata_shape(spp)
+        assert (kx, ky) == want
+        assert kx * ky == spp
+    with pytest.raises(ValueError):
+        rng.strata_shape(0)
+
+
+def test_stratified_jitter_covers_every_stratum_once():
+    """Over K consecutive samples, each pixel visits every stratum of the
+    (kx, ky) grid exactly once (the variance-reduction contract)."""
+    kx, ky = rng.strata_shape(12)
+    k_total = kx * ky
+    pid = jnp.arange(97, dtype=jnp.uint32) * jnp.uint32(13)  # arbitrary ids
+    u_mid = jnp.full(pid.shape, 0.5, jnp.float32)
+    cells = []
+    for s in range(k_total):
+        jx, jy = rng.stratified_jitter(
+            u_mid, u_mid, pid, jnp.uint32(s), jnp.uint32(3), (kx, ky)
+        )
+        assert float(jnp.min(jx)) >= -0.5 and float(jnp.max(jx)) < 0.5
+        assert float(jnp.min(jy)) >= -0.5 and float(jnp.max(jy)) < 0.5
+        cx = np.floor((np.asarray(jx) + 0.5) * kx)
+        cy = np.floor((np.asarray(jy) + 0.5) * ky)
+        cells.append((cy * kx + cx).astype(np.int64))
+    cells = np.stack(cells)  # (K, pixels)
+    for p in range(cells.shape[1]):
+        assert sorted(cells[:, p]) == list(range(k_total))
+
+
+def test_stratified_jitter_single_sample_marginally_uniform():
+    """Any ONE sample is uniform over the pixel across the pixel/seed
+    population (the per-(pixel, frame) stratum rotation is Cranley-
+    Patterson), so partial accumulation stays unbiased."""
+    pid = jnp.arange(1 << 14, dtype=jnp.uint32)
+    seeds = rng.hash_pixel_seeds(pid, jnp.uint32(0), jnp.uint32(9))
+    u1 = rng.uniform_hash(seeds, 1)
+    u2 = rng.uniform_hash(seeds, 2)
+    jx, jy = rng.stratified_jitter(u1, u2, pid, jnp.uint32(0), jnp.uint32(9), (4, 4))
+    for j in (np.asarray(jx), np.asarray(jy)):
+        assert abs(j.mean()) < 5e-3
+        # Uniform on [-0.5, 0.5): variance 1/12, each quartile ~25%.
+        assert abs(j.var() - 1.0 / 12.0) < 2e-3
+        hist, _ = np.histogram(j, bins=4, range=(-0.5, 0.5))
+        assert np.all(np.abs(hist / j.size - 0.25) < 0.02)
+
+
+def test_stratified_jitter_spp1_equals_independent():
+    pid = jnp.arange(64, dtype=jnp.uint32)
+    seeds = rng.hash_pixel_seeds(pid, jnp.uint32(2), jnp.uint32(5))
+    u1 = rng.uniform_hash(seeds, 1)
+    u2 = rng.uniform_hash(seeds, 2)
+    jx, jy = rng.stratified_jitter(u1, u2, pid, jnp.uint32(2), jnp.uint32(5), (1, 1))
+    np.testing.assert_array_equal(np.asarray(jx), np.asarray(u1) - 0.5)
+    np.testing.assert_array_equal(np.asarray(jy), np.asarray(u2) - 0.5)

@@ -237,3 +237,13 @@ def test_interleaved_rejects_wgsl(scene):
     with pytest.raises(ValueError, match="interleaved"):
         render_sharded(scene, BASE_CAMERA, _cfg(rng="wgsl"), mesh,
                        row_partition="interleaved")
+
+
+def test_sharded_stratified_sampler_matches_unsharded(scene):
+    """Strata are addressed by (global pixel id, absolute sample index), so
+    row x spp sharding cannot change the stratified stream."""
+    mesh = make_mesh(4, 2)
+    cfg = _cfg(spp=4, max_depth=4, sampler="stratified")
+    a = np.asarray(render_sharded(scene, BASE_CAMERA, cfg, mesh, frame_seed=jnp.uint32(5)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(5)))
+    assert_images_match(a, b)
