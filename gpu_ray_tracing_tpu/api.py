@@ -76,14 +76,24 @@ def _trace_chunked(
     spheres: Spheres,
     config: RenderConfig,
     pixel_seeds: Array | None = None,
+    pixel_ids: Array | None = None,
+    sample_index: Array | None = None,
+    frame_seed: Array | None = None,
     **rng_kw,
 ) -> Array:
-    """Run the integrator over the framebuffer in memory-bounded pixel blocks."""
+    """Run the integrator over the framebuffer in memory-bounded pixel blocks.
+
+    `pixel_ids`/`sample_index`/`frame_seed` feed the stratified sampler's
+    first-bounce scatter remap (config.sampler='stratified'; hash stream
+    only) — `pixel_ids` chunks alongside the seeds, the other two are
+    scalars.
+    """
     h, w = origins.shape[0], origins.shape[1]
     p = h * w
     block = _trace_block_size(p, _scene_width(spheres))
+    strata = config.strata if pixel_seeds is not None else None
 
-    def trace(o, d, seeds, **extra):
+    def trace(o, d, seeds, ids=None, **extra):
         if config.integrator == "normal":
             return integrators.shade_normals(o, d, spheres, config.t_min, config.t_max)
         return integrators.trace_path(
@@ -91,11 +101,13 @@ def _trace_chunked(
             parity=config.parity, pixel_seeds=seeds,
             russian_roulette_depth=config.russian_roulette_depth,
             sky_intensity=config.sky_intensity, nee=config.nee,
+            pixel_ids=ids, sample_index=sample_index,
+            frame_seed_u32=frame_seed, strata=strata if ids is not None else None,
             **rng_kw, **extra,
         )
 
     if block == p:
-        return trace(origins, dirs, pixel_seeds)
+        return trace(origins, dirs, pixel_seeds, pixel_ids if strata else None)
     o = origins.reshape(p // block, block, 3)
     d = dirs.reshape(p // block, block, 3)
     if pixel_seeds is None:
@@ -117,7 +129,14 @@ def _trace_chunked(
             out = jax.lax.map(lambda od: trace(od[0], od[1], None), (o, d))
     else:
         s = pixel_seeds.reshape(p // block, block)
-        out = jax.lax.map(lambda ods: trace(ods[0], ods[1], ods[2]), (o, d, s))
+        if strata is not None:
+            ids = pixel_ids.reshape(p // block, block)
+            out = jax.lax.map(
+                lambda odsi: trace(odsi[0], odsi[1], odsi[2], odsi[3]),
+                (o, d, s, ids),
+            )
+        else:
+            out = jax.lax.map(lambda ods: trace(ods[0], ods[1], ods[2]), (o, d, s))
     return out.reshape(h, w, 3)
 
 
@@ -209,7 +228,11 @@ def _render_one_sample(
         origins, dirs, seeds = rays.generate_rays_hash(
             camera, w, h, sample_index, frame_seed, strata=config.strata
         )
-        return _trace_chunked(origins, dirs, spheres, config, pixel_seeds=seeds)
+        return _trace_chunked(
+            origins, dirs, spheres, config, pixel_seeds=seeds,
+            pixel_ids=rays.hash_pixel_ids(w, h),
+            sample_index=sample_index, frame_seed=frame_seed,
+        )
 
     # WGSL stream: update()'s scalar seed = 1 + samples_until_now + frame_seed
     # (wgsl:353); get_ray uses it per pixel, ray_color gets seed+1 (wgsl:355).

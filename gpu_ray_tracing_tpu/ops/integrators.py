@@ -71,6 +71,10 @@ def trace_path(
     russian_roulette_depth: int = 0,
     sky_intensity: float = 1.0,
     nee: bool = False,
+    pixel_ids: Array | None = None,
+    sample_index: Array | None = None,
+    frame_seed_u32: Array | None = None,
+    strata: tuple[int, int] | None = None,
 ) -> Array:
     """Path-trace a batch of rays; returns linear RGB of shape dirs.shape.
 
@@ -93,6 +97,17 @@ def trace_path(
     n_rng = sum(x is not None for x in (key, bounce_seeds, pixel_seeds))
     if n_rng != 1:
         raise ValueError("pass exactly one of key=, bounce_seeds=, or pixel_seeds=")
+    if strata is not None and (
+        pixel_seeds is None
+        or pixel_ids is None
+        or sample_index is None
+        or frame_seed_u32 is None
+    ):
+        raise ValueError(
+            "strata= (the stratified sampler's first-bounce scatter grid) "
+            "requires the counter stream: pixel_seeds=, pixel_ids=, "
+            "sample_index= and frame_seed_u32="
+        )
 
     from gpu_ray_tracing_tpu.models.scene import (
         as_scene,
@@ -129,10 +144,23 @@ def trace_path(
         if pixel_seeds is not None:
             # Salts 16+3i..18+3i: three independent draws per bounce.
             base = jnp.uint32(16) + jnp.uint32(3) * jnp.asarray(i, jnp.uint32)
-            unit_vec = rng_ops.unit_vector_from_uniforms(
-                rng_ops.uniform_hash(pixel_seeds, base),
-                rng_ops.uniform_hash(pixel_seeds, base + jnp.uint32(1)),
-            )
+            u1 = rng_ops.uniform_hash(pixel_seeds, base)
+            u2 = rng_ops.uniform_hash(pixel_seeds, base + jnp.uint32(1))
+            if strata is not None:
+                # Stratified FIRST-bounce scatter direction (the sampler's
+                # second dimension pair): remap bounce 0's (u1, u2) into
+                # sample s's stratum under the salt-6 rotation — stratifying
+                # (z, phi) of the unit vector, i.e. equal-area strata of the
+                # scatter sphere.  Later bounces stay independent (their
+                # noise decorrelates too fast for strata to matter).
+                su1, su2 = rng_ops.stratified_uniforms(
+                    u1, u2, pixel_ids, sample_index, frame_seed_u32, strata,
+                    rot_salt=rng_ops._SCATTER_ROT_SALT,
+                )
+                first = jnp.asarray(i, jnp.int32) == 0
+                u1 = jnp.where(first, su1, u1)
+                u2 = jnp.where(first, su2, u2)
+            unit_vec = rng_ops.unit_vector_from_uniforms(u1, u2)
             u_reflect = rng_ops.uniform_hash(pixel_seeds, base + jnp.uint32(2))
         elif key is not None:
             k = jax.random.fold_in(key, i)

@@ -625,16 +625,33 @@ def _uniform(seeds, salt):
     return rng_ops.uniform_hash(seeds, salt)
 
 
-def _scatter(dx, dy, dz, nx, ny, nz, front, ar, ag, ab, kp, pp, seeds, salt_base):
+def _scatter(
+    dx, dy, dz, nx, ny, nz, front, ar, ag, ab, kp, pp, seeds, salt_base,
+    *, pid=None, s_u32=None, frame_seed_u32=None, i_b=None, strata=None,
+):
     """Branchless three-material scatter on component planes (wgsl:84-141).
 
     Draw-for-draw identical to ops/materials.scatter under the hash stream.
+    With `strata` (the stratified sampler), bounce 0's (u1, u2) remap into
+    sample s's stratum under the salt-6 rotation — identical to the jax
+    path's first-bounce remap in ops/integrators.trace_path.
     Returns (sx, sy, sz, attr, attg, attb, ok).
     """
     # Shared random unit vector (salts match ops/integrators.trace_path).
     u1 = _uniform(seeds, salt_base)
     u2 = _uniform(seeds, salt_base + jnp.uint32(1))
     u_reflect = _uniform(seeds, salt_base + jnp.uint32(2))
+    if strata is not None:
+        su1, su2 = rng_ops.stratified_uniforms(
+            u1, u2, pid, s_u32, frame_seed_u32, strata,
+            rot_salt=rng_ops._SCATTER_ROT_SALT,
+        )
+        # i_b is a scalar (megakernel / plain wavefront) or a per-lane i32
+        # plane (the regenerating pool); either broadcasts against the
+        # uniform planes.
+        first = jnp.asarray(i_b, jnp.int32) == 0
+        u1 = jnp.where(first, su1, u1)
+        u2 = jnp.where(first, su2, u2)
     z = 2.0 * u1 - 1.0
     ang = u2 * jnp.float32(2.0 * jnp.pi)
     r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
@@ -718,6 +735,10 @@ def _path_bounce(
     sky_intensity,
     num_lights,
     rr_depth,
+    pid=None,
+    s_u32=None,
+    frame_seed_u32=None,
+    strata=None,
 ):
     """One path-tracing bounce over a (R, 128) lane tile.
 
@@ -751,7 +772,9 @@ def _path_bounce(
     )
     salt_base = jnp.uint32(16) + jnp.uint32(3) * jnp.asarray(i_b, jnp.uint32)
     sx, sy, sz, attr, attg, attb, ok = _scatter(
-        dx, dy, dz, nx, ny, nz, front, ar, ag, ab, kp, pp, seeds, salt_base
+        dx, dy, dz, nx, ny, nz, front, ar, ag, ab, kp, pp, seeds, salt_base,
+        pid=pid, s_u32=s_u32, frame_seed_u32=frame_seed_u32, i_b=i_b,
+        strata=strata,
     )
 
     missed = live & ~hit
@@ -1039,6 +1062,8 @@ def _kernel(
             n_spheres=n_spheres, t_min=t_min, t_max=t_max,
             mesh_smooth=mesh_smooth, sky_intensity=sky_intensity,
             num_lights=num_lights, rr_depth=rr_depth,
+            pid=pid, s_u32=s_u32, frame_seed_u32=frame_seed_u32,
+            strata=strata,
         )
 
         ones = jnp.ones(shape, jnp.float32)

@@ -96,6 +96,7 @@ def _wf_kernel(
     num_lights: int,
     mesh_smooth: bool,
     regen: bool = False,
+    strata: tuple[int, int] | None = None,
 ):
     """One path bounce over a (tile_rows, 128) tile of compacted rays.
 
@@ -148,9 +149,8 @@ def _wf_kernel(
 
     @pl.when(jnp.max(live_f) > 0.5)
     def _():
-        seeds = rng_ops.hash_pixel_seeds(
-            pid_ref[:].astype(jnp.uint32), s_u32, frame_seed_u32
-        )
+        pid_u32 = pid_ref[:].astype(jnp.uint32)
+        seeds = rng_ops.hash_pixel_seeds(pid_u32, s_u32, frame_seed_u32)
         carry = (
             oxr[:], oyr[:], ozr[:], dxr[:], dyr[:], dzr[:],
             trr[:], tgr[:], tbr[:],
@@ -165,6 +165,8 @@ def _wf_kernel(
             n_spheres=n_spheres, t_min=t_min, t_max=t_max,
             mesh_smooth=mesh_smooth, sky_intensity=sky_intensity,
             num_lights=num_lights, rr_depth=rr_depth,
+            pid=pid_u32, s_u32=s_u32, frame_seed_u32=frame_seed_u32,
+            strata=strata,
         )
         # out: ox..dz, tr..tb, rad r/g/b, live_f, pd_f
         for o, v in zip(
@@ -362,7 +364,7 @@ def render_wavefront(
         t_min=float(t_min), t_max=float(t_max),
         rr_depth=russian_roulette_depth, sky_intensity=float(sky_intensity),
         num_lights=num_lights, mesh_smooth=has_mesh and sc.mesh.smooth,
-        regen=regenerate,
+        regen=regenerate, strata=strata,
     )
     bounce_call = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,

@@ -111,11 +111,9 @@ def generate_rays_hash(
     per-bounce draws.
     """
     tw = width if total_width is None else total_width
-    x = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 1)
-    y = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 0) * jnp.uint32(
-        row_stride
-    ) + jnp.uint32(y_offset)
-    pixel_ids = y * jnp.uint32(tw) + x
+    pixel_ids = hash_pixel_ids(
+        width, height, y_offset=y_offset, total_width=tw, row_stride=row_stride
+    )
     # One sampling-arithmetic implementation for the full-frame grid and
     # arbitrary id sets: pid % tw / pid // tw reproduce the x / y iotas
     # exactly (both integers are f32-exact), so this stays bit-identical to
@@ -124,6 +122,26 @@ def generate_rays_hash(
         camera, pixel_ids, sample_index, frame_seed_u32, total_width=tw,
         strata=strata,
     )
+
+
+def hash_pixel_ids(
+    width: int,
+    height: int,
+    *,
+    y_offset: Array | int = 0,
+    total_width: int | None = None,
+    row_stride: Array | int = 1,
+) -> Array:
+    """GLOBAL (height, width) uint32 pixel-id grid of a (possibly sharded)
+    frame: local row r maps to global row `y_offset + r * row_stride` of a
+    total_width-wide frame — the id space every counter-based draw keys on.
+    """
+    tw = width if total_width is None else total_width
+    x = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 1)
+    y = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 0) * jnp.uint32(
+        row_stride
+    ) + jnp.uint32(y_offset)
+    return y * jnp.uint32(tw) + x
 
 
 def generate_rays_for_ids(

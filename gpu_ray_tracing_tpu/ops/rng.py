@@ -126,10 +126,14 @@ def uniform_hash(seed: Array, salt) -> Array:
     return ibits.astype(jnp.float32) * np.float32(1.0 / (1 << 24))
 
 
-#: Salt of the stratified sampler's per-(pixel, frame) stratum rotation,
+#: Salts of the stratified sampler's per-(pixel, frame) stratum rotations,
 #: drawn on the SAMPLE-0 pixel seed (raygen owns salts 1-4, scatter starts
-#: at 16 — see the salt map in CLAUDE.md).
+#: at 16 — see the salt map in CLAUDE.md).  The AA jitter and the
+#: first-bounce scatter direction stratify over the same grid but with
+#: INDEPENDENT rotations, so their strata are uncorrelated (padded
+#: stratification, the standard sampler construction).
 _STRATUM_ROT_SALT = np.uint32(5)
+_SCATTER_ROT_SALT = np.uint32(6)
 
 
 def strata_shape(spp: int) -> tuple[int, int]:
@@ -155,30 +159,50 @@ def stratified_jitter(
     frame_seed_u32: Array,
     strata: tuple[int, int],
 ) -> tuple[Array, Array]:
-    """Jittered-stratified pixel offsets in [-0.5, 0.5) over a kx*ky grid.
+    """Jittered-stratified pixel offsets in [-0.5, 0.5) over a kx*ky grid
+    (stratified_uniforms shifted to be jitter-centered)."""
+    su1, su2 = stratified_uniforms(
+        u1, u2, pixel_ids, sample_index, frame_seed_u32, strata
+    )
+    return su1 - 0.5, su2 - 0.5
+
+
+def stratified_uniforms(
+    u1: Array,
+    u2: Array,
+    pixel_ids: Array,
+    sample_index: Array,
+    frame_seed_u32: Array,
+    strata: tuple[int, int],
+    rot_salt=_STRATUM_ROT_SALT,
+) -> tuple[Array, Array]:
+    """Remap two U[0,1) draws into sample s's stratum of a kx*ky grid,
+    returning stratified U[0,1) pairs.
 
     Sample s lands in stratum `(s + rot(pixel, frame)) mod K` of the grid,
-    uniformly jittered inside it by the SAME salt-1/2 draws (u1, u2) the
-    independent sampler uses — so over any K consecutive samples every pixel
-    covers each stratum exactly once (variance drops vs independent jitter),
-    and any SINGLE sample is still marginally uniform over the pixel because
-    the per-(pixel, frame) rotation is (Cranley-Patterson on the stratum
-    index — no bias at partial accumulation counts).
+    uniformly jittered inside it by the SAME (u1, u2) draws the independent
+    sampler uses — so over any K consecutive samples every pixel covers each
+    stratum exactly once (variance drops vs independent draws), and any
+    SINGLE sample is still marginally uniform because the per-(pixel, frame)
+    rotation is (Cranley-Patterson on the stratum index — no bias at partial
+    accumulation counts).  Distinct `rot_salt`s give independently rotated
+    grids for different draw pairs (AA jitter salt 5, first-bounce scatter
+    salt 6), keeping their strata uncorrelated.
 
     Pure function of (pixel id, sample, frame seed, salt), like every other
     draw: sharding, tiling, and ray compaction cannot change the stream, and
     the Pallas engines share this exact function.  Elementwise and
-    Mosaic-safe (the u32->f32 paths go through the bitcast trick, matching
-    uniform_hash); `sample_index` may be a scalar or a per-lane array (the
-    regenerating wavefront pool).
+    Mosaic-safe (the u32->f32 paths go through modular astype, matching the
+    megakernel's SMEM reads); `sample_index` may be a scalar or a per-lane
+    array (the regenerating wavefront pool).
     """
     kx, ky = strata
     k_total = kx * ky
     if k_total == 1:
-        return u1 - 0.5, u2 - 0.5
+        return u1, u2
     rot_u = uniform_hash(
         hash_pixel_seeds(pixel_ids, jnp.uint32(0), frame_seed_u32),
-        _STRATUM_ROT_SALT,
+        rot_salt,
     )
     # floor(u * K) < K for every 24-bit u (the product sits more than half an
     # ulp below K unless K is a power of two, where it is exact); the min is
@@ -200,9 +224,7 @@ def stratified_jitter(
     # non-exact ones sit > half an ulp below the next integer.
     cy = jnp.floor(stratum / jnp.float32(kx))
     cx = stratum - cy * jnp.float32(kx)
-    jx = (cx + u1) / jnp.float32(kx) - 0.5
-    jy = (cy + u2) / jnp.float32(ky) - 0.5
-    return jx, jy
+    return (cx + u1) / jnp.float32(kx), (cy + u2) / jnp.float32(ky)
 
 
 def hash_pixel_seeds(pixel_ids: Array, sample_index: Array, frame_seed_u32: Array) -> Array:

@@ -107,7 +107,13 @@ def _local_sample(spheres, camera, config: RenderConfig, sample_index, frame_see
             y_offset=y0, total_width=w, row_stride=row_stride,
             strata=config.strata,
         )
-        return _trace_chunked(origins, dirs, spheres, config, pixel_seeds=seeds)
+        return _trace_chunked(
+            origins, dirs, spheres, config, pixel_seeds=seeds,
+            pixel_ids=rays.hash_pixel_ids(
+                w, local_h, y_offset=y0, total_width=w, row_stride=row_stride
+            ),
+            sample_index=sample_index, frame_seed=frame_seed,
+        )
     # wgsl stream (see api._render_one_sample for the seed chain mapping)
     sample_seed = (
         jnp.uint32(1) + jnp.asarray(sample_index, jnp.uint32) + jnp.asarray(frame_seed, jnp.uint32)

@@ -585,3 +585,22 @@ def test_stratified_progressive_matches_render():
         st = progressive_step(st, scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3))
     one = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3)))
     np.testing.assert_allclose(np.asarray(st.rgb), one, atol=1e-5)
+
+
+def test_stratified_sampler_reduces_path_variance():
+    """The sampler's second dimension pair — the stratified first-bounce
+    scatter direction — must move PATH noise too (measured ~2x MSE at
+    16 spp; AA-only stratification managed ~1.15x, so the 0.75 margin
+    specifically detects the scatter remap engaging)."""
+    scene = base_scene()
+    cfg_ref = _cfg(spp=512, max_depth=4)
+    ref = np.asarray(render(scene, BASE_CAMERA, cfg_ref, frame_seed=jnp.uint32(999)))
+    mses = {}
+    for sampler in ("stratified", "independent"):
+        cfg = _cfg(spp=16, max_depth=4, sampler=sampler)
+        err = 0.0
+        for fs in (0, 1):
+            img = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(fs)))
+            err += float(np.mean((img - ref) ** 2))
+        mses[sampler] = err
+    assert mses["stratified"] < 0.75 * mses["independent"], mses

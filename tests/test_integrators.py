@@ -317,3 +317,21 @@ def test_nee_pick_one_light_matches_loop_over_all():
     picked = direct(scene_with(lights))  # 6 lights -> pick-one branch
     looped = sum(direct(scene_with([lt])) for lt in lights)  # loop branch
     np.testing.assert_allclose(picked, looped, rtol=0.08)
+
+
+def test_trace_path_strata_requires_counter_stream_inputs():
+    """The stratified first-bounce scatter remap needs pixel ids + absolute
+    sample index + frame seed alongside the pixel seeds."""
+    import pytest
+
+    from gpu_ray_tracing_tpu import base_scene
+    from gpu_ray_tracing_tpu.ops import integrators
+
+    o = jnp.zeros((4, 3), jnp.float32)
+    d = jnp.tile(jnp.asarray([0.0, 0.0, -1.0], jnp.float32), (4, 1))
+    seeds = jnp.arange(4, dtype=jnp.uint32)
+    with pytest.raises(ValueError, match="strata"):
+        integrators.trace_path(
+            o, d, base_scene(), 2, 1e-3, 3.4e35,
+            pixel_seeds=seeds, strata=(2, 2),
+        )
