@@ -1031,8 +1031,16 @@ def _kernel(
         pcz = cam(5) + cam(8) * fx + cam(11) * fy
 
         # Uniform-disk thin-lens origin (defocus off -> mask 0, stays pinhole).
-        radius = jnp.sqrt(_uniform(seeds, 3))
-        ang = _uniform(seeds, 4) * jnp.float32(2.0 * jnp.pi)
+        u3 = _uniform(seeds, 3)
+        u4 = _uniform(seeds, 4)
+        if strata is not None:
+            # Stratified lens point — same salt-7 remap as generate_rays_for_ids.
+            u3, u4 = rng_ops.stratified_uniforms(
+                u3, u4, pid, s_u32, frame_seed_u32, strata,
+                rot_salt=rng_ops._LENS_ROT_SALT,
+            )
+        radius = jnp.sqrt(u3)
+        ang = u4 * jnp.float32(2.0 * jnp.pi)
         pxd = radius * jnp.cos(ang)
         pyd = radius * jnp.sin(ang)
         lens = (cam(18) > 0.0).astype(jnp.float32)

@@ -186,8 +186,18 @@ def generate_rays_for_ids(
         + camera.pixel_delta_u * fx
         + camera.pixel_delta_v * fy
     )
-    radius = jnp.sqrt(rng_ops.uniform_hash(seeds, 3))
-    angle = _TWO_PI * rng_ops.uniform_hash(seeds, 4)
+    u3 = rng_ops.uniform_hash(seeds, 3)
+    u4 = rng_ops.uniform_hash(seeds, 4)
+    if strata is not None:
+        # Stratified thin-lens point (third dimension pair, salt-7 rotation):
+        # strata in (u3, u4) = (r^2, theta) are equal-AREA strata of the
+        # defocus disk.  A no-op for pinhole cameras (the draws are unused).
+        u3, u4 = rng_ops.stratified_uniforms(
+            u3, u4, pid, sample_index, frame_seed_u32, strata,
+            rot_salt=rng_ops._LENS_ROT_SALT,
+        )
+    radius = jnp.sqrt(u3)
+    angle = _TWO_PI * u4
     origins = _defocus_origin(camera, radius * jnp.cos(angle), radius * jnp.sin(angle))
     dirs = centers - origins
     return origins, dirs, seeds

@@ -134,6 +134,7 @@ def uniform_hash(seed: Array, salt) -> Array:
 #: stratification, the standard sampler construction).
 _STRATUM_ROT_SALT = np.uint32(5)
 _SCATTER_ROT_SALT = np.uint32(6)
+_LENS_ROT_SALT = np.uint32(7)
 
 
 def strata_shape(spp: int) -> tuple[int, int]:

@@ -332,3 +332,22 @@ def test_stratified_sampler_matches_across_engines():
     cfg_i = _cfg(spp=4, max_depth=4, backend="pallas", sampler="independent")
     img_i = np.asarray(render(scene, cam, cfg_i, frame_seed=jnp.uint32(7)))
     assert not np.array_equal(img_i, imgs["pallas"])
+
+
+def test_stratified_lens_pair_matches_across_engines():
+    """Wide-aperture defocus exercises the stratified lens remap (salt-7
+    rotation) in both raygen implementations; engines must stay identical."""
+    scene = base_scene()
+    cam = CameraSettings(
+        look_from=jnp.asarray([0.0, 0.0, 1.0]),
+        look_at=jnp.asarray([0.0, 0.0, -1.0]),
+        vup=jnp.asarray([0.0, 1.0, 0.0]),
+        field_of_view=jnp.float32(60.0),
+        defocus_angle=jnp.float32(12.0),
+        focus_distance=jnp.float32(2.0),
+    )
+    cfg_p = _cfg(spp=4, max_depth=3, backend="pallas", sampler="stratified")
+    cfg_j = _cfg(spp=4, max_depth=3, backend="jax", sampler="stratified")
+    a = np.asarray(render(scene, cam, cfg_p, frame_seed=jnp.uint32(11)))
+    b = np.asarray(render(scene, cam, cfg_j, frame_seed=jnp.uint32(11)))
+    assert_images_match(a, b, flip_frac=0.01, mean_tol=2e-4)
