@@ -300,6 +300,19 @@ def trace_path(
             if num_l <= 4:
                 for l_static in range(num_l):
                     u1n, u2n = _nee_draws(7 * l_static + 1, n_draws=2)
+                    if strata is not None and pixel_seeds is not None:
+                        # Stratified first-bounce NEE cone sample: strata in
+                        # (u1n, u2n) are equal-solid-angle strata of light
+                        # l's cone, rotation salt 8+l (per-light, so lights'
+                        # strata are uncorrelated).  Matches the megakernel.
+                        sn1, sn2 = rng_ops.stratified_uniforms(
+                            u1n, u2n, pixel_ids, sample_index, frame_seed_u32,
+                            strata,
+                            rot_salt=rng_ops._NEE_ROT_SALT_BASE + l_static,
+                        )
+                        first_b = jnp.asarray(i, jnp.int32) == 0
+                        u1n = jnp.where(first_b, sn1, u1n)
+                        u2n = jnp.where(first_b, sn2, u2n)
                     result = _nee_light_term(
                         1.0, u1n, u2n, result,
                         jnp.broadcast_to(lights.centers[l_static], (*batch_shape, 3)),

@@ -824,7 +824,8 @@ def _path_bounce(
             )
         nee_base = live & hit & is_lam & ~inside_any
 
-        def light_contribution(li, pick_weight, salt_off, rr, rg, rb):
+        def light_contribution(li, pick_weight, salt_off, rr, rg, rb,
+                               rot_salt=None):
             if jnp.ndim(li) == 0:
                 # Scalar pick: a dynamic SMEM scalar read per parameter.
                 lcx, lcy, lcz = lights_ref[0, li], lights_ref[1, li], lights_ref[2, li]
@@ -850,6 +851,16 @@ def _path_bounce(
             salt2 = jnp.uint32(2000) + jnp.uint32(37) * i_u + jnp.uint32(salt_off)
             u1n = _uniform(seeds, salt2 + jnp.uint32(1))
             u2n = _uniform(seeds, salt2 + jnp.uint32(2))
+            if strata is not None and rot_salt is not None:
+                # Stratified first-bounce NEE cone sample (<= 4-light loop
+                # only; rot_salt is per light) — matches trace_path.
+                sn1, sn2 = rng_ops.stratified_uniforms(
+                    u1n, u2n, pid, s_u32, frame_seed_u32, strata,
+                    rot_salt=rot_salt,
+                )
+                first_b = jnp.asarray(i_b, jnp.int32) == 0
+                u1n = jnp.where(first_b, sn1, u1n)
+                u2n = jnp.where(first_b, sn2, u2n)
 
             dcx, dcy, dcz = lcx - px, lcy - py, lcz - pz
             d2 = dcx * dcx + dcy * dcy + dcz * dcz
@@ -904,7 +915,8 @@ def _path_bounce(
         if num_lights <= 4:
             for l_static in range(num_lights):
                 rr, rg, rb = light_contribution(
-                    jnp.int32(l_static), 1.0, 7 * l_static, rr, rg, rb
+                    jnp.int32(l_static), 1.0, 7 * l_static, rr, rg, rb,
+                    rot_salt=rng_ops._NEE_ROT_SALT_BASE + l_static,
                 )
         else:
             bounce_seed = rng_ops.hash2(pick_seed, jnp.uint32(3000) + i_u)

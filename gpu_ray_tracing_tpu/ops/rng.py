@@ -135,6 +135,10 @@ def uniform_hash(seed: Array, salt) -> Array:
 _STRATUM_ROT_SALT = np.uint32(5)
 _SCATTER_ROT_SALT = np.uint32(6)
 _LENS_ROT_SALT = np.uint32(7)
+# NEE light l (the <= 4-light deterministic loop) rotates at 8 + l; the
+# > 4-lights picked-light path stays unstratified (its light id varies per
+# (sample, bounce), so strata have no meaning there).
+_NEE_ROT_SALT_BASE = 8
 
 
 def strata_shape(spp: int) -> tuple[int, int]:
