@@ -83,15 +83,15 @@ def _trace_chunked(
 ) -> Array:
     """Run the integrator over the framebuffer in memory-bounded pixel blocks.
 
-    `pixel_ids`/`sample_index`/`frame_seed` feed the stratified sampler's
-    first-bounce scatter remap (config.sampler='stratified'; hash stream
-    only) — `pixel_ids` chunks alongside the seeds, the other two are
-    scalars.
+    `pixel_ids`/`sample_index`/`frame_seed` feed the stratified/sobol
+    sampler's first-bounce remaps (config.sampler != 'independent'; hash
+    stream only) — `pixel_ids` chunks alongside the seeds, the other two
+    are scalars.
     """
     h, w = origins.shape[0], origins.shape[1]
     p = h * w
     block = _trace_block_size(p, _scene_width(spheres))
-    strata = config.strata if pixel_seeds is not None else None
+    spec = config.sampler_spec if pixel_seeds is not None else None
 
     def trace(o, d, seeds, ids=None, **extra):
         if config.integrator == "normal":
@@ -102,12 +102,13 @@ def _trace_chunked(
             russian_roulette_depth=config.russian_roulette_depth,
             sky_intensity=config.sky_intensity, nee=config.nee,
             pixel_ids=ids, sample_index=sample_index,
-            frame_seed_u32=frame_seed, strata=strata if ids is not None else None,
+            frame_seed_u32=frame_seed,
+            sampler_spec=spec if ids is not None else None,
             **rng_kw, **extra,
         )
 
     if block == p:
-        return trace(origins, dirs, pixel_seeds, pixel_ids if strata else None)
+        return trace(origins, dirs, pixel_seeds, pixel_ids if spec else None)
     o = origins.reshape(p // block, block, 3)
     d = dirs.reshape(p // block, block, 3)
     if pixel_seeds is None:
@@ -129,7 +130,7 @@ def _trace_chunked(
             out = jax.lax.map(lambda od: trace(od[0], od[1], None), (o, d))
     else:
         s = pixel_seeds.reshape(p // block, block)
-        if strata is not None:
+        if spec is not None:
             ids = pixel_ids.reshape(p // block, block)
             out = jax.lax.map(
                 lambda odsi: trace(odsi[0], odsi[1], odsi[2], odsi[3]),
@@ -184,7 +185,7 @@ def _dispatch_kernel_render(
                 config.regenerate == "on"
                 or (config.regenerate == "auto" and spp > 1)
             ),
-            strata=config.strata,
+            sampler_spec=config.sampler_spec,
         )
     from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
 
@@ -199,7 +200,7 @@ def _dispatch_kernel_render(
         russian_roulette_depth=config.russian_roulette_depth,
         sky_intensity=config.sky_intensity, nee=config.nee,
         spp=spp, y_offset=y_offset, interpret=interpret,
-        row_stride=row_stride, strata=config.strata,
+        row_stride=row_stride, sampler_spec=config.sampler_spec,
     )
 
 
@@ -226,7 +227,8 @@ def _render_one_sample(
                 sample_index=sample_index, frame_seed=frame_seed,
             )
         origins, dirs, seeds = rays.generate_rays_hash(
-            camera, w, h, sample_index, frame_seed, strata=config.strata
+            camera, w, h, sample_index, frame_seed,
+            sampler_spec=config.sampler_spec,
         )
         return _trace_chunked(
             origins, dirs, spheres, config, pixel_seeds=seeds,

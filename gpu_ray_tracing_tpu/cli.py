@@ -49,9 +49,11 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
                     choices=["auto", "jax", "pallas", "wavefront"])
     ap.add_argument("--rng", default="hash", choices=["hash", "wgsl", "threefry"])
     ap.add_argument("--sampler", default="independent",
-                    choices=["independent", "stratified"],
-                    help="pixel-jitter sampler; 'stratified' lowers AA "
-                         "variance at equal spp (requires --rng hash)")
+                    choices=["independent", "stratified", "sobol"],
+                    help="sample generator; 'stratified' (jittered grid) and "
+                         "'sobol' (Owen-scrambled (0,2)-sequence, best at "
+                         "power-of-two spp) lower variance at equal spp "
+                         "(both require --rng hash)")
     ap.add_argument("--regenerate", default="off", choices=["auto", "on", "off"],
                     help="wavefront ray regeneration: refill dead ray rows "
                          "with the next sample's primaries (spp > 1)")

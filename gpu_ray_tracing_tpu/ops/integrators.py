@@ -74,7 +74,7 @@ def trace_path(
     pixel_ids: Array | None = None,
     sample_index: Array | None = None,
     frame_seed_u32: Array | None = None,
-    strata: tuple[int, int] | None = None,
+    sampler_spec: tuple | None = None,
 ) -> Array:
     """Path-trace a batch of rays; returns linear RGB of shape dirs.shape.
 
@@ -97,15 +97,15 @@ def trace_path(
     n_rng = sum(x is not None for x in (key, bounce_seeds, pixel_seeds))
     if n_rng != 1:
         raise ValueError("pass exactly one of key=, bounce_seeds=, or pixel_seeds=")
-    if strata is not None and (
+    if sampler_spec is not None and (
         pixel_seeds is None
         or pixel_ids is None
         or sample_index is None
         or frame_seed_u32 is None
     ):
         raise ValueError(
-            "strata= (the stratified sampler's first-bounce scatter grid) "
-            "requires the counter stream: pixel_seeds=, pixel_ids=, "
+            "sampler_spec= (the stratified/sobol sampler's first-bounce "
+            "remap) requires the counter stream: pixel_seeds=, pixel_ids=, "
             "sample_index= and frame_seed_u32="
         )
 
@@ -146,16 +146,16 @@ def trace_path(
             base = jnp.uint32(16) + jnp.uint32(3) * jnp.asarray(i, jnp.uint32)
             u1 = rng_ops.uniform_hash(pixel_seeds, base)
             u2 = rng_ops.uniform_hash(pixel_seeds, base + jnp.uint32(1))
-            if strata is not None:
-                # Stratified FIRST-bounce scatter direction (the sampler's
-                # second dimension pair): remap bounce 0's (u1, u2) into
-                # sample s's stratum under the salt-6 rotation — stratifying
-                # (z, phi) of the unit vector, i.e. equal-area strata of the
-                # scatter sphere.  Later bounces stay independent (their
-                # noise decorrelates too fast for strata to matter).
-                su1, su2 = rng_ops.stratified_uniforms(
-                    u1, u2, pixel_ids, sample_index, frame_seed_u32, strata,
-                    rot_salt=rng_ops._SCATTER_ROT_SALT,
+            if sampler_spec is not None:
+                # FIRST-bounce scatter direction (the sampler's second
+                # dimension pair, salt-6 pair id): bounce 0's (u1, u2) become
+                # sample points in (z, phi) of the unit vector, i.e.
+                # equal-area strata of the scatter sphere.  Later bounces
+                # stay independent (their noise decorrelates too fast for
+                # stratification to matter).
+                su1, su2 = rng_ops.sampler_uniforms(
+                    u1, u2, pixel_ids, sample_index, frame_seed_u32,
+                    sampler_spec, rot_salt=rng_ops._SCATTER_ROT_SALT,
                 )
                 first = jnp.asarray(i, jnp.int32) == 0
                 u1 = jnp.where(first, su1, u1)
@@ -300,14 +300,14 @@ def trace_path(
             if num_l <= 4:
                 for l_static in range(num_l):
                     u1n, u2n = _nee_draws(7 * l_static + 1, n_draws=2)
-                    if strata is not None and pixel_seeds is not None:
-                        # Stratified first-bounce NEE cone sample: strata in
-                        # (u1n, u2n) are equal-solid-angle strata of light
-                        # l's cone, rotation salt 8+l (per-light, so lights'
-                        # strata are uncorrelated).  Matches the megakernel.
-                        sn1, sn2 = rng_ops.stratified_uniforms(
+                    if sampler_spec is not None and pixel_seeds is not None:
+                        # First-bounce NEE cone sample: points in (u1n, u2n)
+                        # are equal-solid-angle strata of light l's cone,
+                        # pair id salt 8+l (per-light, so lights' points are
+                        # uncorrelated).  Matches the megakernel.
+                        sn1, sn2 = rng_ops.sampler_uniforms(
                             u1n, u2n, pixel_ids, sample_index, frame_seed_u32,
-                            strata,
+                            sampler_spec,
                             rot_salt=rng_ops._NEE_ROT_SALT_BASE + l_static,
                         )
                         first_b = jnp.asarray(i, jnp.int32) == 0

@@ -627,13 +627,14 @@ def _uniform(seeds, salt):
 
 def _scatter(
     dx, dy, dz, nx, ny, nz, front, ar, ag, ab, kp, pp, seeds, salt_base,
-    *, pid=None, s_u32=None, frame_seed_u32=None, i_b=None, strata=None,
+    *, pid=None, s_u32=None, frame_seed_u32=None, i_b=None,
+    sampler_spec=None,
 ):
     """Branchless three-material scatter on component planes (wgsl:84-141).
 
     Draw-for-draw identical to ops/materials.scatter under the hash stream.
-    With `strata` (the stratified sampler), bounce 0's (u1, u2) remap into
-    sample s's stratum under the salt-6 rotation — identical to the jax
+    With `sampler_spec` (the stratified/sobol sampler), bounce 0's (u1, u2)
+    become the sampler's points for the salt-6 pair — identical to the jax
     path's first-bounce remap in ops/integrators.trace_path.
     Returns (sx, sy, sz, attr, attg, attb, ok).
     """
@@ -641,9 +642,9 @@ def _scatter(
     u1 = _uniform(seeds, salt_base)
     u2 = _uniform(seeds, salt_base + jnp.uint32(1))
     u_reflect = _uniform(seeds, salt_base + jnp.uint32(2))
-    if strata is not None:
-        su1, su2 = rng_ops.stratified_uniforms(
-            u1, u2, pid, s_u32, frame_seed_u32, strata,
+    if sampler_spec is not None:
+        su1, su2 = rng_ops.sampler_uniforms(
+            u1, u2, pid, s_u32, frame_seed_u32, sampler_spec,
             rot_salt=rng_ops._SCATTER_ROT_SALT,
         )
         # i_b is a scalar (megakernel / plain wavefront) or a per-lane i32
@@ -738,7 +739,7 @@ def _path_bounce(
     pid=None,
     s_u32=None,
     frame_seed_u32=None,
-    strata=None,
+    sampler_spec=None,
 ):
     """One path-tracing bounce over a (R, 128) lane tile.
 
@@ -774,7 +775,7 @@ def _path_bounce(
     sx, sy, sz, attr, attg, attb, ok = _scatter(
         dx, dy, dz, nx, ny, nz, front, ar, ag, ab, kp, pp, seeds, salt_base,
         pid=pid, s_u32=s_u32, frame_seed_u32=frame_seed_u32, i_b=i_b,
-        strata=strata,
+        sampler_spec=sampler_spec,
     )
 
     missed = live & ~hit
@@ -851,11 +852,11 @@ def _path_bounce(
             salt2 = jnp.uint32(2000) + jnp.uint32(37) * i_u + jnp.uint32(salt_off)
             u1n = _uniform(seeds, salt2 + jnp.uint32(1))
             u2n = _uniform(seeds, salt2 + jnp.uint32(2))
-            if strata is not None and rot_salt is not None:
-                # Stratified first-bounce NEE cone sample (<= 4-light loop
-                # only; rot_salt is per light) — matches trace_path.
-                sn1, sn2 = rng_ops.stratified_uniforms(
-                    u1n, u2n, pid, s_u32, frame_seed_u32, strata,
+            if sampler_spec is not None and rot_salt is not None:
+                # First-bounce NEE cone sample (<= 4-light loop only;
+                # rot_salt is per light) — matches trace_path.
+                sn1, sn2 = rng_ops.sampler_uniforms(
+                    u1n, u2n, pid, s_u32, frame_seed_u32, sampler_spec,
                     rot_salt=rot_salt,
                 )
                 first_b = jnp.asarray(i_b, jnp.int32) == 0
@@ -974,7 +975,7 @@ def _kernel(
     num_lights: int = 0,  # > 0 enables in-kernel next-event estimation
     mesh_smooth: bool = False,
     spp: int = 1,
-    strata: tuple[int, int] | None = None,
+    sampler_spec: tuple | None = None,
 ):
     """One (TILE_ROWS x 128)-pixel image tile: ray gen -> trace -> write.
 
@@ -1022,14 +1023,12 @@ def _kernel(
         # Jittered pixel center (wgsl:314-317); salts match generate_rays_hash.
         u1 = _uniform(seeds, 1)
         u2 = _uniform(seeds, 2)
-        if strata is None:
-            jx, jy = u1 - 0.5, u2 - 0.5
-        else:
-            # Stratified AA jitter — the same shared function (and stream)
-            # as ops/rays.generate_rays_for_ids, elementwise/Mosaic-safe.
-            jx, jy = rng_ops.stratified_jitter(
-                u1, u2, pid, s_u32, frame_seed_u32, strata
-            )
+        # AA jitter under the configured sampler — the same shared
+        # function (and stream) as ops/rays.generate_rays_for_ids,
+        # elementwise/Mosaic-safe.
+        jx, jy = rng_ops.sampler_jitter(
+            u1, u2, pid, s_u32, frame_seed_u32, sampler_spec
+        )
         fx = x.astype(jnp.float32) + 0.5 + jx
         fy = y.astype(jnp.float32) + 0.5 + jy
 
@@ -1045,12 +1044,11 @@ def _kernel(
         # Uniform-disk thin-lens origin (defocus off -> mask 0, stays pinhole).
         u3 = _uniform(seeds, 3)
         u4 = _uniform(seeds, 4)
-        if strata is not None:
-            # Stratified lens point — same salt-7 remap as generate_rays_for_ids.
-            u3, u4 = rng_ops.stratified_uniforms(
-                u3, u4, pid, s_u32, frame_seed_u32, strata,
-                rot_salt=rng_ops._LENS_ROT_SALT,
-            )
+        # Thin-lens point — same salt-7 pair as generate_rays_for_ids.
+        u3, u4 = rng_ops.sampler_uniforms(
+            u3, u4, pid, s_u32, frame_seed_u32, sampler_spec,
+            rot_salt=rng_ops._LENS_ROT_SALT,
+        )
         radius = jnp.sqrt(u3)
         ang = u4 * jnp.float32(2.0 * jnp.pi)
         pxd = radius * jnp.cos(ang)
@@ -1083,7 +1081,7 @@ def _kernel(
             mesh_smooth=mesh_smooth, sky_intensity=sky_intensity,
             num_lights=num_lights, rr_depth=rr_depth,
             pid=pid, s_u32=s_u32, frame_seed_u32=frame_seed_u32,
-            strata=strata,
+            sampler_spec=sampler_spec,
         )
 
         ones = jnp.ones(shape, jnp.float32)
@@ -1171,7 +1169,7 @@ def render_pallas(
     interpret: bool | None = None,
     spp: int = 1,
     row_stride: Array | int = 1,
-    strata: tuple[int, int] | None = None,
+    sampler_spec: tuple | None = None,
 ) -> Array:
     """Render spp samples fully on-chip; returns the (height, width, 3) RGB
     mean.  Sample s of the call uses stream index `sample_index + s`, so one
@@ -1284,7 +1282,7 @@ def render_pallas(
         num_lights=num_lights,
         mesh_smooth=has_mesh and sc.mesh.smooth,
         spp=spp,
-        strata=strata,
+        sampler_spec=sampler_spec,
     )
     outr, outg, outb = pl.pallas_call(
         kernel,

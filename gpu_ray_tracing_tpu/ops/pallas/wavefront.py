@@ -96,7 +96,7 @@ def _wf_kernel(
     num_lights: int,
     mesh_smooth: bool,
     regen: bool = False,
-    strata: tuple[int, int] | None = None,
+    sampler_spec: tuple | None = None,
 ):
     """One path bounce over a (tile_rows, 128) tile of compacted rays.
 
@@ -166,7 +166,7 @@ def _wf_kernel(
             mesh_smooth=mesh_smooth, sky_intensity=sky_intensity,
             num_lights=num_lights, rr_depth=rr_depth,
             pid=pid_u32, s_u32=s_u32, frame_seed_u32=frame_seed_u32,
-            strata=strata,
+            sampler_spec=sampler_spec,
         )
         # out: ox..dz, tr..tb, rad r/g/b, live_f, pd_f
         for o, v in zip(
@@ -255,7 +255,7 @@ def render_wavefront(
     tile_rows: int = WF_ROWS,
     regenerate: bool = False,
     refill_threshold: float = 0.25,
-    strata: tuple[int, int] | None = None,
+    sampler_spec: tuple | None = None,
 ) -> Array:
     """Path-trace spp samples with per-bounce ray compaction; returns the
     (height, width, 3) RGB mean.  Draw-for-draw the same image as the
@@ -364,7 +364,7 @@ def render_wavefront(
         t_min=float(t_min), t_max=float(t_max),
         rr_depth=russian_roulette_depth, sky_intensity=float(sky_intensity),
         num_lights=num_lights, mesh_smooth=has_mesh and sc.mesh.smooth,
-        regen=regenerate, strata=strata,
+        regen=regenerate, sampler_spec=sampler_spec,
     )
     bounce_call = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
@@ -399,14 +399,14 @@ def render_wavefront(
             compact_threshold=compact_threshold,
             refill_threshold=refill_threshold,
             y_offset=y_offset, total_width=tw, row_stride=row_stride,
-            strata=strata,
+            sampler_spec=sampler_spec,
         )
 
     def one_sample(s_u32):
         origins, dirs, _ = rays_ops.generate_rays_hash(
             camera, width, height, s_u32, frame_seed,
             y_offset=y_offset, total_width=tw, row_stride=row_stride,
-            strata=strata,
+            sampler_spec=sampler_spec,
         )
         state = (
             pid0,
@@ -508,7 +508,7 @@ def _run_regen(
     y_offset: Array | int,
     total_width: int,
     row_stride: Array | int = 1,
-    strata: tuple[int, int] | None = None,
+    sampler_spec: tuple | None = None,
 ) -> Array:
     """Ray-regeneration wavefront loop: one persistent pool over all samples.
 
@@ -561,7 +561,7 @@ def _run_regen(
         smp = jnp.broadcast_to((s0 + blk // bpf)[:, None], (rows, 128))
         o, d, _ = rays_ops.generate_rays_for_ids(
             camera, pid, smp.astype(jnp.uint32), frame_seed,
-            total_width=total_width, strata=strata,
+            total_width=total_width, sampler_spec=sampler_spec,
         )
         one = jnp.ones((rows, 128), jnp.float32)
         zero = jnp.zeros((rows, 128), jnp.float32)

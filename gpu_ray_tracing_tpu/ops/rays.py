@@ -96,7 +96,7 @@ def generate_rays_hash(
     y_offset: Array | int = 0,
     total_width: int | None = None,
     row_stride: Array | int = 1,
-    strata: tuple[int, int] | None = None,
+    sampler_spec: tuple | None = None,
 ) -> tuple[Array, Array, Array]:
     """Counter-based ray generation (the TPU-native default).
 
@@ -120,7 +120,7 @@ def generate_rays_hash(
     # the historical inline grid path.
     return generate_rays_for_ids(
         camera, pixel_ids, sample_index, frame_seed_u32, total_width=tw,
-        strata=strata,
+        sampler_spec=sampler_spec,
     )
 
 
@@ -151,7 +151,7 @@ def generate_rays_for_ids(
     frame_seed_u32: Array,
     *,
     total_width: int,
-    strata: tuple[int, int] | None = None,
+    sampler_spec: tuple | None = None,
 ) -> tuple[Array, Array, Array]:
     """Counter-based ray generation for an arbitrary array of GLOBAL pixel ids.
 
@@ -168,14 +168,12 @@ def generate_rays_for_ids(
 
     u1 = rng_ops.uniform_hash(seeds, 1)
     u2 = rng_ops.uniform_hash(seeds, 2)
-    if strata is None:
-        jx, jy = u1 - 0.5, u2 - 0.5
-    else:
-        # Stratified AA jitter (config.sampler='stratified'): same salt-1/2
-        # draws, remapped into sample s's stratum of the (kx, ky) grid.
-        jx, jy = rng_ops.stratified_jitter(
-            u1, u2, pid, sample_index, frame_seed_u32, strata
-        )
+    # AA jitter pair under the configured sampler (salt-5 pair id):
+    # independent draws pass through, 'stratified' remaps them into sample
+    # s's stratum, 'sobol' replaces them with the Owen-scrambled (0,2) point.
+    jx, jy = rng_ops.sampler_jitter(
+        u1, u2, pid, sample_index, frame_seed_u32, sampler_spec
+    )
     tw = jnp.uint32(total_width)
     # Global x/y from the flat id.  Both fit f32 exactly (ids < 2^24 for any
     # frame this renderer addresses; the pad-id range stays below that too).
@@ -188,14 +186,13 @@ def generate_rays_for_ids(
     )
     u3 = rng_ops.uniform_hash(seeds, 3)
     u4 = rng_ops.uniform_hash(seeds, 4)
-    if strata is not None:
-        # Stratified thin-lens point (third dimension pair, salt-7 rotation):
-        # strata in (u3, u4) = (r^2, theta) are equal-AREA strata of the
-        # defocus disk.  A no-op for pinhole cameras (the draws are unused).
-        u3, u4 = rng_ops.stratified_uniforms(
-            u3, u4, pid, sample_index, frame_seed_u32, strata,
-            rot_salt=rng_ops._LENS_ROT_SALT,
-        )
+    # Thin-lens point (third dimension pair, salt-7 pair id): sampler
+    # points in (u3, u4) = (r^2, theta) are equal-AREA strata of the defocus
+    # disk.  A no-op for pinhole cameras (the draws are unused).
+    u3, u4 = rng_ops.sampler_uniforms(
+        u3, u4, pid, sample_index, frame_seed_u32, sampler_spec,
+        rot_salt=rng_ops._LENS_ROT_SALT,
+    )
     radius = jnp.sqrt(u3)
     angle = _TWO_PI * u4
     origins = _defocus_origin(camera, radius * jnp.cos(angle), radius * jnp.sin(angle))

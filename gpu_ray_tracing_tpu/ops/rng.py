@@ -232,6 +232,174 @@ def stratified_uniforms(
     return (cx + u1) / jnp.float32(kx), (cy + u2) / jnp.float32(ky)
 
 
+# ---------------------------------------------------------------------------
+# Owen-scrambled Sobol (0,2)-sequence sampler ("sobol" mode).
+#
+# Each stratified dimension PAIR (AA jitter, thin-lens point, first-bounce
+# scatter, first-bounce NEE cone) gets the 2D Sobol point of its absolute
+# sample index, Owen-scrambled per (pixel, frame, pair) with the hash-based
+# nested-uniform scramble (Laine-Karras 2011 as used by Burley,
+# "Practical Hash-based Owen Scrambling", JCGT 2020).  Properties:
+#   - any 2^k prefix of one pixel's samples is a (0,2)-net in the pair:
+#     every elementary binary rectangle of area 2^-k holds exactly one
+#     point — strictly better stratification than the kx*ky jittered grid,
+#     at ANY power-of-two prefix simultaneously (progressive-friendly);
+#   - the per-(pixel, frame, pair) scramble makes every single point
+#     marginally uniform (no bias at partial accumulation counts) and
+#     decorrelates pixels and pairs (padded Sobol, the standard
+#     construction);
+#   - pure elementwise u32 bit arithmetic on (pixel id, sample, frame seed,
+#     salt) — the same counter-stream contract as every other draw, so
+#     sharding, tiling and wavefront ray compaction cannot change the
+#     stream, and the Pallas engines share these exact functions
+#     (Mosaic-safe: shifts/xor/mul on u32 vectors or scalars, the one
+#     bitcast applies to an always-vector value).
+# ---------------------------------------------------------------------------
+
+#: Direction numbers of Sobol dimension 1 (dimension 0 is the bit-reversed
+#: index): v_0 = 2^31, v_{b+1} = v_b ^ (v_b >> 1) — the standard recurrence
+#: for the primitive polynomial x+1.  numpy constants embed as literals in
+#: Pallas kernels (no captured device arrays).
+def _sobol_dim1_directions() -> np.ndarray:
+    v = np.uint32(0x80000000)
+    out = np.empty(32, np.uint32)
+    for b in range(32):
+        out[b] = v
+        v = v ^ (v >> np.uint32(1))
+    return out
+
+
+_SOBOL_DIM1 = _sobol_dim1_directions()
+
+
+def sobol_nbits(spp: int) -> int:
+    """Bits needed to index an spp-sample budget (static loop bound for the
+    dimension-1 direction-number XOR)."""
+    if spp < 1:
+        raise ValueError(f"spp must be >= 1, got {spp}")
+    return max(1, (spp - 1).bit_length())
+
+
+def _reverse_bits32(x: Array) -> Array:
+    """Bitwise reversal of u32 lanes (5 swap rounds; scalar-safe too)."""
+    x = jnp.asarray(x, jnp.uint32)
+    x = (x >> np.uint32(16)) | (x << np.uint32(16))
+    x = ((x & np.uint32(0x00FF00FF)) << np.uint32(8)) | (
+        (x >> np.uint32(8)) & np.uint32(0x00FF00FF)
+    )
+    x = ((x & np.uint32(0x0F0F0F0F)) << np.uint32(4)) | (
+        (x >> np.uint32(4)) & np.uint32(0x0F0F0F0F)
+    )
+    x = ((x & np.uint32(0x33333333)) << np.uint32(2)) | (
+        (x >> np.uint32(2)) & np.uint32(0x33333333)
+    )
+    x = ((x & np.uint32(0x55555555)) << np.uint32(1)) | (
+        (x >> np.uint32(1)) & np.uint32(0x55555555)
+    )
+    return x
+
+
+def _laine_karras(x: Array, seed: Array) -> Array:
+    """Laine-Karras hash permutation: every output bit depends only on input
+    bits at or BELOW it (adds/multiplies carry upward only), so wrapped in
+    bit reversals it is a valid nested-uniform (Owen) scramble of the unit
+    interval.  Constants from Burley (JCGT 2020)."""
+    x = jnp.asarray(x, jnp.uint32) + jnp.asarray(seed, jnp.uint32)
+    x = x ^ (x * np.uint32(0x6C50B47C))
+    x = x ^ (x * np.uint32(0xB82F1E52))
+    x = x ^ (x * np.uint32(0xC7AFE638))
+    x = x ^ (x * np.uint32(0x8D22F6E6))
+    return x
+
+
+def _u32_msb_to_f32(bits: Array) -> Array:
+    """Top 24 bits of an MSB-first fraction -> f32 in [0, 1) (the same
+    24-bit construction as uniform_hash; the bitcast input is always a
+    vector here because the scramble seed is per-pixel)."""
+    top = bits >> np.uint32(8)
+    ibits = jax.lax.bitcast_convert_type(top, jnp.int32)
+    return ibits.astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+
+
+def sobol02_uniforms(
+    pixel_ids: Array,
+    sample_index: Array,
+    frame_seed_u32: Array,
+    nbits: int,
+    rot_salt=_STRATUM_ROT_SALT,
+) -> tuple[Array, Array]:
+    """Owen-scrambled 2D Sobol point of `sample_index` for one dimension
+    pair, scrambled per (pixel, frame, pair).
+
+    `rot_salt` identifies the pair (same salt map as the stratified
+    rotations: 5 AA, 6 scatter, 7 lens, 8+l NEE); the x/y scramble keys are
+    chained hashes of the sample-0 pixel seed under that salt.  `nbits`
+    bounds the index (sample_index < 2^nbits, i.e. the spp budget) so the
+    dimension-1 XOR unrolls to nbits steps instead of 32.  `sample_index`
+    may be a scalar or a per-lane array (the regenerating wavefront pool).
+    """
+    s = jnp.asarray(sample_index, jnp.uint32)
+    base = hash_pixel_seeds(pixel_ids, jnp.uint32(0), frame_seed_u32)
+    seed_x = hash2(base, rot_salt)
+    seed_y = wgsl_hash(seed_x)
+    # Dimension 0 is the bit-reversed index, so its scramble's inner
+    # reversal cancels: owen(reverse(s)) = reverse(LK(s)).
+    x = _reverse_bits32(_laine_karras(s, seed_x))
+    y1 = jnp.zeros_like(s)
+    for b in range(nbits):
+        y1 = y1 ^ (((s >> np.uint32(b)) & np.uint32(1)) * _SOBOL_DIM1[b])
+    y = _reverse_bits32(_laine_karras(_reverse_bits32(y1), seed_y))
+    return _u32_msb_to_f32(x), _u32_msb_to_f32(y)
+
+
+def sampler_uniforms(
+    u1: Array,
+    u2: Array,
+    pixel_ids: Array,
+    sample_index: Array,
+    frame_seed_u32: Array,
+    spec: tuple | None,
+    rot_salt=_STRATUM_ROT_SALT,
+) -> tuple[Array, Array]:
+    """Dispatch one dimension pair through the configured sampler.
+
+    `spec` is RenderConfig.sampler_spec: None passes the independent (u1, u2)
+    draws through; ('stratified', kx, ky) remaps them into sample s's
+    stratum; ('sobol', nbits) REPLACES them with the Owen-scrambled Sobol
+    point (the independent draws go unused and are dead-code-eliminated).
+    `rot_salt` identifies the pair — distinct salts give independently
+    rotated grids / independently scrambled Sobol pairs.
+    """
+    if spec is None:
+        return u1, u2
+    if spec[0] == "stratified":
+        return stratified_uniforms(
+            u1, u2, pixel_ids, sample_index, frame_seed_u32, spec[1:],
+            rot_salt=rot_salt,
+        )
+    if spec[0] == "sobol":
+        return sobol02_uniforms(
+            pixel_ids, sample_index, frame_seed_u32, spec[1], rot_salt=rot_salt
+        )
+    raise ValueError(f"unknown sampler spec {spec!r}")
+
+
+def sampler_jitter(
+    u1: Array,
+    u2: Array,
+    pixel_ids: Array,
+    sample_index: Array,
+    frame_seed_u32: Array,
+    spec: tuple | None,
+) -> tuple[Array, Array]:
+    """AA pixel-jitter pair in [-0.5, 0.5) under the configured sampler
+    (sampler_uniforms shifted to be jitter-centered)."""
+    su1, su2 = sampler_uniforms(
+        u1, u2, pixel_ids, sample_index, frame_seed_u32, spec
+    )
+    return su1 - 0.5, su2 - 0.5
+
+
 def hash_pixel_seeds(pixel_ids: Array, sample_index: Array, frame_seed_u32: Array) -> Array:
     """Per-pixel base seed from global pixel id + sample index + frame seed."""
     return wgsl_hash(

@@ -105,7 +105,7 @@ def _local_sample(spheres, camera, config: RenderConfig, sample_index, frame_see
         origins, dirs, seeds = rays.generate_rays_hash(
             camera, w, local_h, sample_index, frame_seed,
             y_offset=y0, total_width=w, row_stride=row_stride,
-            strata=config.strata,
+            sampler_spec=config.sampler_spec,
         )
         return _trace_chunked(
             origins, dirs, spheres, config, pixel_seeds=seeds,

@@ -75,17 +75,26 @@ class RenderConfig:
     # a pure BSDF-sampling tracer.
     nee: bool = False
 
-    # Pixel-jitter sampler:
-    #   'independent' = one independent uniform jitter per sample (the
-    #                   reference's sample_square, wgsl:299-303)
+    # Sample-generation strategy for the four stratifiable dimension pairs
+    # (AA jitter, thin-lens point, first-bounce scatter, first-bounce NEE):
+    #   'independent' = one independent uniform draw per sample per pair
+    #                   (the reference's sample_square, wgsl:299-303)
     #   'stratified'  = jittered stratification of the spp budget over a
-    #                   near-square (kx, ky) pixel-area grid with a
-    #                   per-(pixel, frame) rotation of the stratum order
-    #                   (ops/rng.stratified_jitter): lower AA variance at
-    #                   equal spp, unbiased at any partial accumulation
-    #                   count, zero per-sample cost.  Requires rng='hash'
-    #                   (the grid is addressed by absolute sample index).
-    sampler: Literal["independent", "stratified"] = "independent"
+    #                   near-square (kx, ky) grid per pair, each pair under
+    #                   an independent per-(pixel, frame) rotation of the
+    #                   stratum order (ops/rng.stratified_uniforms): lower
+    #                   variance at equal spp, unbiased at any partial
+    #                   accumulation count, zero per-sample cost.
+    #   'sobol'       = Owen-scrambled Sobol (0,2)-sequence per pair
+    #                   (ops/rng.sobol02_uniforms), scrambled per
+    #                   (pixel, frame, pair): every power-of-two prefix of
+    #                   a pixel's samples is a (0,2)-net — strictly finer
+    #                   stratification than the grid, best at
+    #                   power-of-two spp.
+    # Both non-default modes require rng='hash' (pairs are addressed by
+    # absolute sample index, which threefry keys and the wgsl parity chain
+    # don't carry).
+    sampler: Literal["independent", "stratified", "sobol"] = "independent"
 
     # Wavefront ray regeneration (backend='wavefront' only): keep ONE
     # persistent ray pool across the spp samples, refilling ray rows whose
@@ -118,11 +127,11 @@ class RenderConfig:
             raise ValueError("parity=True requires rng='wgsl'")
         if self.backend in ("pallas", "wavefront") and self.rng != "hash":
             raise ValueError(f"backend={self.backend!r} requires rng='hash'")
-        if self.sampler == "stratified" and self.rng != "hash":
+        if self.sampler != "independent" and self.rng != "hash":
             raise ValueError(
-                "sampler='stratified' requires rng='hash' (strata are "
-                "addressed by absolute sample index, which threefry keys "
-                "and the wgsl parity chain don't carry)"
+                f"sampler={self.sampler!r} requires rng='hash' (sample "
+                "points are addressed by absolute sample index, which "
+                "threefry keys and the wgsl parity chain don't carry)"
             )
         if self.regenerate != "off" and self.backend != "wavefront":
             # Silently ignoring the request would benchmark the wrong engine.
@@ -133,18 +142,23 @@ class RenderConfig:
             )
 
     @property
-    def strata(self) -> tuple[int, int] | None:
-        """The sampler's (kx, ky) stratification grid (None = independent).
+    def sampler_spec(self) -> tuple | None:
+        """Static spec threaded to ops/rng.sampler_uniforms: None for the
+        independent sampler, ('stratified', kx, ky) or ('sobol', nbits).
 
         Derived from the spp BUDGET (config.spp), not any per-call batch
         size, so progressive steps and spp-axis shards of the same target
         draw the identical stream.
         """
-        if self.sampler != "stratified":
-            return None
-        from gpu_ray_tracing_tpu.ops.rng import strata_shape
+        if self.sampler == "stratified":
+            from gpu_ray_tracing_tpu.ops.rng import strata_shape
 
-        return strata_shape(self.spp)
+            return ("stratified", *strata_shape(self.spp))
+        if self.sampler == "sobol":
+            from gpu_ray_tracing_tpu.ops.rng import sobol_nbits
+
+            return ("sobol", sobol_nbits(self.spp))
+        return None
 
     @property
     def resolution(self) -> tuple[int, int]:

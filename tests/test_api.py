@@ -604,3 +604,45 @@ def test_stratified_sampler_reduces_path_variance():
             err += float(np.mean((img - ref) ** 2))
         mses[sampler] = err
     assert mses["stratified"] < 0.75 * mses["independent"], mses
+
+
+def test_sobol_sampler_beats_stratified_and_independent():
+    """sampler='sobol' (Owen-scrambled (0,2)-sequence): at a power-of-two
+    spp its prefixes are (0,2)-nets — strictly finer stratification than the
+    jittered grid.  Measured at 16 spp on edge-dominated normal shading:
+    5.7x lower MSE than independent, 1.5x lower than stratified (4-frame
+    mean); assert both directions with margin."""
+    scene = base_scene()
+    ref = np.asarray(render(
+        scene, BASE_CAMERA,
+        _cfg(spp=1024, integrator="normal"),
+        frame_seed=jnp.uint32(999),
+    ))
+    mses = {}
+    for sampler in ("sobol", "stratified", "independent"):
+        cfg = _cfg(spp=16, integrator="normal", sampler=sampler)
+        err = 0.0
+        for fs in range(4):
+            img = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(fs)))
+            err += float(np.mean((img - ref) ** 2))
+        mses[sampler] = err
+    assert mses["sobol"] < 0.4 * mses["independent"], mses
+    assert mses["sobol"] < 0.9 * mses["stratified"], mses
+
+
+def test_sobol_sampler_requires_hash_rng():
+    with pytest.raises(ValueError, match="sobol"):
+        _cfg(rng="threefry", sampler="sobol")
+
+
+def test_sobol_progressive_matches_render():
+    """Sobol points are addressed by absolute sample index: stepping to the
+    spp target equals the one-shot render (same stream; float fold order
+    differs)."""
+    cfg = _cfg(spp=4, max_depth=4, sampler="sobol")
+    scene = base_scene()
+    st = init_accum(cfg.height, cfg.width)
+    for _ in range(cfg.spp):
+        st = progressive_step(st, scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3))
+    one = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3)))
+    np.testing.assert_allclose(np.asarray(st.rgb), one, atol=1e-5)

@@ -330,8 +330,8 @@ def test_trace_path_strata_requires_counter_stream_inputs():
     o = jnp.zeros((4, 3), jnp.float32)
     d = jnp.tile(jnp.asarray([0.0, 0.0, -1.0], jnp.float32), (4, 1))
     seeds = jnp.arange(4, dtype=jnp.uint32)
-    with pytest.raises(ValueError, match="strata"):
+    with pytest.raises(ValueError, match="sampler_spec"):
         integrators.trace_path(
             o, d, base_scene(), 2, 1e-3, 3.4e35,
-            pixel_seeds=seeds, strata=(2, 2),
+            pixel_seeds=seeds, sampler_spec=("stratified", 2, 2),
         )

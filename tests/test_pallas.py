@@ -383,3 +383,29 @@ def test_stratified_nee_matches_across_engines():
         imgs["pallas"], imgs["wavefront"], rtol=1e-5, atol=1e-6
     )
     assert_images_match(imgs["jax"], imgs["pallas"], flip_frac=0.02, mean_tol=2e-3)
+
+
+def test_sobol_sampler_matches_across_engines():
+    """sampler='sobol' is elementwise u32 bit math on the shared counter
+    stream: the megakernel and wavefront engines draw it identically
+    (bitwise), the jax path agrees up to the flip contract, and the mode
+    actually changes the stream."""
+    scene = base_scene()
+    cam = CameraSettings(
+        look_from=jnp.asarray([0.0, 0.0, 1.0]),
+        look_at=jnp.asarray([0.0, 0.0, -1.0]),
+        vup=jnp.asarray([0.0, 1.0, 0.0]),
+        field_of_view=jnp.float32(60.0),
+        defocus_angle=jnp.float32(0.3),  # exercises the lens pair too
+        focus_distance=jnp.float32(2.0),
+    )
+    imgs = {}
+    for be in ("jax", "pallas", "wavefront"):
+        cfg = _cfg(spp=4, max_depth=4, backend=be, sampler="sobol")
+        imgs[be] = np.asarray(render(scene, cam, cfg, frame_seed=jnp.uint32(7)))
+    np.testing.assert_array_equal(imgs["pallas"], imgs["wavefront"])
+    assert_images_match(imgs["jax"], imgs["pallas"], flip_frac=0.01, mean_tol=2e-4)
+    for other in ("independent", "stratified"):
+        cfg_o = _cfg(spp=4, max_depth=4, backend="pallas", sampler=other)
+        img_o = np.asarray(render(scene, cam, cfg_o, frame_seed=jnp.uint32(7)))
+        assert not np.array_equal(img_o, imgs["pallas"])

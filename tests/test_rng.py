@@ -176,3 +176,87 @@ def test_stratified_jitter_spp1_equals_independent():
     jx, jy = rng.stratified_jitter(u1, u2, pid, jnp.uint32(2), jnp.uint32(5), (1, 1))
     np.testing.assert_array_equal(np.asarray(jx), np.asarray(u1) - 0.5)
     np.testing.assert_array_equal(np.asarray(jy), np.asarray(u2) - 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Owen-scrambled Sobol sampler (ops/rng.sobol02_uniforms + dispatchers)
+# ---------------------------------------------------------------------------
+
+
+def test_sobol_nbits():
+    assert rng.sobol_nbits(1) == 1
+    assert rng.sobol_nbits(2) == 1
+    assert rng.sobol_nbits(16) == 4
+    assert rng.sobol_nbits(17) == 5
+    with pytest.raises(ValueError):
+        rng.sobol_nbits(0)
+
+
+def test_sobol02_prefixes_are_02_nets():
+    """Owen scrambling preserves the (0,2)-net property: for any 2^k prefix
+    of one pixel's samples, every elementary binary rectangle of area 2^-k
+    holds exactly one point — for every split of k between the axes."""
+    pid = jnp.full((1,), 12345, jnp.uint32)
+    for nbits, n in ((4, 16), (5, 32)):
+        pts = np.array([
+            [float(v[0]) for v in rng.sobol02_uniforms(
+                pid, jnp.uint32(s), jnp.uint32(77), nbits)]
+            for s in range(n)
+        ])
+        k = n.bit_length() - 1
+        for a in range(k + 1):
+            b = k - a
+            cells = (
+                np.floor(pts[:, 0] * (1 << a)).astype(int) * (1 << b)
+                + np.floor(pts[:, 1] * (1 << b)).astype(int)
+            )
+            counts = np.bincount(cells, minlength=n)
+            assert (counts == 1).all(), (n, a, b, counts)
+
+
+def test_sobol02_single_sample_marginally_uniform():
+    """The per-(pixel, frame, pair) scramble makes any single sample index
+    marginally uniform over pixels — no bias at partial accumulation."""
+    pids = jnp.arange(200000, dtype=jnp.uint32)
+    for s in (0, 3):
+        x, y = rng.sobol02_uniforms(pids, jnp.uint32(s), jnp.uint32(3), 4)
+        for v in (np.asarray(x), np.asarray(y)):
+            assert abs(v.mean() - 0.5) < 2e-3
+            hist, _ = np.histogram(v, bins=16, range=(0, 1))
+            assert np.all(np.abs(hist / v.size - 1 / 16) < 4e-3)
+
+
+def test_sobol02_pairs_decorrelated():
+    """Distinct rot_salts (dimension-pair ids) give independently scrambled
+    points: the AA and lens pairs of the same sample must not correlate."""
+    pids = jnp.arange(100000, dtype=jnp.uint32)
+    x1, _ = rng.sobol02_uniforms(pids, jnp.uint32(0), jnp.uint32(3), 4)
+    x2, _ = rng.sobol02_uniforms(
+        pids, jnp.uint32(0), jnp.uint32(3), 4, rot_salt=rng._LENS_ROT_SALT
+    )
+    c = np.corrcoef(np.asarray(x1), np.asarray(x2))[0, 1]
+    assert abs(c) < 0.01, c
+
+
+def test_sampler_uniforms_dispatch():
+    pid = jnp.arange(64, dtype=jnp.uint32)
+    seeds = rng.hash_pixel_seeds(pid, jnp.uint32(2), jnp.uint32(5))
+    u1 = rng.uniform_hash(seeds, 1)
+    u2 = rng.uniform_hash(seeds, 2)
+    a1, a2 = rng.sampler_uniforms(u1, u2, pid, jnp.uint32(2), jnp.uint32(5), None)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(u1))
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(u2))
+    s1, s2 = rng.sampler_uniforms(
+        u1, u2, pid, jnp.uint32(2), jnp.uint32(5), ("stratified", 2, 2)
+    )
+    e1, e2 = rng.stratified_uniforms(u1, u2, pid, jnp.uint32(2), jnp.uint32(5), (2, 2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(e1))
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(e2))
+    q1, q2 = rng.sampler_uniforms(
+        u1, u2, pid, jnp.uint32(2), jnp.uint32(5), ("sobol", 4)
+    )
+    b1, b2 = rng.sobol02_uniforms(pid, jnp.uint32(2), jnp.uint32(5), 4)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(b1))
+    np.testing.assert_array_equal(np.asarray(q2), np.asarray(b2))
+    with pytest.raises(ValueError, match="sampler spec"):
+        rng.sampler_uniforms(u1, u2, pid, jnp.uint32(2), jnp.uint32(5), ("bogus",))

@@ -247,3 +247,13 @@ def test_sharded_stratified_sampler_matches_unsharded(scene):
     a = np.asarray(render_sharded(scene, BASE_CAMERA, cfg, mesh, frame_seed=jnp.uint32(5)))
     b = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(5)))
     assert_images_match(a, b)
+
+
+def test_sharded_sobol_sampler_matches_unsharded(scene):
+    """Sobol points are functions of (global pixel id, absolute sample
+    index), so row x spp sharding cannot change the sobol stream."""
+    mesh = make_mesh(4, 2)
+    cfg = _cfg(spp=4, max_depth=4, sampler="sobol")
+    a = np.asarray(render_sharded(scene, BASE_CAMERA, cfg, mesh, frame_seed=jnp.uint32(5)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(5)))
+    assert_images_match(a, b)
