@@ -154,8 +154,13 @@ def _dispatch_kernel_render(
     total_width: int | None = None,
     interpret: bool | None = None,
     row_stride: Array | int = 1,
+    adaptive: bool = False,
 ) -> Array:
     """Route a hash-stream render to the configured Pallas engine.
+
+    `adaptive=True` engages config.adaptive_tol on the megakernel (one-shot
+    full-budget renders only — progressive and sharded folds need exact
+    per-sample counts, so they never set it).
 
     The single dispatch point for backend='pallas'/'wavefront' — used by the
     per-sample path, the full-frame kernel path, and the sharded renderer —
@@ -201,6 +206,8 @@ def _dispatch_kernel_render(
         sky_intensity=config.sky_intensity, nee=config.nee,
         spp=spp, y_offset=y_offset, interpret=interpret,
         row_stride=row_stride, sampler_spec=config.sampler_spec,
+        adaptive_tol=config.adaptive_tol if adaptive else 0.0,
+        adaptive_min_spp=config.adaptive_min_spp,
     )
 
 
@@ -332,6 +339,7 @@ def _render_kernel_frame(spheres, camera, config: RenderConfig, frame_seed):
     return _dispatch_kernel_render(
         spheres, camera, config,
         sample_index=jnp.uint32(0), frame_seed=frame_seed, spp=config.spp,
+        adaptive=True,
     )
 
 
@@ -395,6 +403,13 @@ def progressive_step(
     """
     if spp_per_step < 1:
         raise ValueError(f"spp_per_step must be >= 1, got {spp_per_step}")
+    if config.adaptive_tol > 0.0:
+        # The fold weights each batch by its exact sample count; adaptive
+        # tiles take data-dependent counts the fold cannot see.
+        raise ValueError(
+            "adaptive_tol > 0 is a one-shot render() mode; progressive "
+            "accumulation needs exact per-sample counts"
+        )
     if spp_per_step > 1 and config.spp % spp_per_step != 0:
         # Eager misconfiguration guard; a straddling batch that the static
         # check cannot see (a resumed checkpoint whose count is not a

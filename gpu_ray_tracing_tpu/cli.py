@@ -63,6 +63,14 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--sky-intensity", type=float, default=1.0)
     ap.add_argument("--russian-roulette", type=int, default=0, metavar="DEPTH",
                     help="RR termination from this bounce (0 = off)")
+    ap.add_argument("--adaptive-tol", type=float, default=0.0,
+                    help="adaptive sampling tolerance (render command only; "
+                         "megakernel): > 0 makes --spp a per-tile budget — "
+                         "tiles stop sampling once their relative standard "
+                         "error drops below this (try 0.01-0.05)")
+    ap.add_argument("--adaptive-min-spp", type=int, default=8,
+                    help="samples every tile takes before the adaptive "
+                         "convergence test may stop it")
     ap.add_argument("--scene-seed", type=int, default=0)
     ap.add_argument("--obj", default=None, help="OBJ file for --scene mesh")
     ap.add_argument("--look-from", type=_vec3, default=None)
@@ -167,6 +175,10 @@ def _build_config(args, spp=None):
         # wavefront engine interprets fine on CPU).
         if args.regenerate != "off":
             backend = "wavefront"
+        # Adaptive sampling is a megakernel mode; an explicit --adaptive-tol
+        # with auto backend selects the engine that honors it on every host.
+        elif getattr(args, "adaptive_tol", 0.0) > 0.0:
+            backend = "pallas"
     return rt.RenderConfig(
         width=args.width, height=args.height, spp=spp or args.spp,
         max_depth=args.depth, integrator=args.integrator, backend=backend,
@@ -174,6 +186,8 @@ def _build_config(args, spp=None):
         russian_roulette_depth=args.russian_roulette,
         regenerate=args.regenerate,
         sampler=args.sampler,
+        adaptive_tol=getattr(args, "adaptive_tol", 0.0),
+        adaptive_min_spp=getattr(args, "adaptive_min_spp", 8),
     )
 
 

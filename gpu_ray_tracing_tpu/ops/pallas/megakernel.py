@@ -976,6 +976,8 @@ def _kernel(
     mesh_smooth: bool = False,
     spp: int = 1,
     sampler_spec: tuple | None = None,
+    adaptive_tol: float = 0.0,
+    adaptive_min_spp: int = 8,
 ):
     """One (TILE_ROWS x 128)-pixel image tile: ray gen -> trace -> write.
 
@@ -996,7 +998,7 @@ def _kernel(
     if num_lights > 0:
         lights_ref = rest[0]
         rest = rest[1:]
-    outr_ref, outg_ref, outb_ref = rest
+    outr_ref, outg_ref, outb_ref = rest[:3]
 
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -1112,6 +1114,46 @@ def _kernel(
     # instead of one launch + one full HBM image write per sample.
     if spp == 1:
         r, g, b = one_sample(base_sample)
+        n_taken = jnp.float32(1.0)
+    elif adaptive_tol > 0.0:
+        # Adaptive sampling: the spp loop exits per TILE once the tile's
+        # estimate has converged — the spp-axis analogue of the bounce
+        # loop's tile early-exit above.  Welford-tracked per-pixel
+        # luminance variance gives the tile's mean relative standard
+        # error; tiles stop when it drops below adaptive_tol (sky tiles
+        # take adaptive_min_spp samples, penumbra tiles run to spp).
+        # Samples taken are a PREFIX of the identical sample stream, so
+        # the draws are unchanged — only the per-tile count varies.
+        min_spp = min(max(2, adaptive_min_spp), spp)
+        z = jnp.zeros(shape, jnp.float32)
+
+        def ad_body(c):
+            k, sr, sg, sb, mlum, m2 = c
+            r, g, b = one_sample(base_sample + jnp.asarray(k, jnp.uint32))
+            k1f = jnp.asarray(k + 1, jnp.float32)
+            lum = (r + g + b) * jnp.float32(1.0 / 3.0)
+            d = lum - mlum
+            mlum = mlum + d / k1f
+            m2 = m2 + d * (lum - mlum)
+            return (k + jnp.int32(1), sr + r, sg + g, sb + b, mlum, m2)
+
+        def ad_cond(c):
+            k, _, _, _, mlum, m2 = c
+            kf = jnp.asarray(k, jnp.float32)
+            # Per-pixel stderr^2 of the running mean = var / k; compare the
+            # tile-mean stderr against tol * (tile-mean luminance + eps) in
+            # squared form (no per-pixel sqrt on the hot exit test).
+            stderr2 = jnp.mean(m2 / jnp.maximum(kf - 1.0, 1.0)) / kf
+            scale = jnp.mean(mlum) * jnp.float32(adaptive_tol) + jnp.float32(
+                1e-4
+            )
+            return (k < min_spp) | ((k < spp) & (stderr2 > scale * scale))
+
+        k, r, g, b, _, _ = jax.lax.while_loop(
+            ad_cond, ad_body, (jnp.int32(0), z, z, z, z, z)
+        )
+        n_taken = jnp.asarray(k, jnp.float32)
+        r, g, b = r / n_taken, g / n_taken, b / n_taken
     else:
         def spp_body(k, acc):
             r, g, b = one_sample(base_sample + jnp.asarray(k, jnp.uint32))
@@ -1121,9 +1163,12 @@ def _kernel(
         r, g, b = jax.lax.fori_loop(0, spp, spp_body, (z, z, z))
         inv = jnp.float32(spp)
         r, g, b = r / inv, g / inv, b / inv
+        n_taken = jnp.float32(spp)
     outr_ref[:] = r
     outg_ref[:] = g
     outb_ref[:] = b
+    if len(rest) == 4:  # optional 4th output: per-pixel sample-count plane
+        rest[3][:] = jnp.broadcast_to(n_taken, shape)
 
 
 def camera_vector(camera) -> Array:
@@ -1170,11 +1215,25 @@ def render_pallas(
     spp: int = 1,
     row_stride: Array | int = 1,
     sampler_spec: tuple | None = None,
+    adaptive_tol: float = 0.0,
+    adaptive_min_spp: int = 8,
+    return_spp_map: bool = False,
 ) -> Array:
     """Render spp samples fully on-chip; returns the (height, width, 3) RGB
     mean.  Sample s of the call uses stream index `sample_index + s`, so one
     spp=k call equals the mean of k consecutive 1-spp calls (one launch and
     one HBM image write instead of k).
+
+    `adaptive_tol > 0` makes spp a BUDGET: each tile's in-kernel sample loop
+    exits once the tile-mean relative standard error of its estimate drops
+    below the tolerance (after `adaptive_min_spp` samples), so converged
+    regions (sky, flat diffuse) stop early while noisy regions (penumbras,
+    caustic-ish glass) spend the full budget.  Samples are a prefix of the
+    identical stream.  Stopping is data-dependent, so the estimator is
+    mildly biased where it stops early (standard adaptive-sampling caveat);
+    keep tol at or below the noise floor you can see.  `return_spp_map=True`
+    additionally returns the (height, width) per-pixel sample counts
+    (constant within each tile).
 
     The only HBM traffic is the output image: ray generation, the sphere
     scan, the mesh BVH traversal, materials, and the bounce loop all run
@@ -1283,17 +1342,24 @@ def render_pallas(
         mesh_smooth=has_mesh and sc.mesh.smooth,
         spp=spp,
         sampler_spec=sampler_spec,
+        adaptive_tol=float(adaptive_tol),
+        adaptive_min_spp=adaptive_min_spp,
     )
-    outr, outg, outb = pl.pallas_call(
+    out_specs = [tile_spec, tile_spec, tile_spec]
+    out_shapes = [out_shape, out_shape, out_shape]
+    if return_spp_map:
+        out_specs.append(tile_spec)
+        out_shapes.append(out_shape)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=(tile_spec, tile_spec, tile_spec),
-        out_shape=(out_shape, out_shape, out_shape),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         interpret=interpret,
     )(*args)
 
-    return jnp.stack(
-        [outr[:height, :width], outg[:height, :width], outb[:height, :width]],
-        axis=-1,
-    )
+    img = jnp.stack([o[:height, :width] for o in outs[:3]], axis=-1)
+    if return_spp_map:
+        return img, outs[3][:height, :width]
+    return img

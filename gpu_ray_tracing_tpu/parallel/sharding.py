@@ -58,6 +58,13 @@ def _check(config: RenderConfig, mesh: Mesh, row_partition: str = "contiguous"):
             "sharded rendering requires a position-equivariant RNG; use "
             "config.rng='hash' (default) or 'wgsl', not 'threefry'"
         )
+    if config.adaptive_tol > 0.0:
+        # The spp-axis psum weights every shard's batch by an assumed equal
+        # sample count; adaptive tiles take data-dependent counts.
+        raise ValueError(
+            "adaptive_tol > 0 is a one-shot unsharded render() mode; the "
+            "sharded fold needs exact per-sample counts"
+        )
     missing = [a for a in (ROW_AXIS, SPP_AXIS) if a not in mesh.shape]
     if missing:
         # The shard_map bodies take axis_index/psum over BOTH axes; a mesh

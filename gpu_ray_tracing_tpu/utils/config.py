@@ -107,6 +107,22 @@ class RenderConfig:
     # identical to the megakernel's.
     regenerate: Literal["auto", "on", "off"] = "off"
 
+    # Adaptive sampling (backend='pallas' one-shot renders only): > 0 makes
+    # spp a per-tile BUDGET — each (tile_rows, 128) tile's in-kernel sample
+    # loop exits once the tile-mean relative standard error of its estimate
+    # (Welford-tracked per-pixel luminance variance) drops below this
+    # tolerance, after adaptive_min_spp samples.  Converged regions (sky,
+    # flat diffuse) stop early; noisy ones (penumbras, glass) spend the
+    # full budget.  Samples are a prefix of the identical stream, but the
+    # stopping rule is data-dependent, so early-stopped tiles are mildly
+    # biased (the standard adaptive-sampling caveat) — keep the tolerance
+    # at or below the visible noise floor, and note gradients replay the
+    # jax path at full spp (exact for non-adaptive renders, approximate
+    # under adaptive).  Progressive/sharded accumulation needs exact
+    # per-sample counts and rejects adaptive configs.
+    adaptive_tol: float = 0.0
+    adaptive_min_spp: int = 8
+
     # Russian-roulette path termination: 0 disables (the reference always
     # runs to max_depth); k > 0 stochastically kills low-throughput paths
     # from bounce k on, dividing surviving throughput by the survival
@@ -132,6 +148,21 @@ class RenderConfig:
                 f"sampler={self.sampler!r} requires rng='hash' (sample "
                 "points are addressed by absolute sample index, which "
                 "threefry keys and the wgsl parity chain don't carry)"
+            )
+        if self.adaptive_tol < 0.0:
+            raise ValueError(f"adaptive_tol must be >= 0, got {self.adaptive_tol}")
+        if self.adaptive_tol > 0.0 and self.backend != "pallas":
+            # Only the megakernel runs the spp loop in-kernel per tile;
+            # silently ignoring the request would render the wrong budget.
+            raise ValueError(
+                f"adaptive_tol={self.adaptive_tol} is a megakernel mode; "
+                f"backend={self.backend!r} ignores it — set backend='pallas' "
+                "or adaptive_tol=0"
+            )
+        if self.adaptive_min_spp < 2:
+            # Welford variance of < 2 samples is undefined.
+            raise ValueError(
+                f"adaptive_min_spp must be >= 2, got {self.adaptive_min_spp}"
             )
         if self.regenerate != "off" and self.backend != "wavefront":
             # Silently ignoring the request would benchmark the wrong engine.

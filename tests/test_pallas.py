@@ -409,3 +409,71 @@ def test_sobol_sampler_matches_across_engines():
         cfg_o = _cfg(spp=4, max_depth=4, backend="pallas", sampler=other)
         img_o = np.asarray(render(scene, cam, cfg_o, frame_seed=jnp.uint32(7)))
         assert not np.array_equal(img_o, imgs["pallas"])
+
+
+def test_adaptive_prefix_property():
+    """With a huge tolerance every tile stops exactly at adaptive_min_spp,
+    and because adaptive samples are a PREFIX of the identical stream the
+    image equals the fixed render at spp=min_spp bitwise."""
+    scene = base_scene()
+    cfg_ad = _cfg(spp=16, max_depth=4, backend="pallas",
+                  adaptive_tol=1e6, adaptive_min_spp=4)
+    cfg_4 = _cfg(spp=4, max_depth=4, backend="pallas")
+    a = np.asarray(render(scene, BASE_CAMERA, cfg_ad, frame_seed=jnp.uint32(2)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg_4, frame_seed=jnp.uint32(2)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_adaptive_spp_map_and_quality():
+    """A tight tolerance keeps the image near the full-budget render while
+    the per-tile counts actually vary (sky tiles stop before the budget)."""
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
+
+    scene = one_weekend_scene(jax.random.key(0))
+    cam = CameraSettings.default()
+    w, h, spp = 128, 96, 32
+    full = np.asarray(render(
+        scene, cam, _cfg(width=w, height=h, spp=spp, max_depth=6, backend="pallas"),
+        frame_seed=jnp.uint32(1)))
+    img, smap = render_pallas(
+        scene, derive_camera(cam, w, h), width=w, height=h,
+        sample_index=jnp.uint32(0), frame_seed=jnp.uint32(1), max_depth=6,
+        t_min=1e-3, spp=spp, adaptive_tol=0.03, adaptive_min_spp=4,
+        return_spp_map=True)
+    img, smap = np.asarray(img), np.asarray(smap)
+    assert np.isfinite(img).all()
+    assert smap.min() >= 4 and smap.max() <= spp
+    assert smap.min() < smap.max()  # counts actually adapt
+    # Constant within each (32, 128)-padded tile.
+    assert np.unique(smap[:32]).size == 1
+    rel = np.abs(img - full).mean() / full.mean()
+    assert rel < 0.02, rel
+
+
+def test_adaptive_config_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="adaptive_tol"):
+        _cfg(adaptive_tol=-0.1, backend="pallas")
+    with pytest.raises(ValueError, match="megakernel"):
+        _cfg(adaptive_tol=0.05, backend="jax")
+    with pytest.raises(ValueError, match="adaptive_min_spp"):
+        _cfg(adaptive_tol=0.05, adaptive_min_spp=1, backend="pallas")
+
+
+def test_adaptive_rejected_for_progressive_and_sharded():
+    import pytest
+
+    from gpu_ray_tracing_tpu import init_accum, progressive_step
+    from gpu_ray_tracing_tpu.parallel.mesh import make_mesh
+    from gpu_ray_tracing_tpu.parallel.sharding import render_sharded
+
+    scene = base_scene()
+    cfg = _cfg(spp=8, backend="pallas", adaptive_tol=0.05)
+    st = init_accum(cfg.height, cfg.width)
+    with pytest.raises(ValueError, match="adaptive"):
+        progressive_step(st, scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(0))
+    with pytest.raises(ValueError, match="adaptive"):
+        render_sharded(scene, BASE_CAMERA, cfg, make_mesh(4, 2),
+                       frame_seed=jnp.uint32(0))
