@@ -245,6 +245,15 @@ def cmd_progressive(args) -> int:
     )
     from gpu_ray_tracing_tpu.utils.image import write_image
 
+    if args.adaptive_tol > 0.0:
+        # Reject at the CLI boundary with a clean message instead of a raw
+        # ValueError traceback from progressive_step mid-run.
+        print(
+            "error: --adaptive-tol is a one-shot `render` mode; progressive "
+            "accumulation needs exact per-sample counts",
+            file=sys.stderr,
+        )
+        return 2
     scene, cam, cfg = _build_scene(args), _build_camera(args), _build_config(args)
     if args.checkpoint and os.path.exists(checkpoint_path(args.checkpoint)):
         state = load_accum(args.checkpoint)

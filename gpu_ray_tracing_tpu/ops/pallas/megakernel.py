@@ -963,6 +963,7 @@ def _kernel(
     scene_ref,  # (16, N) f32 SMEM scene
     *rest,  # [mesh+bvh refs] + [sphere-bvh refs] + out refs (see has_* flags)
     width: int,
+    height: int,
     n_spheres: int,
     has_mesh: bool,
     has_sphere_bvh: bool,
@@ -1004,7 +1005,8 @@ def _kernel(
     j = pl.program_id(1)
     shape = (outr_ref.shape[0], outr_ref.shape[1])
 
-    y = i * shape[0] + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    y_local = i * shape[0] + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    y = y_local
     x = j * shape[1] + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     # Global row = local row * stride + offset: stride 1 renders a
     # contiguous band, stride n the interleaved row partition (both are
@@ -1126,6 +1128,16 @@ def _kernel(
         # the draws are unchanged — only the per-tile count varies.
         min_spp = min(max(2, adaptive_min_spp), spp)
         z = jnp.zeros(shape, jnp.float32)
+        # Boundary tiles: only IN-FRAME lanes may drive the stopping
+        # decision — the pad lanes render off-frame rays whose statistics
+        # must not stop (or prolong) the visible pixels' sampling.
+        valid_f = (
+            (y_local < jnp.int32(height)) & (x < jnp.int32(width))
+        ).astype(jnp.float32)
+        n_valid = jnp.maximum(jnp.sum(valid_f), 1.0)
+
+        def tile_mean(plane):
+            return jnp.sum(plane * valid_f) / n_valid
 
         def ad_body(c):
             k, sr, sg, sb, mlum, m2 = c
@@ -1141,10 +1153,11 @@ def _kernel(
             k, _, _, _, mlum, m2 = c
             kf = jnp.asarray(k, jnp.float32)
             # Per-pixel stderr^2 of the running mean = var / k; compare the
-            # tile-mean stderr against tol * (tile-mean luminance + eps) in
-            # squared form (no per-pixel sqrt on the hot exit test).
-            stderr2 = jnp.mean(m2 / jnp.maximum(kf - 1.0, 1.0)) / kf
-            scale = jnp.mean(mlum) * jnp.float32(adaptive_tol) + jnp.float32(
+            # tile-mean stderr against (tol * tile-mean luminance + eps) —
+            # the eps is a fixed absolute floor so black tiles terminate —
+            # in squared form (no per-pixel sqrt on the hot exit test).
+            stderr2 = tile_mean(m2) / jnp.maximum(kf - 1.0, 1.0) / kf
+            scale = tile_mean(mlum) * jnp.float32(adaptive_tol) + jnp.float32(
                 1e-4
             )
             return (k < min_spp) | ((k < spp) & (stderr2 > scale * scale))
@@ -1334,7 +1347,7 @@ def render_pallas(
         args += [lights_planes(sc.lights)]
 
     kernel = functools.partial(
-        _kernel, width=width, n_spheres=n, has_mesh=has_mesh,
+        _kernel, width=width, height=height, n_spheres=n, has_mesh=has_mesh,
         has_sphere_bvh=has_sphere_bvh,
         max_depth=max_depth, t_min=float(t_min), t_max=float(t_max), mode=mode,
         rr_depth=russian_roulette_depth, sky_intensity=float(sky_intensity),

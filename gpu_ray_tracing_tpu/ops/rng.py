@@ -156,22 +156,6 @@ def strata_shape(spp: int) -> tuple[int, int]:
     return kx, spp // kx
 
 
-def stratified_jitter(
-    u1: Array,
-    u2: Array,
-    pixel_ids: Array,
-    sample_index: Array,
-    frame_seed_u32: Array,
-    strata: tuple[int, int],
-) -> tuple[Array, Array]:
-    """Jittered-stratified pixel offsets in [-0.5, 0.5) over a kx*ky grid
-    (stratified_uniforms shifted to be jitter-centered)."""
-    su1, su2 = stratified_uniforms(
-        u1, u2, pixel_ids, sample_index, frame_seed_u32, strata
-    )
-    return su1 - 0.5, su2 - 0.5
-
-
 def stratified_uniforms(
     u1: Array,
     u2: Array,
@@ -273,11 +257,20 @@ _SOBOL_DIM1 = _sobol_dim1_directions()
 
 
 def sobol_nbits(spp: int) -> int:
-    """Bits needed to index an spp-sample budget (static loop bound for the
-    dimension-1 direction-number XOR)."""
+    """Static loop bound for the dimension-1 direction-number XOR: bits
+    covering every sample index an spp budget can reach.
+
+    Indexes beyond 2^nbits would silently REUSE lower samples' dimension-1
+    values, so this covers not just spp-1 but the largest index the
+    progressive straddle window can produce (a checkpoint resumed at a
+    misaligned count folds a batch reaching index spp + spp_per_step - 2
+    < 2*spp - 1; the overshoot samples carry zero fold weight, but keep
+    their points distinct anyway).  In-budget indices never set the extra
+    bit, so results are unchanged — it costs one XOR step.
+    """
     if spp < 1:
         raise ValueError(f"spp must be >= 1, got {spp}")
-    return max(1, (spp - 1).bit_length())
+    return max(1, (2 * spp - 2).bit_length())
 
 
 def _reverse_bits32(x: Array) -> Array:

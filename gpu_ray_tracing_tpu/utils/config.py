@@ -159,8 +159,9 @@ class RenderConfig:
                 f"backend={self.backend!r} ignores it — set backend='pallas' "
                 "or adaptive_tol=0"
             )
-        if self.adaptive_min_spp < 2:
-            # Welford variance of < 2 samples is undefined.
+        if self.adaptive_tol > 0.0 and self.adaptive_min_spp < 2:
+            # Welford variance of < 2 samples is undefined.  (Inert when
+            # adaptive sampling is off — don't reject a no-effect field.)
             raise ValueError(
                 f"adaptive_min_spp must be >= 2, got {self.adaptive_min_spp}"
             )

@@ -115,7 +115,7 @@ def test_uniform_hash_salts_decorrelated():
 
 
 # --------------------------------------------------------------------------
-# Stratified sampler (ops/rng.strata_shape + stratified_jitter)
+# Stratified sampler (ops/rng.strata_shape + sampler_jitter)
 # --------------------------------------------------------------------------
 
 
@@ -138,8 +138,9 @@ def test_stratified_jitter_covers_every_stratum_once():
     u_mid = jnp.full(pid.shape, 0.5, jnp.float32)
     cells = []
     for s in range(k_total):
-        jx, jy = rng.stratified_jitter(
-            u_mid, u_mid, pid, jnp.uint32(s), jnp.uint32(3), (kx, ky)
+        jx, jy = rng.sampler_jitter(
+            u_mid, u_mid, pid, jnp.uint32(s), jnp.uint32(3),
+            ("stratified", kx, ky),
         )
         assert float(jnp.min(jx)) >= -0.5 and float(jnp.max(jx)) < 0.5
         assert float(jnp.min(jy)) >= -0.5 and float(jnp.max(jy)) < 0.5
@@ -159,7 +160,7 @@ def test_stratified_jitter_single_sample_marginally_uniform():
     seeds = rng.hash_pixel_seeds(pid, jnp.uint32(0), jnp.uint32(9))
     u1 = rng.uniform_hash(seeds, 1)
     u2 = rng.uniform_hash(seeds, 2)
-    jx, jy = rng.stratified_jitter(u1, u2, pid, jnp.uint32(0), jnp.uint32(9), (4, 4))
+    jx, jy = rng.sampler_jitter(u1, u2, pid, jnp.uint32(0), jnp.uint32(9), ("stratified", 4, 4))
     for j in (np.asarray(jx), np.asarray(jy)):
         assert abs(j.mean()) < 5e-3
         # Uniform on [-0.5, 0.5): variance 1/12, each quartile ~25%.
@@ -173,7 +174,7 @@ def test_stratified_jitter_spp1_equals_independent():
     seeds = rng.hash_pixel_seeds(pid, jnp.uint32(2), jnp.uint32(5))
     u1 = rng.uniform_hash(seeds, 1)
     u2 = rng.uniform_hash(seeds, 2)
-    jx, jy = rng.stratified_jitter(u1, u2, pid, jnp.uint32(2), jnp.uint32(5), (1, 1))
+    jx, jy = rng.sampler_jitter(u1, u2, pid, jnp.uint32(2), jnp.uint32(5), ("stratified", 1, 1))
     np.testing.assert_array_equal(np.asarray(jx), np.asarray(u1) - 0.5)
     np.testing.assert_array_equal(np.asarray(jy), np.asarray(u2) - 0.5)
 
@@ -184,10 +185,12 @@ def test_stratified_jitter_spp1_equals_independent():
 
 
 def test_sobol_nbits():
+    # Covers the largest index the progressive straddle window can reach
+    # (< 2*spp - 1), not just spp - 1 — see the docstring.
     assert rng.sobol_nbits(1) == 1
-    assert rng.sobol_nbits(2) == 1
-    assert rng.sobol_nbits(16) == 4
-    assert rng.sobol_nbits(17) == 5
+    assert rng.sobol_nbits(2) == 2
+    assert rng.sobol_nbits(16) == 5
+    assert rng.sobol_nbits(17) == 6
     with pytest.raises(ValueError):
         rng.sobol_nbits(0)
 
