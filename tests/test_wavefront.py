@@ -434,3 +434,19 @@ def test_wavefront_many_lights_nee_bit_matches_megakernel():
                           frame_seed=jnp.uint32(5)))
     assert a.mean() > 0.001  # the lights illuminate the frame
     np.testing.assert_array_equal(a, b)
+
+
+def test_wavefront_regen_sobol_sampler():
+    """The regenerating pool mixes per-lane (sample, bounce) ids; the sobol
+    sampler's per-lane index arithmetic must give every ray the identical
+    low-discrepancy point it gets in the sample-major loop."""
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
+
+    scene = base_scene()
+    w, h = 64, 48
+    cam = derive_camera(CameraSettings.default(), w, h)
+    kw = dict(width=w, height=h, spp=4, max_depth=6, t_min=1e-3,
+              frame_seed=jnp.uint32(9), sample_index=jnp.uint32(0),
+              sampler_spec=("sobol", 3))
+    _assert_regen_matches_plain(scene, cam, **kw)
