@@ -101,6 +101,7 @@ def _trace_chunked(
             parity=config.parity, pixel_seeds=seeds,
             russian_roulette_depth=config.russian_roulette_depth,
             sky_intensity=config.sky_intensity, nee=config.nee,
+            mis=config.mis,
             pixel_ids=ids, sample_index=sample_index,
             frame_seed_u32=frame_seed,
             sampler_spec=spec if ids is not None else None,
@@ -184,6 +185,7 @@ def _dispatch_kernel_render(
             t_max=config.t_max,
             russian_roulette_depth=config.russian_roulette_depth,
             sky_intensity=config.sky_intensity, nee=config.nee,
+            mis=config.mis,
             spp=spp, y_offset=y_offset, total_width=total_width,
             interpret=interpret, row_stride=row_stride,
             regenerate=(
@@ -204,6 +206,7 @@ def _dispatch_kernel_render(
         mode="normal" if config.integrator == "normal" else "path",
         russian_roulette_depth=config.russian_roulette_depth,
         sky_intensity=config.sky_intensity, nee=config.nee,
+        mis=config.mis,
         spp=spp, y_offset=y_offset, interpret=interpret,
         row_stride=row_stride, sampler_spec=config.sampler_spec,
         adaptive_tol=config.adaptive_tol if adaptive else 0.0,

@@ -60,6 +60,10 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--nee", action="store_true",
                     help="next-event estimation (needs emissive lights)")
+    ap.add_argument("--mis", action="store_true",
+                    help="multiple importance sampling of NEE vs BSDF rays "
+                         "(requires --nee, <= 4 lights; lower variance for "
+                         "large/close lights)")
     ap.add_argument("--sky-intensity", type=float, default=1.0)
     ap.add_argument("--russian-roulette", type=int, default=0, metavar="DEPTH",
                     help="RR termination from this bounce (0 = off)")
@@ -182,7 +186,8 @@ def _build_config(args, spp=None):
     return rt.RenderConfig(
         width=args.width, height=args.height, spp=spp or args.spp,
         max_depth=args.depth, integrator=args.integrator, backend=backend,
-        rng=args.rng, nee=args.nee, sky_intensity=args.sky_intensity,
+        rng=args.rng, nee=args.nee, mis=getattr(args, "mis", False),
+        sky_intensity=args.sky_intensity,
         russian_roulette_depth=args.russian_roulette,
         regenerate=args.regenerate,
         sampler=args.sampler,

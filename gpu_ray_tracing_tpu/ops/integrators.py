@@ -71,6 +71,7 @@ def trace_path(
     russian_roulette_depth: int = 0,
     sky_intensity: float = 1.0,
     nee: bool = False,
+    mis: bool = False,
     pixel_ids: Array | None = None,
     sample_index: Array | None = None,
     frame_seed_u32: Array | None = None,
@@ -117,6 +118,14 @@ def trace_path(
     from gpu_ray_tracing_tpu.models.spheres import LAMBERTIAN
 
     scene = as_scene(scene)
+    if mis and not nee:
+        raise ValueError("mis=True is a weighting of NEE; it requires nee=True")
+    if mis and scene.lights is not None and scene.lights.count > 4:
+        raise ValueError(
+            "mis=True supports the <= 4-light deterministic NEE loop only "
+            "(the > 4-light picked-light estimator keeps the binary "
+            "emission exclusion)"
+        )
     if nee and (scene.lights is None or scene.lights.count == 0):
         raise ValueError(
             "nee=True needs a Scene with emissive lights; build it with "
@@ -138,7 +147,13 @@ def trace_path(
     prev_diffuse0 = jnp.zeros(batch_shape, dtype=bool)
 
     def body(i, carry):
-        o, d, throughput, result, live, prev_diffuse = carry
+        if mis:
+            # prev_cos = cos(scatter dir, normal) at the previous DIFFUSE
+            # vertex (0 elsewhere): the BSDF pdf there is prev_cos / pi,
+            # which the MIS weight below needs in ratio form only.
+            o, d, throughput, result, live, prev_diffuse, prev_cos = carry
+        else:
+            o, d, throughput, result, live, prev_diffuse = carry
         hit, albedo, kind, param = intersect_scene(o, d, scene, t_min, t_max)
 
         if pixel_seeds is not None:
@@ -192,12 +207,47 @@ def trace_path(
         # BSDF ray leaving a DIFFUSE surface must not count emission again —
         # the shadow ray already sampled that light directly.
         emissive = live & hit.hit & (kind == EMISSIVE)
-        emissive_counted = emissive & ~prev_diffuse if nee else emissive
-        result = jnp.where(
-            emissive_counted[..., None],
-            result + throughput * albedo * param[..., None],
-            result,
-        )
+        if nee and mis:
+            # Multiple importance sampling (power heuristic, beta=2): a BSDF
+            # ray from a diffuse vertex that hits light l is weighted
+            # against the NEE cone sample of the SAME vertex instead of
+            # being dropped.  w_b = p_b^2 / (p_b^2 + p_nee,l^2) with
+            # p_b = prev_cos/pi and p_nee,l = 1/(2 pi (1 - cos_max)) as
+            # seen from the prev vertex (= the ray origin o) — in ratio
+            # form w_b = 1 / (1 + r^2), r = 1 / (2 (1-cos_max) prev_cos).
+            # Specular/miss-regenerated lanes (prev_diffuse False) keep
+            # weight 1, exactly the non-MIS accounting.
+            one_minus_cm = jnp.zeros(batch_shape, jnp.float32)
+            matched = jnp.zeros(batch_shape, dtype=bool)
+            for l_static in range(scene.lights.count):
+                c_l = scene.lights.centers[l_static]
+                r_l = scene.lights.radii[l_static]
+                d2p = jnp.sum((hit.point - c_l) ** 2, axis=-1)
+                is_l = (~matched) & (
+                    jnp.abs(d2p - r_l * r_l) <= 1e-2 * r_l * r_l + 1e-9
+                )
+                d2o = jnp.maximum(jnp.sum((o - c_l) ** 2, axis=-1), 1e-12)
+                cm = jnp.sqrt(jnp.clip(1.0 - (r_l * r_l) / d2o, 0.0, 1.0))
+                one_minus_cm = jnp.where(is_l, 1.0 - cm, one_minus_cm)
+                matched = matched | is_l
+            r_ratio = 1.0 / jnp.maximum(
+                2.0 * one_minus_cm * prev_cos, 1e-12
+            )
+            w_emis = jnp.where(
+                prev_diffuse & matched, 1.0 / (1.0 + r_ratio * r_ratio), 1.0
+            )
+            result = jnp.where(
+                emissive[..., None],
+                result + throughput * albedo * (param * w_emis)[..., None],
+                result,
+            )
+        else:
+            emissive_counted = emissive & ~prev_diffuse if nee else emissive
+            result = jnp.where(
+                emissive_counted[..., None],
+                result + throughput * albedo * param[..., None],
+                result,
+            )
 
         if nee:
             # Next-event estimation: from each diffuse hit, sample emissive
@@ -292,7 +342,14 @@ def trace_path(
                 visible = shadow_t >= t_l * (1.0 - 1e-3)
 
                 valid = nee_ok & (cos_i > 0.0) & ~inside & (disc_l > 0.0) & visible
-                wgt = (cos_i * 2.0 * (1.0 - cos_max) * jnp.float32(weight))[..., None]
+                wgt = cos_i * 2.0 * (1.0 - cos_max) * jnp.float32(weight)
+                if mis:
+                    # Counterpart of the BSDF-hit weight above:
+                    # w_nee = p_nee^2 / (p_nee^2 + p_b^2)
+                    #       = 1 / (1 + (2 cos_i (1 - cos_max))^2).
+                    ratio = 2.0 * cos_i * (1.0 - cos_max)
+                    wgt = wgt / (1.0 + ratio * ratio)
+                wgt = wgt[..., None]
                 return jnp.where(
                     valid[..., None], result + throughput * albedo * le * wgt, result
                 )
@@ -337,6 +394,12 @@ def trace_path(
             prev_diffuse = scattered & (kind == LAMBERTIAN) & ~inside_any
         else:
             prev_diffuse = scattered & (kind == LAMBERTIAN)
+        if mis:
+            # Lambertian scatter dir is normal + unit vector (unnormalized);
+            # its cosine against the normal feeds the next bounce's w_b.
+            nd2 = jnp.maximum(jnp.sum(new_dir * new_dir, axis=-1), 1e-20)
+            cos_s = jnp.sum(new_dir * hit.normal, axis=-1) * jax.lax.rsqrt(nd2)
+            prev_cos = jnp.where(prev_diffuse, jnp.maximum(cos_s, 0.0), 0.0)
 
         if russian_roulette_depth > 0:
             # Unbiased stochastic termination: survive with p = max channel
@@ -362,11 +425,15 @@ def trace_path(
                 (live & survive)[..., None], throughput * scale[..., None], throughput
             )
             live = live & survive
+        if mis:
+            return o, d, throughput, result, live, prev_diffuse, prev_cos
         return o, d, throughput, result, live, prev_diffuse
 
-    o, d, throughput, result, live, _ = jax.lax.fori_loop(
-        0, max_depth, body, (origins, dirs, throughput, result, live, prev_diffuse0)
-    )
+    carry0 = (origins, dirs, throughput, result, live, prev_diffuse0)
+    if mis:
+        carry0 = carry0 + (jnp.zeros(batch_shape, jnp.float32),)
+    out = jax.lax.fori_loop(0, max_depth, body, carry0)
+    o, d, throughput, result, live = out[0], out[1], out[2], out[3], out[4]
 
     if parity:
         # Reference quirk: depth-exhausted rays still get sky * throughput

@@ -740,6 +740,7 @@ def _path_bounce(
     s_u32=None,
     frame_seed_u32=None,
     sampler_spec=None,
+    mis: bool = False,
 ):
     """One path-tracing bounce over a (R, 128) lane tile.
 
@@ -762,8 +763,15 @@ def _path_bounce(
     each ray the identical stream.
     """
     # live/prev-diffuse are carried as f32 masks: Mosaic rejects i1
-    # vectors in loop carries ("unsupported target bitwidth").
-    (ox, oy, oz, dx, dy, dz, tr, tg, tb_, rr, rg, rb, live_f, pd_f) = carry
+    # vectors in loop carries ("unsupported target bitwidth").  With MIS the
+    # carry gains ONE plane (appended last, so indices are stable): pc_f =
+    # cos(scatter dir, normal) at the previous diffuse vertex, whose BSDF
+    # pdf the emission weight needs.
+    if mis:
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb_, rr, rg, rb, live_f, pd_f,
+         pc_f) = carry
+    else:
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb_, rr, rg, rb, live_f, pd_f) = carry
     live = live_f > 0.5
     prev_diffuse = pd_f > 0.5
     (_, hit, px, py, pz, nx, ny, nz, front, ar, ag, ab, kp, pp) = _closest_hit(
@@ -786,14 +794,44 @@ def _path_bounce(
     rb = jnp.where(missed, rb + tb_ * skb * sky_s, rb)
 
     # Emissive surfaces radiate albedo * param and end the path.  Under
-    # NEE a BSDF ray from a diffuse surface must not re-count emission.
+    # NEE a BSDF ray from a diffuse surface must not re-count emission —
+    # unless MIS is on, where it counts at the power-heuristic weight
+    # against the same vertex's NEE cone sample instead (matches
+    # ops/integrators.trace_path; w_b = 1 / (1 + r^2),
+    # r = 1 / (2 (1 - cos_max) prev_cos), cone width from the prev vertex
+    # = the ray origin).
     is_emis = kp >= 2.5
     emis = live & hit & is_emis
-    if num_lights > 0:
+    w_emis = 1.0
+    if num_lights > 0 and mis:
+        one_minus_cm = jnp.zeros_like(pc_f)
+        matched_f = jnp.zeros_like(pc_f)
+        for l_mis in range(num_lights):
+            lcx = lights_ref[0, l_mis]
+            lcy = lights_ref[1, l_mis]
+            lcz = lights_ref[2, l_mis]
+            lr = lights_ref[3, l_mis]
+            dpx, dpy, dpz = px - lcx, py - lcy, pz - lcz
+            d2p = dpx * dpx + dpy * dpy + dpz * dpz
+            is_l = (matched_f < 0.5) & (
+                jnp.abs(d2p - lr * lr) <= 1e-2 * lr * lr + 1e-9
+            )
+            dox, doy, doz = ox - lcx, oy - lcy, oz - lcz
+            d2o = jnp.maximum(dox * dox + doy * doy + doz * doz, 1e-12)
+            cm = jnp.sqrt(jnp.clip(1.0 - (lr * lr) / d2o, 0.0, 1.0))
+            one_minus_cm = jnp.where(is_l, 1.0 - cm, one_minus_cm)
+            matched_f = jnp.where(is_l, 1.0, matched_f)
+        r_ratio = 1.0 / jnp.maximum(2.0 * one_minus_cm * pc_f, 1e-12)
+        w_emis = jnp.where(
+            prev_diffuse & (matched_f > 0.5),
+            1.0 / (1.0 + r_ratio * r_ratio),
+            1.0,
+        )
+    elif num_lights > 0:
         emis = emis & ~prev_diffuse
-    rr = jnp.where(emis, rr + tr * ar * pp, rr)
-    rg = jnp.where(emis, rg + tg * ag * pp, rg)
-    rb = jnp.where(emis, rb + tb_ * ab * pp, rb)
+    rr = jnp.where(emis, rr + tr * ar * (pp * w_emis), rr)
+    rg = jnp.where(emis, rg + tg * ag * (pp * w_emis), rg)
+    rb = jnp.where(emis, rb + tb_ * ab * (pp * w_emis), rb)
 
     if num_lights > 0:
         # Next-event estimation.  Per-lane light selection would need a
@@ -908,6 +946,12 @@ def _path_bounce(
             )
             valid = prevalid & ~blocked
             wgt = cos_i * 2.0 * (1.0 - cos_max) * jnp.float32(pick_weight)
+            if mis:
+                # w_nee = p_nee^2 / (p_nee^2 + p_b^2)
+                #       = 1 / (1 + (2 cos_i (1 - cos_max))^2); matches the
+                # BSDF-hit weight above so the pair sums to 1 per direction.
+                ratio = 2.0 * cos_i * (1.0 - cos_max)
+                wgt = wgt / (1.0 + ratio * ratio)
             rr = jnp.where(valid, rr + tr * ar * (ler * wgt), rr)
             rg = jnp.where(valid, rg + tg * ag * (leg * wgt), rg)
             rb = jnp.where(valid, rb + tb_ * ab * (leb * wgt), rb)
@@ -929,6 +973,12 @@ def _path_bounce(
         new_pd = scattered & (kp < 0.5) & ~inside_any
     else:
         new_pd = scattered & (kp < 0.5)
+    if mis:
+        # Lambertian scatter dir = normal + unit vector (unnormalized); its
+        # cosine against the normal feeds the next bounce's w_b.
+        sd2 = jnp.maximum(sx * sx + sy * sy + sz * sz, 1e-20)
+        cos_s = (sx * nx + sy * ny + sz * nz) * jax.lax.rsqrt(sd2)
+        pc_out = jnp.where(new_pd, jnp.maximum(cos_s, 0.0), 0.0)
     tr = jnp.where(scattered, tr * attr, tr)
     tg = jnp.where(scattered, tg * attg, tg)
     tb_ = jnp.where(scattered, tb_ * attb, tb_)
@@ -951,10 +1001,13 @@ def _path_bounce(
         tg = jnp.where(keep, tg * inv_p, tg)
         tb_ = jnp.where(keep, tb_ * inv_p, tb_)
         live_out = keep
-    return (
+    out = (
         ox, oy, oz, dx, dy, dz, tr, tg, tb_, rr, rg, rb,
         live_out.astype(jnp.float32), new_pd.astype(jnp.float32),
     )
+    if mis:
+        out = out + (pc_out,)
+    return out
 
 
 def _kernel(
@@ -979,6 +1032,7 @@ def _kernel(
     sampler_spec: tuple | None = None,
     adaptive_tol: float = 0.0,
     adaptive_min_spp: int = 8,
+    mis: bool = False,
 ):
     """One (TILE_ROWS x 128)-pixel image tile: ray gen -> trace -> write.
 
@@ -1085,7 +1139,7 @@ def _kernel(
             mesh_smooth=mesh_smooth, sky_intensity=sky_intensity,
             num_lights=num_lights, rr_depth=rr_depth,
             pid=pid, s_u32=s_u32, frame_seed_u32=frame_seed_u32,
-            sampler_spec=sampler_spec,
+            sampler_spec=sampler_spec, mis=mis,
         )
 
         ones = jnp.ones(shape, jnp.float32)
@@ -1095,6 +1149,8 @@ def _kernel(
             ox, oy, oz, dx, dy, dz, ones, ones, ones, zeros, zeros, zeros, ones,
             zeros,
         )
+        if mis:
+            carry = carry + (zeros,)  # prev_cos (appended last; indices stable)
 
         def cond(c):
             # Tile-level early exit: stop as soon as every ray in the tile has
@@ -1231,6 +1287,7 @@ def render_pallas(
     adaptive_tol: float = 0.0,
     adaptive_min_spp: int = 8,
     return_spp_map: bool = False,
+    mis: bool = False,
 ) -> Array:
     """Render spp samples fully on-chip; returns the (height, width, 3) RGB
     mean.  Sample s of the call uses stream index `sample_index + s`, so one
@@ -1263,6 +1320,8 @@ def render_pallas(
 
     if spp < 1:
         raise ValueError(f"spp must be >= 1, got {spp}")  # avoids 0/0 NaN
+    if mis and not nee:
+        raise ValueError("mis=True is a weighting of NEE; it requires nee=True")
     sc = as_scene(scene_or_spheres)
     spheres = sc.spheres
     if sc.mesh is not None:
@@ -1343,6 +1402,12 @@ def render_pallas(
                 "list covers spheres only); use sphere lights or nee=False"
             )
         num_lights = sc.lights.count
+        if mis and num_lights > 4:
+            raise ValueError(
+                "mis=True supports the <= 4-light deterministic NEE loop "
+                "only (the > 4-light picked-light estimator keeps the "
+                "binary emission exclusion)"
+            )
         in_specs += [smem((8, num_lights))]
         args += [lights_planes(sc.lights)]
 
@@ -1357,6 +1422,7 @@ def render_pallas(
         sampler_spec=sampler_spec,
         adaptive_tol=float(adaptive_tol),
         adaptive_min_spp=adaptive_min_spp,
+        mis=mis and num_lights > 0,
     )
     out_specs = [tile_spec, tile_spec, tile_spec]
     out_shapes = [out_shape, out_shape, out_shape]

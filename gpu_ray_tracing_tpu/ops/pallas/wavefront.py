@@ -97,6 +97,7 @@ def _wf_kernel(
     mesh_smooth: bool,
     regen: bool = False,
     sampler_spec: tuple | None = None,
+    mis: bool = False,
 ):
     """One path bounce over a (tile_rows, 128) tile of compacted rays.
 
@@ -125,18 +126,20 @@ def _wf_kernel(
     else:
         pid_ref = rest[0]
         rest = rest[1:]
-    (oxr, oyr, ozr, dxr, dyr, dzr, trr, tgr, tbr, pdr, lvr) = rest[:11]
-    outs = rest[11:]  # 11 state outs + 3 radiance deltas
+    n_state = 12 if mis else 11  # MIS appends prev_cos LAST (stable indices)
+    state_refs = rest[:n_state]
+    (oxr, oyr, ozr, dxr, dyr, dzr, trr, tgr, tbr, pdr, lvr) = state_refs[:11]
+    outs = rest[n_state:]  # n_state state outs + 3 radiance deltas
 
     live_f = lvr[:]
 
     # Default: passthrough state, zero radiance.  After live-first
     # compaction the dead tail is contiguous, so these tiles cost only the
     # VMEM copies below.
-    for o, r in zip(outs[:11], (oxr, oyr, ozr, dxr, dyr, dzr, trr, tgr, tbr, pdr, lvr)):
+    for o, r in zip(outs[:n_state], state_refs):
         o[:] = r[:]
     zero = jnp.zeros(live_f.shape, jnp.float32)
-    for o in outs[11:]:
+    for o in outs[n_state:]:
         o[:] = zero
 
     frame_seed_u32 = ints_ref[0, 1].astype(jnp.uint32)
@@ -157,6 +160,8 @@ def _wf_kernel(
             zero, zero, zero,  # radiance starts at 0 -> outputs are deltas
             live_f, pdr[:],
         )
+        if mis:
+            carry = carry + (state_refs[11][:],)  # prev_cos
         out = _path_bounce(
             i_b, carry,
             seeds=seeds, scene_ref=scene_ref, lights_ref=lights_ref,
@@ -166,15 +171,15 @@ def _wf_kernel(
             mesh_smooth=mesh_smooth, sky_intensity=sky_intensity,
             num_lights=num_lights, rr_depth=rr_depth,
             pid=pid_u32, s_u32=s_u32, frame_seed_u32=frame_seed_u32,
-            sampler_spec=sampler_spec,
+            sampler_spec=sampler_spec, mis=mis,
         )
-        # out: ox..dz, tr..tb, rad r/g/b, live_f, pd_f
-        for o, v in zip(
-            outs,
-            (out[0], out[1], out[2], out[3], out[4], out[5],
-             out[6], out[7], out[8], out[13], out[12],
-             out[9], out[10], out[11]),
-        ):
+        # out: ox..dz, tr..tb, rad r/g/b, live_f, pd_f[, pc_f]
+        vals = (out[0], out[1], out[2], out[3], out[4], out[5],
+                out[6], out[7], out[8], out[13], out[12])
+        if mis:
+            vals = vals + (out[14],)
+        vals = vals + (out[9], out[10], out[11])
+        for o, v in zip(outs, vals):
             o[:] = v
 
 
@@ -256,6 +261,7 @@ def render_wavefront(
     regenerate: bool = False,
     refill_threshold: float = 0.25,
     sampler_spec: tuple | None = None,
+    mis: bool = False,
 ) -> Array:
     """Path-trace spp samples with per-bounce ray compaction; returns the
     (height, width, 3) RGB mean.  Draw-for-draw the same image as the
@@ -294,6 +300,8 @@ def render_wavefront(
         )
     if spp < 1:
         raise ValueError(f"spp must be >= 1, got {spp}")  # avoids img/0 NaN
+    if mis and not nee:
+        raise ValueError("mis=True is a weighting of NEE; it requires nee=True")
     sc = as_scene(scene_or_spheres)
     spheres = sc.spheres
     if sc.mesh is not None:
@@ -351,12 +359,20 @@ def render_wavefront(
                 "list covers spheres only); use sphere lights or nee=False"
             )
         num_lights = sc.lights.count
+        if mis and num_lights > 4:
+            raise ValueError(
+                "mis=True supports the <= 4-light deterministic NEE loop "
+                "only (the > 4-light picked-light estimator keeps the "
+                "binary emission exclusion)"
+            )
         in_specs += [smem((8, num_lights))]
         static_args += [lights_planes(sc.lights)]
-    in_specs += [tile] * (14 if regenerate else 12)
-    out_specs = tuple([tile] * 14)
+    mis = mis and num_lights > 0
+    n_state = 12 if mis else 11  # prev_cos appended last under MIS
+    in_specs += [tile] * (n_state + (3 if regenerate else 1))
+    out_specs = tuple([tile] * (n_state + 3))
     plane = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
-    out_shape = tuple([plane] * 14)
+    out_shape = tuple([plane] * (n_state + 3))
 
     kernel = functools.partial(
         _wf_kernel,
@@ -364,7 +380,7 @@ def render_wavefront(
         t_min=float(t_min), t_max=float(t_max),
         rr_depth=russian_roulette_depth, sky_intensity=float(sky_intensity),
         num_lights=num_lights, mesh_smooth=has_mesh and sc.mesh.smooth,
-        regen=regenerate, sampler_spec=sampler_spec,
+        regen=regenerate, sampler_spec=sampler_spec, mis=mis,
     )
     bounce_call = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
@@ -399,7 +415,7 @@ def render_wavefront(
             compact_threshold=compact_threshold,
             refill_threshold=refill_threshold,
             y_offset=y_offset, total_width=tw, row_stride=row_stride,
-            sampler_spec=sampler_spec,
+            sampler_spec=sampler_spec, mis=mis,
         )
 
     def one_sample(s_u32):
@@ -420,6 +436,8 @@ def render_wavefront(
             jnp.zeros((rows, 128), jnp.float32),  # prev_diffuse
             pad_live,
         )
+        if mis:
+            state = state + (jnp.zeros((rows, 128), jnp.float32),)  # prev_cos
         rad = (jnp.zeros((rows, 128), jnp.float32),) * 3
 
         def cond(c):
@@ -434,12 +452,12 @@ def render_wavefront(
                 jnp.int32,
             ).reshape(1, 4)
             res = bounce_call(ints, *static_args, *state)
-            new_state = (state[0],) + tuple(res[:11])
+            new_state = (state[0],) + tuple(res[:n_state])
             # Radiance rides in permuted ray order (elementwise add, fused);
             # one row un-permute at sample end puts it back in image order.
             # (Per-bounce element scatters to image order cost ~25 ms each on
             # TPU — measured — which is why they don't exist here.)
-            rad = tuple(r + d for r, d in zip(rad, res[11:]))
+            rad = tuple(r + d for r, d in zip(rad, res[n_state:]))
             # Live-first compaction at ROW granularity (128 rays): whole-row
             # gathers are the only permutation shape the TPU moves at
             # bandwidth (element-level gathers measured 180x slower).  The
@@ -509,6 +527,7 @@ def _run_regen(
     total_width: int,
     row_stride: Array | int = 1,
     sampler_spec: tuple | None = None,
+    mis: bool = False,
 ) -> Array:
     """Ray-regeneration wavefront loop: one persistent pool over all samples.
 
@@ -571,6 +590,8 @@ def _run_regen(
             d[..., 0], d[..., 1], d[..., 2],
             one, one, one, zero, live,
         )
+        if mis:
+            state = state + (zero,)  # prev_cos (appended last)
         return pid, smp, jnp.zeros((rows, 128), jnp.int32), state
 
     row_ids = jnp.arange(rows, dtype=jnp.int32)
@@ -584,16 +605,17 @@ def _run_regen(
 
     def body(c):
         nxt, _, pid, smp, bnc, state, blk, img = c
+        n_state = 12 if mis else 11
         res = bounce_call(ints, *static_args, pid, smp, bnc, *state)
-        state = tuple(res[:11])
+        state = tuple(res[:n_state])
         # Pool-order radiance accumulation: one whole-row scatter-add per
         # bounce into the image-order accumulator (dead/empty rows emit
         # zeros; emptied slots scatter out of bounds and are dropped).
         idx = jnp.where(blk >= 0, blk % bpf, bpf)
-        img = tuple(a.at[idx].add(d, mode="drop") for a, d in zip(img, res[11:]))
+        img = tuple(a.at[idx].add(d, mode="drop") for a, d in zip(img, res[n_state:]))
         bnc = bnc + 1
         live_pl = jnp.where(bnc >= max_depth, 0.0, state[10])
-        state = state[:10] + (live_pl,)
+        state = state[:10] + (live_pl,) + state[11:]
         live_rows = jnp.max(live_pl, axis=1)
         frac_live = jnp.mean((live_rows > 0.5).astype(jnp.float32))
 

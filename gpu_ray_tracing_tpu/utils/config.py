@@ -75,6 +75,15 @@ class RenderConfig:
     # a pure BSDF-sampling tracer.
     nee: bool = False
 
+    # Multiple importance sampling (requires nee=True, <= 4 lights): instead
+    # of dropping BSDF-ray emission hits after a diffuse vertex, weight them
+    # against the same vertex's NEE cone sample with the power heuristic
+    # (beta=2), and weight the NEE term symmetrically.  Same integral, lower
+    # variance where the light is large/close (the regime where cone
+    # sampling is noisier than cosine BSDF rays); never worse than the
+    # better single strategy.  Costs one extra carried plane per ray.
+    mis: bool = False
+
     # Sample-generation strategy for the four stratifiable dimension pairs
     # (AA jitter, thin-lens point, first-bounce scatter, first-bounce NEE):
     #   'independent' = one independent uniform draw per sample per pair
@@ -149,6 +158,8 @@ class RenderConfig:
                 "points are addressed by absolute sample index, which "
                 "threefry keys and the wgsl parity chain don't carry)"
             )
+        if self.mis and not self.nee:
+            raise ValueError("mis=True is a weighting of NEE; it requires nee=True")
         if self.adaptive_tol < 0.0:
             raise ValueError(f"adaptive_tol must be >= 0, got {self.adaptive_tol}")
         if self.adaptive_tol > 0.0 and self.backend != "pallas":

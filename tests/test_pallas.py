@@ -477,3 +477,36 @@ def test_adaptive_rejected_for_progressive_and_sharded():
     with pytest.raises(ValueError, match="adaptive"):
         render_sharded(scene, BASE_CAMERA, cfg, make_mesh(4, 2),
                        frame_seed=jnp.uint32(0))
+
+
+def test_mis_matches_across_engines():
+    """nee+mis: the MIS weights live in the shared bounce physics; the
+    engines must agree (the extra prev_cos plane is appended LAST so the
+    mis=False programs are byte-identical to before)."""
+    from gpu_ray_tracing_tpu import make_scene
+    from gpu_ray_tracing_tpu.models.spheres import (
+        EMISSIVE, LAMBERTIAN, METAL, make_spheres,
+    )
+
+    scene = make_scene(make_spheres([
+        ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.7, 0.7, 0.7), 0.0),
+        ((-0.6, 0.35, -2.2), 0.35, LAMBERTIAN, (0.8, 0.3, 0.3), 0.0),
+        ((0.6, 0.3, -2.0), 0.3, METAL, (0.8, 0.8, 0.9), 0.1),
+        ((0.0, 1.6, -2.0), 1.2, EMISSIVE, (1.0, 0.9, 0.7), 2.0),
+    ]))
+    imgs = {}
+    for be in ("jax", "pallas", "wavefront"):
+        cfg = _cfg(width=48, height=32, spp=4, max_depth=5, backend=be,
+                   nee=True, mis=True, sky_intensity=0.0)
+        imgs[be] = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(5)))
+        assert np.isfinite(imgs[be]).all(), be
+    # 1-ULP tolerance for the CPU interpret path's fusion differences
+    # (bitwise-equal on real TPU, verified); any estimator divergence
+    # would be orders of magnitude larger.
+    np.testing.assert_allclose(imgs["pallas"], imgs["wavefront"], rtol=1e-5, atol=1e-6)
+    assert_images_match(imgs["jax"], imgs["pallas"], flip_frac=0.02, mean_tol=2e-3)
+    # The regenerating pool carries the prev_cos plane through refills too.
+    cfg_r = _cfg(width=48, height=32, spp=4, max_depth=5, backend="wavefront",
+                 nee=True, mis=True, sky_intensity=0.0, regenerate="on")
+    img_r = np.asarray(render(scene, BASE_CAMERA, cfg_r, frame_seed=jnp.uint32(5)))
+    np.testing.assert_allclose(img_r, imgs["wavefront"], rtol=1e-5, atol=1e-5)
