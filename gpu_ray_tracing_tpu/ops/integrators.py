@@ -56,6 +56,26 @@ def shade_normals(
     return jnp.where(hit.hit[..., None], lit, sky_color(dirs))
 
 
+def _one_minus_cos_max(r2, d2):
+    """1 - cos(half-angle) of the cone a radius^2-r2 sphere subtends at
+    squared distance d2, in the cancellation-free form
+    (r2/d2) / (1 + sqrt(1 - r2/d2)).
+
+    The naive 1 - sqrt(1 - r2/d2) underflows to exactly 0 once r2/d2 drops
+    below ~1 ulp (a light further than ~4000 radii), silently deleting the
+    light's whole NEE contribution; this form degrades gracefully to
+    r2/(2 d2).  The sqrt argument is floored at a tiny positive value so
+    the clip->sqrt chain cannot emit NaN GRADIENTS for lanes whose vertex
+    sits inside the sphere (0 * inf through the sqrt VJP; such lanes are
+    masked by value, but masking alone does not stop NaN cotangents).
+    """
+    q = r2 / d2
+    # min with 1: inside the sphere (q > 1) the cone is undefined and every
+    # consumer masks such lanes by value — keep the plane in the old [0, 1]
+    # range rather than letting q blow up near d2 ~ 0.
+    return jnp.minimum(q / (1.0 + jnp.sqrt(jnp.clip(1.0 - q, 1e-12, 1.0))), 1.0)
+
+
 def trace_path(
     origins: Array,
     dirs: Array,
@@ -227,14 +247,20 @@ def trace_path(
                     jnp.abs(d2p - r_l * r_l) <= 1e-2 * r_l * r_l + 1e-9
                 )
                 d2o = jnp.maximum(jnp.sum((o - c_l) ** 2, axis=-1), 1e-12)
-                cm = jnp.sqrt(jnp.clip(1.0 - (r_l * r_l) / d2o, 0.0, 1.0))
-                one_minus_cm = jnp.where(is_l, 1.0 - cm, one_minus_cm)
+                one_minus_cm = jnp.where(
+                    is_l, _one_minus_cos_max(r_l * r_l, d2o), one_minus_cm
+                )
                 matched = matched | is_l
             r_ratio = 1.0 / jnp.maximum(
                 2.0 * one_minus_cm * prev_cos, 1e-12
             )
+            # Unmatched emissive hits (fp tolerance miss) fall back to the
+            # binary EXCLUSION, never to weight 1: the NEE term already
+            # sampled that light, so weight 1 would double count.
             w_emis = jnp.where(
-                prev_diffuse & matched, 1.0 / (1.0 + r_ratio * r_ratio), 1.0
+                prev_diffuse,
+                jnp.where(matched, 1.0 / (1.0 + r_ratio * r_ratio), 0.0),
+                1.0,
             )
             result = jnp.where(
                 emissive[..., None],
@@ -310,8 +336,8 @@ def trace_path(
                 d2 = jnp.sum(dc * dc, axis=-1)
                 d2s = jnp.maximum(d2, 1e-12)
                 inside = d2 <= lr * lr * 1.0001
-                cos_max = jnp.sqrt(jnp.clip(1.0 - (lr * lr) / d2s, 0.0, 1.0))
-                cos_t = 1.0 - u1n * (1.0 - cos_max)
+                omc = _one_minus_cos_max(lr * lr, d2s)
+                cos_t = 1.0 - u1n * omc
                 sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
                 phi = u2n * jnp.float32(2.0 * jnp.pi)
                 wl = dc / jnp.sqrt(d2s)[..., None]
@@ -342,13 +368,18 @@ def trace_path(
                 visible = shadow_t >= t_l * (1.0 - 1e-3)
 
                 valid = nee_ok & (cos_i > 0.0) & ~inside & (disc_l > 0.0) & visible
-                wgt = cos_i * 2.0 * (1.0 - cos_max) * jnp.float32(weight)
+                wgt = cos_i * 2.0 * omc * jnp.float32(weight)
                 if mis:
                     # Counterpart of the BSDF-hit weight above:
                     # w_nee = p_nee^2 / (p_nee^2 + p_b^2)
                     #       = 1 / (1 + (2 cos_i (1 - cos_max))^2).
-                    ratio = 2.0 * cos_i * (1.0 - cos_max)
-                    wgt = wgt / (1.0 + ratio * ratio)
+                    # The LAST bounce keeps w_nee = 1: its BSDF counterpart
+                    # ray is never traced (exhausted rays contribute black),
+                    # so down-weighting it would lose that fraction of the
+                    # vertex's direct light (depth-truncation bias).
+                    ratio = 2.0 * cos_i * omc
+                    last = jnp.asarray(i, jnp.int32) == max_depth - 1
+                    wgt = jnp.where(last, wgt, wgt / (1.0 + ratio * ratio))
                 wgt = wgt[..., None]
                 return jnp.where(
                     valid[..., None], result + throughput * albedo * le * wgt, result

@@ -48,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gpu_ray_tracing_tpu.models.spheres import Spheres
 from gpu_ray_tracing_tpu.ops import rng as rng_ops
+from gpu_ray_tracing_tpu.ops.integrators import _one_minus_cos_max
 
 Array = jax.Array
 
@@ -741,6 +742,7 @@ def _path_bounce(
     frame_seed_u32=None,
     sampler_spec=None,
     mis: bool = False,
+    max_depth: int = 0,  # only read under mis (last-bounce NEE exemption)
 ):
     """One path-tracing bounce over a (R, 128) lane tile.
 
@@ -818,13 +820,16 @@ def _path_bounce(
             )
             dox, doy, doz = ox - lcx, oy - lcy, oz - lcz
             d2o = jnp.maximum(dox * dox + doy * doy + doz * doz, 1e-12)
-            cm = jnp.sqrt(jnp.clip(1.0 - (lr * lr) / d2o, 0.0, 1.0))
-            one_minus_cm = jnp.where(is_l, 1.0 - cm, one_minus_cm)
+            one_minus_cm = jnp.where(
+                is_l, _one_minus_cos_max(lr * lr, d2o), one_minus_cm
+            )
             matched_f = jnp.where(is_l, 1.0, matched_f)
         r_ratio = 1.0 / jnp.maximum(2.0 * one_minus_cm * pc_f, 1e-12)
+        # Unmatched emissive hits fall back to the binary EXCLUSION (the
+        # NEE term already sampled that light; weight 1 would double count).
         w_emis = jnp.where(
-            prev_diffuse & (matched_f > 0.5),
-            1.0 / (1.0 + r_ratio * r_ratio),
+            prev_diffuse,
+            jnp.where(matched_f > 0.5, 1.0 / (1.0 + r_ratio * r_ratio), 0.0),
             1.0,
         )
     elif num_lights > 0:
@@ -906,8 +911,8 @@ def _path_bounce(
             d2s = jnp.maximum(d2, 1e-12)
             inv_dl = jax.lax.rsqrt(d2s)
             wlx, wly, wlz = dcx * inv_dl, dcy * inv_dl, dcz * inv_dl
-            cos_max = jnp.sqrt(jnp.clip(1.0 - (lrad * lrad) / d2s, 0.0, 1.0))
-            cos_t = 1.0 - u1n * (1.0 - cos_max)
+            omc = _one_minus_cos_max(lrad * lrad, d2s)
+            cos_t = 1.0 - u1n * omc
             sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
             phi = u2n * jnp.float32(2.0 * jnp.pi)
             # Orthonormal basis around wl; cross(a, wl), a = (axx, axy, 0).
@@ -945,13 +950,17 @@ def _path_bounce(
                 mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
             )
             valid = prevalid & ~blocked
-            wgt = cos_i * 2.0 * (1.0 - cos_max) * jnp.float32(pick_weight)
+            wgt = cos_i * 2.0 * omc * jnp.float32(pick_weight)
             if mis:
                 # w_nee = p_nee^2 / (p_nee^2 + p_b^2)
                 #       = 1 / (1 + (2 cos_i (1 - cos_max))^2); matches the
                 # BSDF-hit weight above so the pair sums to 1 per direction.
-                ratio = 2.0 * cos_i * (1.0 - cos_max)
-                wgt = wgt / (1.0 + ratio * ratio)
+                # The LAST bounce keeps w_nee = 1: its BSDF counterpart is
+                # never traced (depth-truncation bias otherwise); matches
+                # trace_path.
+                ratio = 2.0 * cos_i * omc
+                last = jnp.asarray(i_b, jnp.int32) == max_depth - 1
+                wgt = jnp.where(last, wgt, wgt / (1.0 + ratio * ratio))
             rr = jnp.where(valid, rr + tr * ar * (ler * wgt), rr)
             rg = jnp.where(valid, rg + tg * ag * (leg * wgt), rg)
             rb = jnp.where(valid, rb + tb_ * ab * (leb * wgt), rb)
@@ -1139,7 +1148,7 @@ def _kernel(
             mesh_smooth=mesh_smooth, sky_intensity=sky_intensity,
             num_lights=num_lights, rr_depth=rr_depth,
             pid=pid, s_u32=s_u32, frame_seed_u32=frame_seed_u32,
-            sampler_spec=sampler_spec, mis=mis,
+            sampler_spec=sampler_spec, mis=mis, max_depth=max_depth,
         )
 
         ones = jnp.ones(shape, jnp.float32)

@@ -98,6 +98,7 @@ def _wf_kernel(
     regen: bool = False,
     sampler_spec: tuple | None = None,
     mis: bool = False,
+    max_depth: int = 0,  # only read under mis (last-bounce NEE exemption)
 ):
     """One path bounce over a (tile_rows, 128) tile of compacted rays.
 
@@ -171,7 +172,7 @@ def _wf_kernel(
             mesh_smooth=mesh_smooth, sky_intensity=sky_intensity,
             num_lights=num_lights, rr_depth=rr_depth,
             pid=pid_u32, s_u32=s_u32, frame_seed_u32=frame_seed_u32,
-            sampler_spec=sampler_spec, mis=mis,
+            sampler_spec=sampler_spec, mis=mis, max_depth=max_depth,
         )
         # out: ox..dz, tr..tb, rad r/g/b, live_f, pd_f[, pc_f]
         vals = (out[0], out[1], out[2], out[3], out[4], out[5],
@@ -381,6 +382,7 @@ def render_wavefront(
         rr_depth=russian_roulette_depth, sky_intensity=float(sky_intensity),
         num_lights=num_lights, mesh_smooth=has_mesh and sc.mesh.smooth,
         regen=regenerate, sampler_spec=sampler_spec, mis=mis,
+        max_depth=max_depth,
     )
     bounce_call = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,

@@ -435,3 +435,86 @@ def test_mis_validation():
     with pytest.raises(ValueError, match="mis"):
         trace_path(
             o, d, base_scene(), 2, 1e-3, 3.4e35, pixel_seeds=seeds, mis=True)
+
+
+def test_mis_no_depth_truncation_bias():
+    """The last bounce's NEE term keeps weight 1 (its BSDF counterpart ray
+    is never traced), so shallow-depth MIS must not render darker than
+    plain NEE — with the naive weight the huge-light scene lost ~tens of
+    percent of the final vertex's direct light at depth 2."""
+    from gpu_ray_tracing_tpu.models.spheres import EMISSIVE
+    from gpu_ray_tracing_tpu.ops import rays as rays_ops
+
+    scene, cam = _mis_scene_and_cam(
+        ((0.0, 3.1, -2.0), 3.0, EMISSIVE, (1.0, 0.9, 0.7), 1.0))
+
+    def mean_at_depth2(mis):
+        acc = 0.0
+        for s in range(64):
+            o, d, seeds = rays_ops.generate_rays_hash(
+                cam, 48, 32, jnp.uint32(s), jnp.uint32(0))
+            acc += float(np.asarray(trace_path(
+                o, d, scene, 2, 1e-3, 3.4e35, pixel_seeds=seeds,
+                sky_intensity=0.0, nee=True, mis=mis)).mean())
+        return acc / 64
+
+    m_nee = mean_at_depth2(False)
+    m_mis = mean_at_depth2(True)
+    assert abs(m_mis - m_nee) < 0.02 * m_nee, (m_mis, m_nee)
+
+
+def test_nee_distant_light_no_underflow():
+    """1 - cos_max computed in the cancellation-free form: a small light
+    ~5000 radii away must still illuminate diffuse surfaces under NEE (the
+    naive 1 - sqrt(1 - r^2/d^2) underflows to 0 there, deleting the light's
+    whole contribution while BSDF-hit emission stays suppressed)."""
+    from gpu_ray_tracing_tpu.models.spheres import EMISSIVE
+    from gpu_ray_tracing_tpu.ops import rays as rays_ops
+
+    # r=0.15 at distance ~750 -> r^2/d^2 ~ 4e-8 < f32 ulp of 1.0.
+    scene, cam = _mis_scene_and_cam(
+        ((300.0, 650.0, -200.0), 0.15, EMISSIVE, (1.0, 1.0, 1.0), 4e8))
+    o, d, seeds = rays_ops.generate_rays_hash(cam, 48, 32, jnp.uint32(0), jnp.uint32(3))
+    img_nee = np.asarray(trace_path(
+        o, d, scene, 3, 1e-3, 3.4e35, pixel_seeds=seeds,
+        sky_intensity=0.0, nee=True))
+    assert np.isfinite(img_nee).all()
+    assert img_nee.mean() > 1e-3, img_nee.mean()  # the sun actually shines
+
+
+def test_mis_gradients_finite_with_overlapping_light():
+    """grad through nee+mis with a diffuse sphere OVERLAPPING the light
+    volume (vertices inside the light exercise the guarded sqrt in the
+    cone-width computation; the naive clip->sqrt chain emitted NaN
+    cotangents there)."""
+    import dataclasses
+
+    from gpu_ray_tracing_tpu import make_scene
+    from gpu_ray_tracing_tpu.models.camera import CameraSettings, derive_camera
+    from gpu_ray_tracing_tpu.models.spheres import EMISSIVE, make_spheres
+    from gpu_ray_tracing_tpu.ops import rays as rays_ops
+
+    scene = make_scene(make_spheres([
+        ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.7, 0.7, 0.7), 0.0),
+        ((-0.6, 0.35, -2.2), 0.35, LAMBERTIAN, (0.8, 0.3, 0.3), 0.0),
+        ((0.0, 1.6, -2.0), 1.2, EMISSIVE, (1.0, 0.9, 0.7), 2.0),  # overlaps
+    ]))
+    cam = derive_camera(CameraSettings(
+        look_from=jnp.asarray([0.0, 0.6, 1.0]),
+        look_at=jnp.asarray([0.0, 0.4, -2.0]),
+        vup=jnp.asarray([0.0, 1.0, 0.0]),
+        field_of_view=jnp.float32(55.0),
+        defocus_angle=jnp.float32(0.0),
+        focus_distance=jnp.float32(3.0)), 32, 24)
+
+    def loss(albedo):
+        s = dataclasses.replace(
+            scene, spheres=dataclasses.replace(scene.spheres, albedo=albedo))
+        o, d, seeds = rays_ops.generate_rays_hash(cam, 32, 24, jnp.uint32(0), jnp.uint32(1))
+        img = trace_path(o, d, s, 4, 1e-3, 3.4e35, pixel_seeds=seeds,
+                         sky_intensity=0.0, nee=True, mis=True)
+        return jnp.mean(img)
+
+    g = np.asarray(jax.grad(loss)(scene.spheres.albedo))
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0.0
