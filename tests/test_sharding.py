@@ -257,3 +257,22 @@ def test_sharded_sobol_sampler_matches_unsharded(scene):
     a = np.asarray(render_sharded(scene, BASE_CAMERA, cfg, mesh, frame_seed=jnp.uint32(5)))
     b = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(5)))
     assert_images_match(a, b)
+
+
+def test_sharded_mis_matches_unsharded():
+    """nee+mis under row x spp sharding: the MIS weights are elementwise
+    functions of per-lane state carried within each shard, so the sharded
+    image must match the unsharded render."""
+    from gpu_ray_tracing_tpu import make_scene
+    from gpu_ray_tracing_tpu.models.spheres import EMISSIVE, LAMBERTIAN, make_spheres
+
+    sc = make_scene(make_spheres([
+        ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.7, 0.7, 0.7), 0.0),
+        ((-0.6, 0.35, -2.2), 0.35, LAMBERTIAN, (0.8, 0.3, 0.3), 0.0),
+        ((0.0, 1.6, -2.0), 1.2, EMISSIVE, (1.0, 0.9, 0.7), 2.0),
+    ]))
+    mesh = make_mesh(4, 2)
+    cfg = _cfg(spp=4, max_depth=4, nee=True, mis=True, sky_intensity=0.0)
+    a = np.asarray(render_sharded(sc, BASE_CAMERA, cfg, mesh, frame_seed=jnp.uint32(5)))
+    b = np.asarray(render(sc, BASE_CAMERA, cfg, frame_seed=jnp.uint32(5)))
+    assert_images_match(a, b)
