@@ -94,8 +94,13 @@ def _trace_chunked(
     spec = config.sampler_spec if pixel_seeds is not None else None
 
     def trace(o, d, seeds, ids=None, **extra):
-        if config.integrator == "normal":
-            return integrators.shade_normals(o, d, spheres, config.t_min, config.t_max)
+        if config.integrator != "path":
+            aov = {
+                "normal": integrators.shade_normals,
+                "albedo": integrators.shade_albedo,
+                "depth": integrators.shade_depth,
+            }[config.integrator]
+            return aov(o, d, spheres, config.t_min, config.t_max)
         return integrators.trace_path(
             o, d, spheres, config.max_depth, config.t_min, config.t_max,
             parity=config.parity, pixel_seeds=seeds,
@@ -175,7 +180,7 @@ def _dispatch_kernel_render(
     """
     w = config.width
     h = config.height if height is None else height
-    if config.backend == "wavefront" and config.integrator != "normal":
+    if config.backend == "wavefront" and config.integrator == "path":
         from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
 
         return render_wavefront(
@@ -203,7 +208,7 @@ def _dispatch_kernel_render(
         sample_index=sample_index, frame_seed=frame_seed,
         max_depth=config.max_depth, t_min=config.t_min,
         t_max=config.t_max,
-        mode="normal" if config.integrator == "normal" else "path",
+        mode=config.integrator,
         russian_roulette_depth=config.russian_roulette_depth,
         sky_intensity=config.sky_intensity, nee=config.nee,
         mis=config.mis,

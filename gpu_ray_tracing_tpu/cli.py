@@ -44,7 +44,10 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--spp", type=int, default=16)
     ap.add_argument("--depth", type=int, default=30)
-    ap.add_argument("--integrator", default="path", choices=["path", "normal"])
+    ap.add_argument("--integrator", default="path",
+                    choices=["path", "normal", "albedo", "depth"],
+                    help="albedo/depth render first-hit AOV guide "
+                         "channels (e.g. for external denoisers)")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "jax", "pallas", "wavefront"])
     ap.add_argument("--rng", default="hash", choices=["hash", "wgsl", "threefry"])

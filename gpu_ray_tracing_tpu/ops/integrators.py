@@ -56,6 +56,40 @@ def shade_normals(
     return jnp.where(hit.hit[..., None], lit, sky_color(dirs))
 
 
+def shade_albedo(
+    origins: Array,
+    dirs: Array,
+    scene,
+    t_min: float,
+    t_max: float,
+) -> Array:
+    """First-hit albedo AOV (denoiser guide channel): the hit material's
+    stored albedo, or the sky color on miss (so the AOV matches the beauty
+    pass's background)."""
+    from gpu_ray_tracing_tpu.models.scene import as_scene, intersect_scene
+
+    hit, albedo, _, _ = intersect_scene(origins, dirs, as_scene(scene), t_min, t_max)
+    return jnp.where(hit.hit[..., None], albedo, sky_color(dirs))
+
+
+def shade_depth(
+    origins: Array,
+    dirs: Array,
+    scene,
+    t_min: float,
+    t_max: float,
+) -> Array:
+    """First-hit METRIC distance AOV, broadcast to 3 channels; 0 on miss.
+
+    Ray directions are unnormalized (wgsl:322 convention), so the ray
+    parameter t is scaled by |d| to give scene-unit distance."""
+    from gpu_ray_tracing_tpu.models.scene import as_scene, intersect_scene
+
+    hit, _, _, _ = intersect_scene(origins, dirs, as_scene(scene), t_min, t_max)
+    dist = jnp.where(hit.hit, hit.t * jnp.linalg.norm(dirs, axis=-1), 0.0)
+    return jnp.broadcast_to(dist[..., None], (*dist.shape, 3))
+
+
 def _one_minus_cos_max(r2, d2):
     """1 - cos(half-angle) of the cone a radius^2-r2 sphere subtends at
     squared distance d2, in the cancellation-free form

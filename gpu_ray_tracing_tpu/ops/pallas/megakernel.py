@@ -108,7 +108,9 @@ NORMAL_MODE_TILE_ROWS = int(_TILE_ROWS_ENV) if _TILE_ROWS_ENV else 64
 
 def _tile_rows_for(mode: str) -> int:
     """Tile height for an integrator mode (env GRT_TILE_ROWS forces both)."""
-    return NORMAL_MODE_TILE_ROWS if mode == "normal" else TILE_ROWS
+    # Every bounce-free AOV mode shares the taller normal-mode tiles (no
+    # early-exit granularity to protect).
+    return TILE_ROWS if mode == "path" else NORMAL_MODE_TILE_ROWS
 
 
 def scene_planes(spheres: Spheres) -> Array:
@@ -1126,13 +1128,27 @@ def _kernel(
         oz = cam(2) + lens * (pxd * cam(14) + pyd * cam(17))
         dx, dy, dz = pcx - ox, pcy - oy, pcz - oz  # not normalized (wgsl:322)
 
-        if mode == "normal":
-            _, hit, _, _, _, nx, ny, nz, _, _, _, _, _, _ = _closest_hit(
+        if mode != "path":
+            # Bounce-free AOV modes share one closest-hit: 'normal' shading
+            # (BASELINE config 1), first-hit 'albedo' and metric 'depth'
+            # (denoiser guide channels; matches ops/integrators.shade_*).
+            t_hit, hit, _, _, _, nx, ny, nz, _, ar, ag, ab, _, _ = _closest_hit(
                 scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
                 mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
                 mesh_smooth=mesh_smooth,
             )
             skr, skg, skb = _sky(dx, dy, dz)
+            if mode == "albedo":
+                return (
+                    jnp.where(hit, ar, skr),
+                    jnp.where(hit, ag, skg),
+                    jnp.where(hit, ab, skb),
+                )
+            if mode == "depth":
+                dist = jnp.where(
+                    hit, t_hit * jnp.sqrt(dx * dx + dy * dy + dz * dz), 0.0
+                )
+                return dist, dist, dist
             return (
                 jnp.where(hit, 0.5 * (nx + 1.0), skr),
                 jnp.where(hit, 0.5 * (ny + 1.0), skg),
@@ -1284,7 +1300,7 @@ def render_pallas(
     max_depth: int,
     t_min: float,
     t_max: float = 3.4e35,
-    mode: str = "path",  # 'path' | 'normal'
+    mode: str = "path",  # 'path' | 'normal' | 'albedo' | 'depth'
     russian_roulette_depth: int = 0,
     sky_intensity: float = 1.0,
     nee: bool = False,

@@ -33,7 +33,9 @@ class RenderConfig:
 
     # 'path'   = full lambertian/metal/dielectric path tracer (wgsl ray_color)
     # 'normal' = normal-shading debug integrator (BASELINE config 1)
-    integrator: Literal["path", "normal"] = "path"
+    # 'albedo' = first-hit material albedo AOV (denoiser guide channel)
+    # 'depth'  = first-hit metric distance AOV (0 on miss), 3 equal channels
+    integrator: Literal["path", "normal", "albedo", "depth"] = "path"
 
     # 'jax'       = pure-JAX/XLA integrator (reference path; runs anywhere)
     # 'pallas'    = fused TPU megakernel (ops/pallas/megakernel.py); requires

@@ -510,3 +510,29 @@ def test_mis_matches_across_engines():
                  nee=True, mis=True, sky_intensity=0.0, regenerate="on")
     img_r = np.asarray(render(scene, BASE_CAMERA, cfg_r, frame_seed=jnp.uint32(5)))
     np.testing.assert_allclose(img_r, imgs["wavefront"], rtol=1e-5, atol=1e-5)
+
+
+def test_aov_modes_match_across_engines():
+    """integrator='albedo'/'depth' (first-hit AOV guide channels): all
+    engines agree (wavefront falls back to the bounce-free megakernel),
+    and the values are semantically right — the base scene's center sphere
+    (z=-1, r=0.5, camera at z=+1) sits exactly 1.5 units away, and its
+    albedo is the material's stored albedo."""
+    scene = base_scene()
+    for integ in ("albedo", "depth"):
+        imgs = {}
+        for be in ("jax", "pallas", "wavefront"):
+            cfg = _cfg(integrator=integ, backend=be, spp=1)
+            imgs[be] = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(0)))
+        np.testing.assert_array_equal(imgs["pallas"], imgs["wavefront"])
+        np.testing.assert_allclose(imgs["jax"], imgs["pallas"], rtol=1e-5, atol=5e-6)
+    d = np.asarray(render(scene, BASE_CAMERA, _cfg(integrator="depth"),
+                          frame_seed=jnp.uint32(0)))
+    assert abs(d[24, 32, 0] - 1.5) < 0.01, d[24, 32, 0]  # head-on hit
+    assert d[0, 0, 0] == 0.0  # sky
+    a = np.asarray(render(scene, BASE_CAMERA, _cfg(integrator="albedo"),
+                          frame_seed=jnp.uint32(0)))
+    np.testing.assert_allclose(
+        a[24, 32], np.asarray(scene.albedo)[
+            int(np.argmin(np.abs(np.asarray(scene.centers)[:, 2] + 1.0)))
+        ], atol=1e-5)
