@@ -101,7 +101,7 @@ def _trace_chunked(
                 "depth": integrators.shade_depth,
             }[config.integrator]
             return aov(o, d, spheres, config.t_min, config.t_max)
-        return integrators.trace_path(
+        img = integrators.trace_path(
             o, d, spheres, config.max_depth, config.t_min, config.t_max,
             parity=config.parity, pixel_seeds=seeds,
             russian_roulette_depth=config.russian_roulette_depth,
@@ -112,6 +112,9 @@ def _trace_chunked(
             sampler_spec=spec if ids is not None else None,
             **rng_kw, **extra,
         )
+        if config.clamp > 0.0:
+            img = integrators.clamp_radiance(img, config.clamp)
+        return img
 
     if block == p:
         return trace(origins, dirs, pixel_seeds, pixel_ids if spec else None)
@@ -190,7 +193,7 @@ def _dispatch_kernel_render(
             t_max=config.t_max,
             russian_roulette_depth=config.russian_roulette_depth,
             sky_intensity=config.sky_intensity, nee=config.nee,
-            mis=config.mis,
+            mis=config.mis, clamp=config.clamp,
             spp=spp, y_offset=y_offset, total_width=total_width,
             interpret=interpret, row_stride=row_stride,
             regenerate=(
@@ -211,7 +214,7 @@ def _dispatch_kernel_render(
         mode=config.integrator,
         russian_roulette_depth=config.russian_roulette_depth,
         sky_intensity=config.sky_intensity, nee=config.nee,
-        mis=config.mis,
+        mis=config.mis, clamp=config.clamp,
         spp=spp, y_offset=y_offset, interpret=interpret,
         row_stride=row_stride, sampler_spec=config.sampler_spec,
         adaptive_tol=config.adaptive_tol if adaptive else 0.0,

@@ -70,6 +70,9 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--sky-intensity", type=float, default=1.0)
     ap.add_argument("--russian-roulette", type=int, default=0, metavar="DEPTH",
                     help="RR termination from this bounce (0 = off)")
+    ap.add_argument("--clamp", type=float, default=0.0,
+                    help="per-sample radiance clamp (firefly control; "
+                         "0 = off; biased, try 5-50)")
     ap.add_argument("--adaptive-tol", type=float, default=0.0,
                     help="adaptive sampling tolerance (render command only; "
                          "megakernel): > 0 makes --spp a per-tile budget — "
@@ -190,6 +193,7 @@ def _build_config(args, spp=None):
         width=args.width, height=args.height, spp=spp or args.spp,
         max_depth=args.depth, integrator=args.integrator, backend=backend,
         rng=args.rng, nee=args.nee, mis=getattr(args, "mis", False),
+        clamp=getattr(args, "clamp", 0.0),
         sky_intensity=args.sky_intensity,
         russian_roulette_depth=args.russian_roulette,
         regenerate=args.regenerate,

@@ -90,6 +90,20 @@ def shade_depth(
     return jnp.broadcast_to(dist[..., None], (*dist.shape, 3))
 
 
+def clamp_radiance(rgb: Array, clamp: float) -> Array:
+    """Per-SAMPLE max-component radiance clamp (firefly control).
+
+    Scales the sample's rgb so its largest channel is at most `clamp`,
+    preserving hue.  Biased (it removes energy from rare bright paths -
+    the standard production trade), so it is opt-in and applies per
+    sample BEFORE accumulation: progressive steps, spp batches and
+    one-shot renders of the same budget stay identical, and all engines
+    share the same arithmetic.
+    """
+    m = jnp.max(rgb, axis=-1, keepdims=True)
+    return rgb * jnp.minimum(1.0, jnp.float32(clamp) / jnp.maximum(m, 1e-12))
+
+
 def _one_minus_cos_max(r2, d2):
     """1 - cos(half-angle) of the cone a radius^2-r2 sphere subtends at
     squared distance d2, in the cancellation-free form

@@ -1044,6 +1044,7 @@ def _kernel(
     adaptive_tol: float = 0.0,
     adaptive_min_spp: int = 8,
     mis: bool = False,
+    clamp: float = 0.0,
 ):
     """One (TILE_ROWS x 128)-pixel image tile: ray gen -> trace -> write.
 
@@ -1191,7 +1192,16 @@ def _kernel(
         carry = jax.lax.while_loop(cond, while_body, carry)
         # Exhausted rays contribute black (the fixed semantics; the reference's
         # sky-leak quirk wgsl:293-296 exists only in the pure-JAX parity path).
-        return carry[10], carry[11], carry[12]
+        r_s, g_s, b_s = carry[10], carry[11], carry[12]
+        if clamp > 0.0:
+            # Per-sample max-component radiance clamp — the component-plane
+            # form of ops/integrators.clamp_radiance (same arithmetic).
+            m = jnp.maximum(r_s, jnp.maximum(g_s, b_s))
+            scale = jnp.minimum(
+                1.0, jnp.float32(clamp) / jnp.maximum(m, 1e-12)
+            )
+            r_s, g_s, b_s = r_s * scale, g_s * scale, b_s * scale
+        return r_s, g_s, b_s
 
     # In-kernel spp loop: one launch renders (and averages) all samples,
     # instead of one launch + one full HBM image write per sample.
@@ -1313,6 +1323,7 @@ def render_pallas(
     adaptive_min_spp: int = 8,
     return_spp_map: bool = False,
     mis: bool = False,
+    clamp: float = 0.0,
 ) -> Array:
     """Render spp samples fully on-chip; returns the (height, width, 3) RGB
     mean.  Sample s of the call uses stream index `sample_index + s`, so one
@@ -1448,6 +1459,7 @@ def render_pallas(
         adaptive_tol=float(adaptive_tol),
         adaptive_min_spp=adaptive_min_spp,
         mis=mis and num_lights > 0,
+        clamp=float(clamp),
     )
     out_specs = [tile_spec, tile_spec, tile_spec]
     out_shapes = [out_shape, out_shape, out_shape]

@@ -263,6 +263,7 @@ def render_wavefront(
     refill_threshold: float = 0.25,
     sampler_spec: tuple | None = None,
     mis: bool = False,
+    clamp: float = 0.0,
 ) -> Array:
     """Path-trace spp samples with per-bounce ray compaction; returns the
     (height, width, 3) RGB mean.  Draw-for-draw the same image as the
@@ -303,6 +304,11 @@ def render_wavefront(
         raise ValueError(f"spp must be >= 1, got {spp}")  # avoids img/0 NaN
     if mis and not nee:
         raise ValueError("mis=True is a weighting of NEE; it requires nee=True")
+    if clamp > 0.0 and regenerate:
+        # The regenerating pool scatter-adds per-BOUNCE radiance deltas
+        # straight into the image accumulator; a per-sample clamp has no
+        # per-sample total to act on there.
+        raise ValueError("clamp > 0 is unsupported with ray regeneration")
     sc = as_scene(scene_or_spheres)
     spheres = sc.spheres
     if sc.mesh is not None:
@@ -495,6 +501,15 @@ def render_wavefront(
         # pids are strictly increasing along the shard's original layout, so
         # argsort of each row's first pid IS the original-order gather.
         inv = jnp.argsort(state[0][:, 0]).astype(jnp.int32)
+        if clamp > 0.0:
+            # Per-sample max-component radiance clamp (elementwise - each
+            # lane is one pixel's sample - so permutation order is moot);
+            # same arithmetic as the megakernel and clamp_radiance.
+            m = jnp.maximum(rad[0], jnp.maximum(rad[1], rad[2]))
+            scale = jnp.minimum(
+                1.0, jnp.float32(clamp) / jnp.maximum(m, 1e-12)
+            )
+            rad = tuple(r * scale for r in rad)
         return tuple(r[inv] for r in rad)
 
     def spp_body(k, acc):
@@ -530,6 +545,7 @@ def _run_regen(
     row_stride: Array | int = 1,
     sampler_spec: tuple | None = None,
     mis: bool = False,
+    clamp: float = 0.0,
 ) -> Array:
     """Ray-regeneration wavefront loop: one persistent pool over all samples.
 

@@ -134,6 +134,16 @@ class RenderConfig:
     adaptive_tol: float = 0.0
     adaptive_min_spp: int = 8
 
+    # Per-SAMPLE max-component radiance clamp (firefly control): 0 = off.
+    # Each sample's rgb is scaled so its largest channel is at most this
+    # value, hue-preserving, BEFORE accumulation - progressive steps, spp
+    # batches and one-shot renders of one budget stay identical, and all
+    # engines share the arithmetic (ops/integrators.clamp_radiance).
+    # Biased (removes energy from rare bright paths - the standard
+    # production trade); path integrator only; incompatible with the
+    # regenerating wavefront pool (no per-sample total exists there).
+    clamp: float = 0.0
+
     # Russian-roulette path termination: 0 disables (the reference always
     # runs to max_depth); k > 0 stochastically kills low-throughput paths
     # from bounce k on, dividing surviving throughput by the survival
@@ -162,6 +172,18 @@ class RenderConfig:
             )
         if self.mis and not self.nee:
             raise ValueError("mis=True is a weighting of NEE; it requires nee=True")
+        if self.clamp < 0.0:
+            raise ValueError(f"clamp must be >= 0, got {self.clamp}")
+        if self.clamp > 0.0 and self.integrator != "path":
+            raise ValueError(
+                f"clamp is a path-integrator knob; integrator="
+                f"{self.integrator!r} ignores it"
+            )
+        if self.clamp > 0.0 and self.regenerate != "off":
+            raise ValueError(
+                "clamp > 0 is unsupported with ray regeneration (the pool "
+                "accumulates per-bounce deltas; no per-sample total exists)"
+            )
         if self.adaptive_tol < 0.0:
             raise ValueError(f"adaptive_tol must be >= 0, got {self.adaptive_tol}")
         if self.adaptive_tol > 0.0 and self.backend != "pallas":

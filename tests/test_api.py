@@ -646,3 +646,44 @@ def test_sobol_progressive_matches_render():
         st = progressive_step(st, scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3))
     one = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3)))
     np.testing.assert_allclose(np.asarray(st.rgb), one, atol=1e-5)
+
+
+def test_clamp_bounds_samples_and_is_engine_invariant():
+    """Per-sample radiance clamp (firefly control): every engine scales
+    each sample's rgb to a max channel of `clamp` with the identical
+    arithmetic, and progressive accumulation matches the one-shot render."""
+    from gpu_ray_tracing_tpu import make_scene
+    from gpu_ray_tracing_tpu.models.spheres import (
+        DIELECTRIC, EMISSIVE, LAMBERTIAN, make_spheres,
+    )
+
+    scene = make_scene(make_spheres([
+        ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.7, 0.7, 0.7), 0.0),
+        ((0.0, 0.6, -2.0), 0.6, DIELECTRIC, (1, 1, 1), 1.5),
+        ((0.0, 2.5, -2.0), 0.4, EMISSIVE, (1.0, 0.9, 0.7), 50.0),
+    ]))
+    kw = dict(width=48, height=32, spp=1, max_depth=6, sky_intensity=0.0)
+    un = np.asarray(render(scene, BASE_CAMERA, _cfg(**kw), frame_seed=jnp.uint32(3)))
+    assert un.max() > 10.0  # the scene actually produces fireflies
+    imgs = {}
+    for be in ("jax", "pallas", "wavefront"):
+        cfg = _cfg(**kw, backend=be, clamp=2.0)
+        imgs[be] = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3)))
+        assert imgs[be].max() <= 2.0 + 1e-5, be
+    np.testing.assert_array_equal(imgs["pallas"], imgs["wavefront"])
+    np.testing.assert_array_equal(imgs["jax"], imgs["pallas"])
+    cfg4 = _cfg(**{**kw, "spp": 4}, clamp=2.0)
+    st = init_accum(32, 48)
+    for _ in range(4):
+        st = progressive_step(st, scene, BASE_CAMERA, cfg4, frame_seed=jnp.uint32(3))
+    one = np.asarray(render(scene, BASE_CAMERA, cfg4, frame_seed=jnp.uint32(3)))
+    np.testing.assert_allclose(np.asarray(st.rgb), one, atol=1e-6)
+
+
+def test_clamp_validation():
+    with pytest.raises(ValueError, match="clamp"):
+        _cfg(clamp=-1.0)
+    with pytest.raises(ValueError, match="clamp"):
+        _cfg(clamp=2.0, integrator="depth")
+    with pytest.raises(ValueError, match="clamp"):
+        _cfg(clamp=2.0, backend="wavefront", regenerate="on")
