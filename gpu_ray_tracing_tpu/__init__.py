@@ -30,9 +30,11 @@ from gpu_ray_tracing_tpu.api import (
     progressive_step,
     render,
     render_animation,
+    render_denoised,
     render_progressive,
     stack_camera_track,
 )
+from gpu_ray_tracing_tpu.ops.denoise import atrous_denoise
 from gpu_ray_tracing_tpu.models.camera import Camera, CameraSettings, derive_camera
 from gpu_ray_tracing_tpu.models.mesh import (
     TriangleMesh,
@@ -89,6 +91,8 @@ __all__ = [
     "progressive_step",
     "render",
     "render_animation",
+    "render_denoised",
     "render_progressive",
+    "atrous_denoise",
     "stack_camera_track",
 ]

@@ -548,3 +548,75 @@ def render_animation(
 def stack_camera_track(settings_list: list[CameraSettings]) -> CameraSettings:
     """Stack per-frame CameraSettings into a single track pytree."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *settings_list)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "config", "iterations", "sigma_color", "sigma_normal", "sigma_depth",
+        "return_aovs",
+    ),
+)
+def render_denoised(
+    spheres: Spheres,
+    camera: Camera | CameraSettings,
+    config: RenderConfig,
+    *,
+    key: Array | None = None,
+    frame_seed: Array | None = None,
+    iterations: int = 4,
+    sigma_color: float = 0.45,
+    sigma_normal: float = 64.0,
+    sigma_depth: float = 2.0,
+    return_aovs: bool = False,
+):
+    """Render one frame and denoise it with the AOV-guided a-trous filter.
+
+    Renders the beauty pass with `config` as-is, then three cheap first-hit
+    guide passes (albedo / normal / depth AOVs — anti-aliased with the same
+    sampler and spp so guide edges match beauty edges), and runs
+    `ops.denoise.atrous_denoise` with albedo demodulation.  The reference
+    has no denoiser; this is the offline complement to its progressive
+    convergence loop (compute_shader.wgsl:352-358) — a handful of denoised
+    spp replaces hundreds of accumulated ones for preview-quality output.
+
+    Returns the denoised (H, W, 3) image, or (denoised, beauty, aovs-dict)
+    when return_aovs=True.  Fully jitted; differentiable end to end (the
+    filter is plain arithmetic and the beauty pass has a VJP).
+    """
+    import dataclasses
+
+    from gpu_ray_tracing_tpu.ops import denoise as denoise_ops
+
+    if config.integrator != "path":
+        raise ValueError(
+            "render_denoised denoises the path integrator's beauty pass; "
+            f"got integrator={config.integrator!r}"
+        )
+    beauty = render(spheres, camera, config, key=key, frame_seed=frame_seed)
+
+    def guide_cfg(integrator: str) -> RenderConfig:
+        # Drop every path-only knob the AOV integrators reject or ignore.
+        return dataclasses.replace(
+            config, integrator=integrator, nee=False, mis=False,
+            clamp=0.0, adaptive_tol=0.0, regenerate="off",
+        )
+
+    aov_kw = dict(key=key, frame_seed=frame_seed)
+    albedo = render(spheres, camera, guide_cfg("albedo"), **aov_kw)
+    normal_aov = render(spheres, camera, guide_cfg("normal"), **aov_kw)
+    depth = render(spheres, camera, guide_cfg("depth"), **aov_kw)
+
+    out = denoise_ops.atrous_denoise(
+        beauty,
+        albedo=albedo,
+        normal=denoise_ops.decode_normal_aov(normal_aov),
+        depth=depth[..., 0],
+        iterations=iterations,
+        sigma_color=sigma_color,
+        sigma_normal=sigma_normal,
+        sigma_depth=sigma_depth,
+    )
+    if return_aovs:
+        return out, beauty, {"albedo": albedo, "normal": normal_aov, "depth": depth}
+    return out

@@ -209,7 +209,16 @@ def cmd_render(args) -> int:
     from gpu_ray_tracing_tpu.utils.profiling import time_frames
 
     scene, cam, cfg = _build_scene(args), _build_camera(args), _build_config(args)
-    img = rt.render(scene, cam, cfg, **_rng_kwargs(args))
+    if args.denoise:
+        if cfg.integrator != "path":
+            print("error: --denoise filters the path integrator's beauty "
+                  "pass; drop --integrator or --denoise", file=sys.stderr)
+            return 2
+        img = rt.render_denoised(
+            scene, cam, cfg, iterations=args.denoise, **_rng_kwargs(args)
+        )
+    else:
+        img = rt.render(scene, cam, cfg, **_rng_kwargs(args))
     out_path = write_image(args.out, np.asarray(img), args.gamma)
     stats = time_frames(
         lambda i: rt.render(scene, cam, cfg, **_rng_kwargs(args, i)),
@@ -318,6 +327,9 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="render.png")
     p.add_argument("--bench-frames", type=int, default=0,
                    help="also time this many frames and print throughput")
+    p.add_argument("--denoise", type=int, default=0, metavar="ITERS",
+                   help="AOV-guided a-trous denoise of the beauty pass with "
+                        "this many passes (0 = off; try 3-5 at low --spp)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("animate", help="render an orbiting camera track")

@@ -170,6 +170,25 @@ def test_cli_render(tmp_path):
     assert rc == 0 and os.path.exists(out)
 
 
+def test_cli_render_denoise(tmp_path):
+    from gpu_ray_tracing_tpu.cli import main
+
+    out = os.path.join(tmp_path, "dn.png")
+    rc = main([
+        "render", "--scene", "base", "--width", "48", "--height", "36",
+        "--spp", "2", "--depth", "4", "--denoise", "3", "--out", out,
+    ])
+    assert rc == 0 and os.path.exists(out)
+    # --denoise filters the beauty pass; an AOV integrator is a usage error
+    # reported at the CLI boundary (rc 2), not a traceback.
+    rc = main([
+        "render", "--scene", "base", "--width", "16", "--height", "16",
+        "--spp", "1", "--denoise", "2", "--integrator", "depth",
+        "--out", os.path.join(tmp_path, "bad.png"),
+    ])
+    assert rc == 2
+
+
 def test_cli_regenerate_with_auto_backend(tmp_path):
     """--backend auto + --regenerate on must select the wavefront engine on
     ANY host (on a non-TPU host auto used to resolve to 'jax', which
