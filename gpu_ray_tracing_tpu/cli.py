@@ -29,6 +29,13 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
 
+def _nonneg_int(text: str):
+    v = int(text)
+    if v < 0:
+        raise argparse.ArgumentTypeError(f"expected >= 0, got {text!r}")
+    return v
+
+
 def _vec3(text: str):
     parts = [float(x) for x in text.split(",")]
     if len(parts) != 3:
@@ -220,8 +227,16 @@ def cmd_render(args) -> int:
     else:
         img = rt.render(scene, cam, cfg, **_rng_kwargs(args))
     out_path = write_image(args.out, np.asarray(img), args.gamma)
+    # Time what was written: with --denoise the beauty pass plus the three
+    # guide passes and the filter, not just rt.render.
+    if args.denoise:
+        frame_fn = lambda i: rt.render_denoised(
+            scene, cam, cfg, iterations=args.denoise, **_rng_kwargs(args, i)
+        )
+    else:
+        frame_fn = lambda i: rt.render(scene, cam, cfg, **_rng_kwargs(args, i))
     stats = time_frames(
-        lambda i: rt.render(scene, cam, cfg, **_rng_kwargs(args, i)),
+        frame_fn,
         width=cfg.width, height=cfg.height, spp=cfg.spp,
         frames=args.bench_frames, warmup=0,
     ) if args.bench_frames else None
@@ -327,7 +342,7 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="render.png")
     p.add_argument("--bench-frames", type=int, default=0,
                    help="also time this many frames and print throughput")
-    p.add_argument("--denoise", type=int, default=0, metavar="ITERS",
+    p.add_argument("--denoise", type=_nonneg_int, default=0, metavar="ITERS",
                    help="AOV-guided a-trous denoise of the beauty pass with "
                         "this many passes (0 = off; try 3-5 at low --spp)")
     p.set_defaults(fn=cmd_render)

@@ -105,6 +105,12 @@ def atrous_denoise(
         raise ValueError(f"color must be (H, W, 3), got {color.shape}")
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
+    if sigma_color <= 0.0:
+        raise ValueError(f"sigma_color must be > 0, got {sigma_color}")
+    if sigma_depth <= 0.0:
+        raise ValueError(f"sigma_depth must be > 0, got {sigma_depth}")
+    if sigma_normal < 0.0:
+        raise ValueError(f"sigma_normal must be >= 0, got {sigma_normal}")
     h, w = color.shape[0], color.shape[1]
     color = color.astype(jnp.float32)
 
@@ -168,8 +174,14 @@ def atrous_denoise(
                     wgt = wgt * jnp.exp(-rel)
                 num = num + wgt[..., None] * s_q
                 den = den + wgt
-        # The center tap's weight is wk * 1 * 1 * 1 > 0, so den >= 9/64.
-        signal = num / den[..., None]
+        # The center tap's weight is wk * ndot^sigma > 0 for any unit-ish
+        # center normal, but a user-supplied ZERO normal (the norm clamp
+        # leaves n = 0, so ndot = 0) kills every tap — such pixels keep
+        # their current value instead of producing NaN via 0/0.
+        dead = den <= 1e-12
+        signal = jnp.where(
+            dead[..., None], signal, num / jnp.maximum(den, 1e-12)[..., None]
+        )
 
     if alb is not None:
         signal = signal * alb

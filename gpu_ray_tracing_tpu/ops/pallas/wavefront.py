@@ -545,7 +545,6 @@ def _run_regen(
     row_stride: Array | int = 1,
     sampler_spec: tuple | None = None,
     mis: bool = False,
-    clamp: float = 0.0,
 ) -> Array:
     """Ray-regeneration wavefront loop: one persistent pool over all samples.
 
