@@ -52,7 +52,11 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     import gpu_ray_tracing_tpu as rt
-    from gpu_ray_tracing_tpu.utils.checkpoint import load_accum, save_accum
+    from gpu_ray_tracing_tpu.utils.checkpoint import (
+        load_accum,
+        render_fingerprint,
+        save_accum,
+    )
     from gpu_ray_tracing_tpu.utils.image import write_image
 
     scene = jax.device_put(rt.make_scene(rt.one_weekend_scene(jax.random.key(0))))
@@ -66,8 +70,11 @@ def main(argv=None) -> int:
     )
     cam = rt.CameraSettings.default()
 
+    # Stamp checkpoints with the render identity so a resume against a
+    # mismatched scene/seed/config fails loudly instead of folding garbage.
+    fingerprint = render_fingerprint(scene, cfg, frame_seed=jnp.uint32(0))
     if os.path.exists(args.checkpoint):
-        state = load_accum(args.checkpoint)
+        state = load_accum(args.checkpoint, expect_fingerprint=fingerprint)
         print(f"resumed {args.checkpoint} at {int(state.count)} spp")
     else:
         state = rt.init_accum(cfg.height, cfg.width)
@@ -82,7 +89,7 @@ def main(argv=None) -> int:
         step += 1
         if step % args.checkpoint_every == 0:
             jax.block_until_ready(state.rgb)
-            save_accum(args.checkpoint, state)
+            save_accum(args.checkpoint, state, fingerprint=fingerprint)
             n = int(state.count)
             print(f"{n}/{args.spp} spp  ({n / max(time.time() - t0, 1e-9):.1f} spp/s)")
         if args.preview_every and step % args.preview_every == 0:
@@ -95,7 +102,7 @@ def main(argv=None) -> int:
             )
             print(f"preview -> {written}")
 
-    save_accum(args.checkpoint, state)
+    save_accum(args.checkpoint, state, fingerprint=fingerprint)
     written = write_image(args.out, np.asarray(state.rgb))
     print(f"wrote {written} at {int(state.count)} spp")
     return 0

@@ -277,6 +277,7 @@ def cmd_progressive(args) -> int:
     from gpu_ray_tracing_tpu.utils.checkpoint import (
         checkpoint_path,
         load_accum,
+        render_fingerprint,
         save_accum,
     )
     from gpu_ray_tracing_tpu.utils.image import write_image
@@ -291,15 +292,25 @@ def cmd_progressive(args) -> int:
         )
         return 2
     scene, cam, cfg = _build_scene(args), _build_camera(args), _build_config(args)
+    # The fingerprint covers scene contents, seed, and every stream-relevant
+    # config field (NOT the resolution-independent backend choice) — so a
+    # resume against mismatched flags fails loudly instead of folding
+    # garbage samples.  threefry seeds per-STEP keys from --seed, so the
+    # seed integer itself is the identity either way.
+    fingerprint = render_fingerprint(
+        scene, cfg, frame_seed=jnp.uint32(args.seed)
+    )
     if args.checkpoint and os.path.exists(checkpoint_path(args.checkpoint)):
-        state = load_accum(args.checkpoint)
+        try:
+            state = load_accum(args.checkpoint, expect_fingerprint=fingerprint)
+        except ValueError as e:
+            raise SystemExit(str(e))
         if state.rgb.shape != (cfg.height, cfg.width, 3):
             raise SystemExit(
                 f"checkpoint {args.checkpoint} is {state.rgb.shape[1]}x"
                 f"{state.rgb.shape[0]}, but --width/--height request "
                 f"{cfg.width}x{cfg.height}; the state cannot be resumed at a "
-                "different resolution (scene/seed/rng flags must match too — "
-                "the file carries no fingerprint of those)"
+                "different resolution"
             )
         print(f"resumed from {args.checkpoint} at {int(state.count)} spp")
     else:
@@ -325,7 +336,7 @@ def cmd_progressive(args) -> int:
             print(f"preview at {int(state.count)} spp -> {p}", flush=True)
     state = jax.block_until_ready(state)
     if args.checkpoint:
-        save_accum(args.checkpoint, state)
+        save_accum(args.checkpoint, state, fingerprint=fingerprint)
     if args.out:
         write_image(args.out, np.asarray(state.rgb), args.gamma)
     print(f"{int(state.count)}/{cfg.spp} spp accumulated"

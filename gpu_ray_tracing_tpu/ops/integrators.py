@@ -214,6 +214,18 @@ def trace_path(
     live = jnp.ones(batch_shape, dtype=bool)
     prev_diffuse0 = jnp.zeros(batch_shape, dtype=bool)
 
+    if mis:
+        # Per-sphere light index (exact identity for the MIS weight): the
+        # l-th active emissive sphere in array order is light l — the same
+        # order extract_lights emits, so indices line up with scene.lights.
+        # Non-lights hold -1.  Replaces the r3 geometric |d2-r2| tolerance,
+        # which could mis-match near-concentric/shell-adjacent lights and
+        # silently break the power heuristic's sum-to-1 property.
+        _is_em = (scene.spheres.mat_kind == EMISSIVE) & (scene.spheres.radii > 0.0)
+        _lid_per_sphere = jnp.where(
+            _is_em, jnp.cumsum(_is_em.astype(jnp.int32)) - 1, -1
+        )
+
     def body(i, carry):
         if mis:
             # prev_cos = cos(scatter dir, normal) at the previous DIFFUSE
@@ -285,26 +297,29 @@ def trace_path(
             # form w_b = 1 / (1 + r^2), r = 1 / (2 (1-cos_max) prev_cos).
             # Specular/miss-regenerated lanes (prev_diffuse False) keep
             # weight 1, exactly the non-MIS accounting.
+            # Exact light identity from the closest-hit sphere index: a
+            # mesh-won hit.idx may exceed the sphere count (clip before the
+            # gather), but such lanes are never EMISSIVE (the nee=True guard
+            # rejects emissive meshes) so `emissive` masks them out.
+            hit_lid = _lid_per_sphere[
+                jnp.clip(hit.idx, 0, scene.spheres.count - 1)
+            ]
             one_minus_cm = jnp.zeros(batch_shape, jnp.float32)
-            matched = jnp.zeros(batch_shape, dtype=bool)
+            matched = emissive & (hit_lid >= 0)
             for l_static in range(scene.lights.count):
                 c_l = scene.lights.centers[l_static]
                 r_l = scene.lights.radii[l_static]
-                d2p = jnp.sum((hit.point - c_l) ** 2, axis=-1)
-                is_l = (~matched) & (
-                    jnp.abs(d2p - r_l * r_l) <= 1e-2 * r_l * r_l + 1e-9
-                )
+                is_l = hit_lid == l_static
                 d2o = jnp.maximum(jnp.sum((o - c_l) ** 2, axis=-1), 1e-12)
                 one_minus_cm = jnp.where(
                     is_l, _one_minus_cos_max(r_l * r_l, d2o), one_minus_cm
                 )
-                matched = matched | is_l
             r_ratio = 1.0 / jnp.maximum(
                 2.0 * one_minus_cm * prev_cos, 1e-12
             )
-            # Unmatched emissive hits (fp tolerance miss) fall back to the
-            # binary EXCLUSION, never to weight 1: the NEE term already
-            # sampled that light, so weight 1 would double count.
+            # `matched` is every emissive hit by construction (active
+            # emissive spheres ARE the light list); the exclusion branch is
+            # a defensive never-double-count fallback, not a tolerance gap.
             w_emis = jnp.where(
                 prev_diffuse,
                 jnp.where(matched, 1.0 / (1.0 + r_ratio * r_ratio), 0.0),

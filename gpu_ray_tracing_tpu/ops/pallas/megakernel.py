@@ -82,6 +82,7 @@ def default_platform() -> str:
 
 # Scene plane rows (first axis of the (16, N) VMEM scene array).
 _CX, _CY, _CZ, _RAD, _C2R2, _ALR, _ALG, _ALB, _KIND, _PARAM, _ACTIVE = range(11)
+_LIGHTID = 11  # NEE light index of active emissive spheres; -1 otherwise
 _SCENE_ROWS = 16  # padded to a sublane multiple
 
 # Pixels per tile = TILE_ROWS * 128.  Swept on v5e: 32 beats 16 on primary
@@ -130,6 +131,15 @@ def scene_planes(spheres: Spheres) -> Array:
     planes = planes.at[_KIND].set(spheres.mat_kind.astype(jnp.float32))
     planes = planes.at[_PARAM].set(spheres.mat_param)
     planes = planes.at[_ACTIVE].set((r > 0.0).astype(jnp.float32))
+    # Light index = ordinal of the active emissive sphere in array order —
+    # the exact order models.scene.extract_lights emits, so the MIS weight
+    # can identify "which light did this BSDF ray hit" by IDENTITY instead
+    # of the r3 geometric tolerance.  -1 for non-lights.
+    from gpu_ray_tracing_tpu.models.spheres import EMISSIVE
+
+    is_em = (spheres.mat_kind == EMISSIVE) & (r > 0.0)
+    lid = jnp.where(is_em, jnp.cumsum(is_em.astype(jnp.int32)) - 1, -1)
+    planes = planes.at[_LIGHTID].set(lid.astype(jnp.float32))
     return planes
 
 
@@ -375,13 +385,19 @@ def _traverse_mesh(
 
     `carry` is (tb, nxp, nyp, nzp, ar, ag, ab, kp, pp): the shared closest-
     hit state, with OUTWARD normals in the n-planes; sphere results already
-    folded in by the caller.  With `smooth`, corner normals interpolate at
-    the hit barycentrics — UNNORMALIZED (the caller renormalizes once after
-    traversal instead of per candidate).
+    folded in by the caller.  An optional 10th plane is the light-id (MIS):
+    a triangle win clears it to -1 (mesh faces are never NEE lights — the
+    nee=True guard rejects emissive meshes).  With `smooth`, corner normals
+    interpolate at the hit barycentrics — UNNORMALIZED (the caller
+    renormalizes once after traversal instead of per candidate).
     """
+    with_lid = len(carry) == 10
 
     def tri_test(row, b, carry):
-        tb, nxp, nyp, nzp, ar, ag, ab, kp, pp = carry
+        if with_lid:
+            tb, nxp, nyp, nzp, ar, ag, ab, kp, pp, lidp = carry
+        else:
+            tb, nxp, nyp, nzp, ar, ag, ab, kp, pp = carry
         at = lambda k: row[0, b + k]
         t, u, v, better = _tri_intersect(
             row, b, ox, oy, oz, dx, dy, dz, t_min, tb
@@ -402,6 +418,9 @@ def _traverse_mesh(
         ab = jnp.where(better, at(_TALB + 2), ab)
         kp = jnp.where(better, at(_TKIND), kp)
         pp = jnp.where(better, at(_TPARAM), pp)
+        if with_lid:
+            lidp = jnp.where(better, jnp.float32(-1.0), lidp)
+            return tb, nxp, nyp, nzp, ar, ag, ab, kp, pp, lidp
         return tb, nxp, nyp, nzp, ar, ag, ab, kp, pp
 
     def leaf_scan(ls, trip, carry):
@@ -515,6 +534,7 @@ def _closest_hit(
     sphere_bvh_refs=None,
     mesh_smooth: bool = False,
     live_f=None,
+    want_light_id: bool = False,
 ):
     """Vectorized shrinking-window sphere scan (wgsl:164-221), plus the
     tile-coherent mesh BVH traversal when `mesh_refs` is given.
@@ -532,7 +552,9 @@ def _closest_hit(
     candidates at t >= that lane's window.
 
     Returns (t, hit, px, py, pz, nx, ny, nz (face normal), front, alr, alg,
-    alb, kind, param) as (R, 128) planes.
+    alb, kind, param) as (R, 128) planes; `want_light_id=True` (MIS)
+    appends the winning primitive's NEE light index (scene _LIGHTID row;
+    -1 for non-lights and mesh wins) as a 15th plane.
     """
     a = dx * dx + dy * dy + dz * dz
     inv_a = 1.0 / a
@@ -546,7 +568,10 @@ def _closest_hit(
     zero = jnp.zeros(ox.shape, jnp.float32)
 
     def body(j, carry):
-        tb, cxp, cyp, czp, rp, ar, ag, ab, kp, pp = carry
+        if want_light_id:
+            tb, cxp, cyp, czp, rp, ar, ag, ab, kp, pp, lidp = carry
+        else:
+            tb, cxp, cyp, czp, rp, ar, ag, ab, kp, pp = carry
         cx, cy, cz, root, better = _sphere_root(
             scene_ref, j, a, inv_a, od, oo, ox, oy, oz, dx, dy, dz, t_min, tb
         )
@@ -561,9 +586,14 @@ def _closest_hit(
         ab = jnp.where(better, scene_ref[_ALB, j], ab)
         kp = jnp.where(better, scene_ref[_KIND, j], kp)
         pp = jnp.where(better, scene_ref[_PARAM, j], pp)
+        if want_light_id:
+            lidp = jnp.where(better, scene_ref[_LIGHTID, j], lidp)
+            return tb, cxp, cyp, czp, rp, ar, ag, ab, kp, pp, lidp
         return tb, cxp, cyp, czp, rp, ar, ag, ab, kp, pp
 
     init = (t0, zero, zero, zero, zero, zero, zero, zero, zero, zero)
+    if want_light_id:
+        init = init + (jnp.full(ox.shape, -1.0, jnp.float32),)
     if sphere_bvh_refs is None:
         carry10 = jax.lax.fori_loop(0, n_spheres, body, init)
     else:
@@ -576,7 +606,10 @@ def _closest_hit(
             sphere_bvh_refs[0], sphere_bvh_refs[1], t_min,
             ox, oy, oz, dx, dy, dz, init, leaf_scan,
         )
-    tb, cxp, cyp, czp, rp, ar, ag, ab, kp, pp = carry10
+    if want_light_id:
+        tb, cxp, cyp, czp, rp, ar, ag, ab, kp, pp, lidp = carry10
+    else:
+        tb, cxp, cyp, czp, rp, ar, ag, ab, kp, pp = carry10
 
     # Sphere OUTWARD normals at the sphere-stage t (valid wherever a sphere
     # currently holds the window; mesh hits below overwrite closer lanes).
@@ -587,14 +620,21 @@ def _closest_hit(
     nz = (oz + ts * dz - czp) * inv_r
 
     if mesh_refs is not None:
-        tb, nx, ny, nz, ar, ag, ab, kp, pp = _row_grouped(
+        mesh_carry = (tb, nx, ny, nz, ar, ag, ab, kp, pp)
+        if want_light_id:
+            mesh_carry = mesh_carry + (lidp,)
+        mesh_carry = _row_grouped(
             MESH_GROUP_ROWS,
             (ox, oy, oz, dx, dy, dz),
-            (tb, nx, ny, nz, ar, ag, ab, kp, pp),
+            mesh_carry,
             lambda rays, carry: _traverse_mesh(
                 *mesh_refs, t_min, *rays, carry, smooth=mesh_smooth
             ),
         )
+        if want_light_id:
+            tb, nx, ny, nz, ar, ag, ab, kp, pp, lidp = mesh_carry
+        else:
+            tb, nx, ny, nz, ar, ag, ab, kp, pp = mesh_carry
         if mesh_smooth:
             # Interpolated normals fold unnormalized; one renormalize here
             # replaces a per-candidate one (identity for sphere-won lanes,
@@ -609,7 +649,10 @@ def _closest_hit(
     front = dx * nx + dy * ny + dz * nz < 0.0  # (wgsl:159)
     sign = jnp.where(front, 1.0, -1.0)
     nx, ny, nz = nx * sign, ny * sign, nz * sign  # flip toward ray (wgsl:160)
-    return t, hit, px, py, pz, nx, ny, nz, front, ar, ag, ab, kp, pp
+    out = (t, hit, px, py, pz, nx, ny, nz, front, ar, ag, ab, kp, pp)
+    if want_light_id:
+        out = out + (lidp,)
+    return out
 
 
 def _sky(dx, dy, dz):
@@ -778,11 +821,13 @@ def _path_bounce(
         (ox, oy, oz, dx, dy, dz, tr, tg, tb_, rr, rg, rb, live_f, pd_f) = carry
     live = live_f > 0.5
     prev_diffuse = pd_f > 0.5
-    (_, hit, px, py, pz, nx, ny, nz, front, ar, ag, ab, kp, pp) = _closest_hit(
+    ch = _closest_hit(
         scene_ref, n_spheres, t_min, t_max, ox, oy, oz, dx, dy, dz,
         mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
-        mesh_smooth=mesh_smooth, live_f=live_f,
+        mesh_smooth=mesh_smooth, live_f=live_f, want_light_id=mis,
     )
+    (_, hit, px, py, pz, nx, ny, nz, front, ar, ag, ab, kp, pp) = ch[:14]
+    lidp = ch[14] if mis else None
     salt_base = jnp.uint32(16) + jnp.uint32(3) * jnp.asarray(i_b, jnp.uint32)
     sx, sy, sz, attr, attg, attb, ok = _scatter(
         dx, dy, dz, nx, ny, nz, front, ar, ag, ab, kp, pp, seeds, salt_base,
@@ -808,30 +853,29 @@ def _path_bounce(
     emis = live & hit & is_emis
     w_emis = 1.0
     if num_lights > 0 and mis:
+        # Exact light identity from the closest-hit's _LIGHTID plane
+        # (replaces the r3 geometric tolerance, which could mis-match
+        # near-concentric/shell-adjacent lights and silently break the
+        # power heuristic's sum-to-1 property).
         one_minus_cm = jnp.zeros_like(pc_f)
-        matched_f = jnp.zeros_like(pc_f)
         for l_mis in range(num_lights):
             lcx = lights_ref[0, l_mis]
             lcy = lights_ref[1, l_mis]
             lcz = lights_ref[2, l_mis]
             lr = lights_ref[3, l_mis]
-            dpx, dpy, dpz = px - lcx, py - lcy, pz - lcz
-            d2p = dpx * dpx + dpy * dpy + dpz * dpz
-            is_l = (matched_f < 0.5) & (
-                jnp.abs(d2p - lr * lr) <= 1e-2 * lr * lr + 1e-9
-            )
+            is_l = jnp.abs(lidp - jnp.float32(l_mis)) < 0.5
             dox, doy, doz = ox - lcx, oy - lcy, oz - lcz
             d2o = jnp.maximum(dox * dox + doy * doy + doz * doz, 1e-12)
             one_minus_cm = jnp.where(
                 is_l, _one_minus_cos_max(lr * lr, d2o), one_minus_cm
             )
-            matched_f = jnp.where(is_l, 1.0, matched_f)
         r_ratio = 1.0 / jnp.maximum(2.0 * one_minus_cm * pc_f, 1e-12)
-        # Unmatched emissive hits fall back to the binary EXCLUSION (the
-        # NEE term already sampled that light; weight 1 would double count).
+        # Every emissive hit carries a light id by construction (active
+        # emissive spheres ARE the light list); the exclusion branch is a
+        # defensive never-double-count fallback, not a tolerance gap.
         w_emis = jnp.where(
             prev_diffuse,
-            jnp.where(matched_f > 0.5, 1.0 / (1.0 + r_ratio * r_ratio), 0.0),
+            jnp.where(lidp > -0.5, 1.0 / (1.0 + r_ratio * r_ratio), 0.0),
             1.0,
         )
     elif num_lights > 0:

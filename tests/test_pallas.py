@@ -512,6 +512,65 @@ def test_mis_matches_across_engines():
     np.testing.assert_allclose(img_r, imgs["wavefront"], rtol=1e-5, atol=1e-5)
 
 
+def test_mis_light_id_planes():
+    """The scene's _LIGHTID row: the l-th active emissive sphere in array
+    order is light l (the exact order extract_lights emits); everything
+    else -1.  This is the identity the MIS weight keys on — no geometric
+    tolerance anywhere."""
+    from gpu_ray_tracing_tpu.models.scene import extract_lights
+    from gpu_ray_tracing_tpu.models.spheres import (
+        EMISSIVE, LAMBERTIAN, METAL, make_spheres,
+    )
+    from gpu_ray_tracing_tpu.ops.pallas.megakernel import _LIGHTID, scene_planes
+
+    spheres = make_spheres([
+        ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.7, 0.7, 0.7), 0.0),
+        ((0.0, 2.0, -2.0), 0.5, EMISSIVE, (1.0, 0.9, 0.7), 4.0),
+        ((0.6, 0.3, -2.0), 0.3, METAL, (0.8, 0.8, 0.9), 0.1),
+        ((3.0, 1.0, -1.0), 0.0, EMISSIVE, (1.0, 1.0, 1.0), 9.0),  # r=0: inactive
+        ((-2.0, 1.5, -3.0), 0.4, EMISSIVE, (0.4, 0.6, 1.0), 6.0),
+    ])
+    lid = np.asarray(scene_planes(spheres)[_LIGHTID])
+    np.testing.assert_array_equal(lid, [-1.0, 0.0, -1.0, -1.0, 1.0])
+    lights = extract_lights(spheres)
+    assert lights.count == 2
+    np.testing.assert_array_equal(
+        np.asarray(lights.centers), [[0.0, 2.0, -2.0], [-2.0, 1.5, -3.0]]
+    )
+
+
+def test_mis_tangent_lights_exact_identity():
+    """Two tangent lights — a small bright sphere whose CENTER sits on a
+    big dim light's shell, so every hit on the small light lies within the
+    old r3 geometric tolerance of the big one (|d2p - r^2| <= 1e-2 r^2
+    would mis-attribute ALL of them).  With identity matching the engines
+    must agree and the estimator must stay finite and unbiased in shape."""
+    from gpu_ray_tracing_tpu import make_scene
+    from gpu_ray_tracing_tpu.models.spheres import (
+        EMISSIVE, LAMBERTIAN, make_spheres,
+    )
+
+    # Big light: center (0, 7, -2) r=4.  Small light: center on its shell
+    # at (0, 3, -2), r=0.12 — well inside the 1e-2 relative-d2 band.
+    scene = make_scene(make_spheres([
+        ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.7, 0.7, 0.7), 0.0),
+        ((-0.6, 0.35, -2.2), 0.35, LAMBERTIAN, (0.8, 0.3, 0.3), 0.0),
+        ((0.0, 7.0, -2.0), 4.0, EMISSIVE, (1.0, 0.9, 0.7), 0.4),
+        ((0.0, 3.0, -2.0), 0.12, EMISSIVE, (1.0, 0.7, 0.3), 60.0),
+    ]))
+    imgs = {}
+    for be in ("jax", "pallas", "wavefront"):
+        cfg = _cfg(width=48, height=32, spp=8, max_depth=5, backend=be,
+                   nee=True, mis=True, sky_intensity=0.0)
+        imgs[be] = np.asarray(render(scene, BASE_CAMERA, cfg,
+                                     frame_seed=jnp.uint32(11)))
+        assert np.isfinite(imgs[be]).all(), be
+        assert imgs[be].mean() > 1e-3, be  # the lights actually contribute
+    np.testing.assert_allclose(imgs["pallas"], imgs["wavefront"],
+                               rtol=1e-5, atol=1e-6)
+    assert_images_match(imgs["jax"], imgs["pallas"], flip_frac=0.02, mean_tol=2e-3)
+
+
 def test_aov_modes_match_across_engines():
     """integrator='albedo'/'depth' (first-hit AOV guide channels): all
     engines agree (wavefront falls back to the bounce-free megakernel),

@@ -159,6 +159,69 @@ def test_checkpoint_extensionless_path_roundtrips(tmp_path):
         load_accum(foreign)
 
 
+def test_checkpoint_fingerprint(tmp_path):
+    """A checkpoint stamped with a render fingerprint refuses to resume
+    against a different scene/seed/config (the silent-garbage failure
+    checkpointing exists to prevent); matching renders round-trip, and
+    legacy unstamped files still load."""
+    import dataclasses
+
+    import pytest
+
+    from gpu_ray_tracing_tpu.utils.checkpoint import render_fingerprint
+
+    scene = base_scene()
+    cfg = RenderConfig(width=32, height=24, spp=8, max_depth=4)
+    fp = render_fingerprint(scene, cfg, frame_seed=jnp.uint32(1))
+    # Deterministic and sensitive to each identity component.
+    assert fp == render_fingerprint(scene, cfg, frame_seed=jnp.uint32(1))
+    assert fp != render_fingerprint(scene, cfg, frame_seed=jnp.uint32(2))
+    assert fp != render_fingerprint(
+        scene, dataclasses.replace(cfg, sampler="stratified"),
+        frame_seed=jnp.uint32(1),
+    )
+    from gpu_ray_tracing_tpu import one_weekend_scene
+
+    other = one_weekend_scene(jax.random.key(0)).pad_to_multiple(128)
+    assert fp != render_fingerprint(other, cfg, frame_seed=jnp.uint32(1))
+    # Scheduler-only knobs don't change the stream — same fingerprint, so
+    # a checkpoint written by one engine resumes on another.
+    assert fp == render_fingerprint(
+        scene, dataclasses.replace(cfg, backend="pallas"),
+        frame_seed=jnp.uint32(1),
+    )
+
+    state = init_accum(cfg.height, cfg.width)
+    path = os.path.join(tmp_path, "fp.npz")
+    save_accum(path, state, fingerprint=fp)
+    restored = load_accum(path, expect_fingerprint=fp)
+    assert restored.rgb.shape == (24, 32, 3)
+    with pytest.raises(ValueError, match="different render"):
+        load_accum(path, expect_fingerprint="deadbeef")
+    # Legacy checkpoints (no stamp) load unchecked.
+    legacy = os.path.join(tmp_path, "legacy.npz")
+    save_accum(legacy, state)
+    load_accum(legacy, expect_fingerprint=fp)
+
+
+def test_cli_progressive_fingerprint_mismatch(tmp_path):
+    """Resuming a CLI progressive session with a different seed exits with
+    a clean fingerprint-mismatch message instead of folding garbage."""
+    import pytest
+
+    from gpu_ray_tracing_tpu.cli import main
+
+    ckpt = os.path.join(tmp_path, "sess.npz")
+    base_args = [
+        "progressive", "--scene", "base", "--width", "32", "--height", "24",
+        "--spp", "8", "--depth", "3", "--steps", "1", "--checkpoint", ckpt,
+    ]
+    assert main(base_args + ["--seed", "1"]) == 0
+    assert main(base_args + ["--seed", "1"]) == 0  # matching resume is fine
+    with pytest.raises(SystemExit, match="different render"):
+        main(base_args + ["--seed", "2"])
+
+
 def test_cli_render(tmp_path):
     from gpu_ray_tracing_tpu.cli import main
 
