@@ -43,7 +43,9 @@ import sys
 import time
 
 WIDTH, HEIGHT = 1920, 1080
-CHILD_TIMEOUT_S = 900
+# Covers a cold compile of BOTH workloads (primary + the d50 path metric);
+# warm-cache runs finish in a fraction of this.
+CHILD_TIMEOUT_S = 1500
 # Escalating waits between attempts: the common wedge clears in ~90 s, but
 # extended tunnel outages (one observed at >1 h) deserve one longer wait
 # before giving up.
@@ -98,6 +100,40 @@ def measure() -> None:
         file=sys.stderr,
     )
 
+    # Second metric (VERDICT r4 item 7): a config-3-shaped PATH workload —
+    # One-Weekend final scene (~480 spheres, sphere BVH), 720p, depth 50 —
+    # with MEASURED rays from the in-kernel counters (count_traced_rays),
+    # so the driver artifact carries honest bounce-ray throughput for the
+    # path engines, not just the primary-ray headline.  Same differential
+    # device-loop methodology; nested in the SAME single JSON line (the
+    # driver records the last stdout line).
+    from gpu_ray_tracing_tpu import count_traced_rays, make_scene, one_weekend_scene
+
+    path_cfg = RenderConfig(width=1280, height=720, spp=1, max_depth=50,
+                            backend="pallas")
+    path_scene = jax.device_put(
+        make_scene(one_weekend_scene(jax.random.key(0), grid_min=-11, grid_max=11))
+    )
+    path_cam = CameraSettings.default()
+
+    def path_frame(seed):
+        return render(path_scene, path_cam, path_cfg, frame_seed=seed)
+
+    path_stats = time_device_loop(
+        path_frame, width=1280, height=720, spp=1, frames=5, repeats=5
+    )
+    path_stats.rays_traced_per_frame = count_traced_rays(
+        path_scene, path_cam, path_cfg, frame_seed=jnp.uint32(1)
+    )["rays_traced"]
+    print(
+        f"path device-loop: {path_stats.ms_per_frame:.3f} ms/frame, "
+        f"{path_stats.rays_traced_per_frame:.0f} rays/frame measured, "
+        f"{path_stats.true_mrays_per_sec:.1f} true Mrays/s "
+        f"(spread {path_stats.window_spread:.2f}x), "
+        f"checksum {path_stats.checksum:.0f}",
+        file=sys.stderr,
+    )
+
     mrays = stats.mrays_per_sec
     print(
         json.dumps(
@@ -106,6 +142,19 @@ def measure() -> None:
                 "value": round(mrays, 2),
                 "unit": "Mrays/sec",
                 "vs_baseline": round(mrays / 500.0, 4),
+                "path_metric": {
+                    "metric": "one_weekend_d50_720p_path",
+                    "ms_per_frame": round(path_stats.ms_per_frame, 3),
+                    "spp_per_sec": round(path_stats.spp_per_sec, 2),
+                    "rays_traced_per_frame": round(
+                        path_stats.rays_traced_per_frame
+                    ),
+                    "true_mrays_per_sec": round(
+                        path_stats.true_mrays_per_sec, 2
+                    ),
+                    "hbm_utilization": round(path_stats.hbm_utilization, 4),
+                    "unit": "Mrays/sec (measured rays, in-kernel counters)",
+                },
             }
         )
     )

@@ -27,6 +27,8 @@ pure functions in `gpu_ray_tracing_tpu.models.camera`.
 """
 
 from gpu_ray_tracing_tpu.api import (
+    adaptive_progressive_step,
+    count_traced_rays,
     progressive_step,
     render,
     render_animation,
@@ -57,13 +59,20 @@ from gpu_ray_tracing_tpu.models.spheres import (
     make_spheres,
     one_weekend_scene,
 )
-from gpu_ray_tracing_tpu.ops.accumulate import AccumState, init_accum
+from gpu_ray_tracing_tpu.ops.accumulate import (
+    AccumState,
+    AdaptiveAccumState,
+    init_accum,
+    init_adaptive_accum,
+)
 from gpu_ray_tracing_tpu.utils.config import REFERENCE_CONFIG, RenderConfig
 
 __version__ = "0.3.0"
 
 __all__ = [
     "AccumState",
+    "AdaptiveAccumState",
+    "adaptive_progressive_step",
     "Camera",
     "CameraSettings",
     "DIELECTRIC",
@@ -84,8 +93,10 @@ __all__ = [
     "merge_meshes",
     "torus",
     "transform_mesh",
+    "count_traced_rays",
     "derive_camera",
     "init_accum",
+    "init_adaptive_accum",
     "make_spheres",
     "one_weekend_scene",
     "progressive_step",

@@ -144,8 +144,16 @@ def trace_path(
     sample_index: Array | None = None,
     frame_seed_u32: Array | None = None,
     sampler_spec: tuple | None = None,
+    count_rays: bool = False,
 ) -> Array:
     """Path-trace a batch of rays; returns linear RGB of shape dirs.shape.
+
+    `count_rays=True` returns (rgb, rays) instead, where rays is a per-ray
+    f32 count of rays traced: one closest-hit walk per live bounce plus one
+    per NEE shadow ray whose occlusion result is consumed (pre-visibility
+    validity — the same definition as the megakernel's in-kernel counters,
+    so the two agree exactly; used to verify them and to publish honest
+    bounce-ray throughput).
 
     RNG: pass exactly one of
       - pixel_seeds:  (batch,) uint32 per-pixel counter seeds (from
@@ -227,6 +235,8 @@ def trace_path(
         )
 
     def body(i, carry):
+        if count_rays:
+            carry, rays = carry[:-1], carry[-1]
         if mis:
             # prev_cos = cos(scatter dir, normal) at the previous DIFFUSE
             # vertex (0 elsewhere): the BSDF pdf there is prev_cos / pi,
@@ -234,6 +244,9 @@ def trace_path(
             o, d, throughput, result, live, prev_diffuse, prev_cos = carry
         else:
             o, d, throughput, result, live, prev_diffuse = carry
+        if count_rays:
+            # One closest-hit walk per live lane this bounce.
+            rays = rays + live.astype(jnp.float32)
         hit, albedo, kind, param = intersect_scene(o, d, scene, t_min, t_max)
 
         if pixel_seeds is not None:
@@ -393,6 +406,7 @@ def trace_path(
                 all_d2 <= (lights.radii[None, :] ** 2) * 1.0001, axis=-1
             )
             nee_ok = diffuse_hit & ~inside_any
+            rays_box = [jnp.zeros(batch_shape, jnp.float32)]
 
             def _nee_light_term(weight, u1n, u2n, result, lc, lr, le):
                 dc = lc - pnt
@@ -430,6 +444,12 @@ def trace_path(
                 shadow_t = nearest_t_scene(pnt, omega, scene, t_min, t_max)
                 visible = shadow_t >= t_l * (1.0 - 1e-3)
 
+                if count_rays:
+                    # One shadow ray per lane whose occlusion result is
+                    # consumed (pre-visibility validity; matches the
+                    # megakernel's driven-walk count).
+                    prevalid = nee_ok & (cos_i > 0.0) & ~inside & (disc_l > 0.0)
+                    rays_box[0] = rays_box[0] + prevalid.astype(jnp.float32)
                 valid = nee_ok & (cos_i > 0.0) & ~inside & (disc_l > 0.0) & visible
                 wgt = cos_i * 2.0 * omc * jnp.float32(weight)
                 if mis:
@@ -477,6 +497,8 @@ def trace_path(
                     num_l, u1n, u2n, result,
                     lights.centers[li], lights.radii[li], lights.emission[li],
                 )
+        if nee and count_rays:
+            rays = rays + rays_box[0]
         # Absorbed rays (metal below surface) contribute black (wgsl:278).
         scattered = live & hit.hit & ok & (kind != EMISSIVE)
         throughput = jnp.where(scattered[..., None], throughput * attenuation, throughput)
@@ -519,12 +541,17 @@ def trace_path(
                 (live & survive)[..., None], throughput * scale[..., None], throughput
             )
             live = live & survive
+        out = (o, d, throughput, result, live, prev_diffuse)
         if mis:
-            return o, d, throughput, result, live, prev_diffuse, prev_cos
-        return o, d, throughput, result, live, prev_diffuse
+            out = out + (prev_cos,)
+        if count_rays:
+            out = out + (rays,)
+        return out
 
     carry0 = (origins, dirs, throughput, result, live, prev_diffuse0)
     if mis:
+        carry0 = carry0 + (jnp.zeros(batch_shape, jnp.float32),)
+    if count_rays:
         carry0 = carry0 + (jnp.zeros(batch_shape, jnp.float32),)
     out = jax.lax.fori_loop(0, max_depth, body, carry0)
     o, d, throughput, result, live = out[0], out[1], out[2], out[3], out[4]
@@ -537,6 +564,8 @@ def trace_path(
             result + throughput * sky_color(d) * jnp.float32(sky_intensity),
             result,
         )
+    if count_rays:
+        return result, out[-1]
     return result
 
 

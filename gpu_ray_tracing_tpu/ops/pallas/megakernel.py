@@ -223,6 +223,25 @@ def bvh_planes(bvh) -> tuple[Array, Array]:
     return fplanes, iplanes
 
 
+def _zeros_unreplicated(shape):
+    """An all-zeros (R, 128) f32 plane whose Mosaic layout is concrete
+    (non-replicated) in BOTH dims — min(iota0 + iota1, 0) with i32 iotas
+    (Mosaic rejects f32 iota results; it tracks per-dim value uniformity,
+    so a single-dim iota would still leave the other dim replicated).
+
+    Needed as the INIT of any loop-carried accumulator whose yield is a
+    direct self-accumulation `c + delta`: a splat-constant init pins that
+    carry to the replicated layout, and the body's non-replicated result
+    then fails Mosaic compilation with "Invalid relayout: non-singleton
+    dimension replicated in destination but not in source" on REAL TPU
+    (interpret mode runs it fine — caught by the r4 on-chip bench run)."""
+    return jnp.minimum(
+        (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+         + jax.lax.broadcasted_iota(jnp.int32, shape, 1)).astype(jnp.float32),
+        0.0,
+    )
+
+
 def _traverse_bvh(bvhf_ref, bvhi_ref, t_min, ox, oy, oz, dx, dy, dz, carry, leaf_scan):
     """Tile-coherent stackless BVH traversal (generic over the leaf scan).
 
@@ -788,8 +807,16 @@ def _path_bounce(
     sampler_spec=None,
     mis: bool = False,
     max_depth: int = 0,  # only read under mis (last-bounce NEE exemption)
+    count_rays: bool = False,
 ):
     """One path-tracing bounce over a (R, 128) lane tile.
+
+    `count_rays=True` appends ONE extra output plane (after everything
+    else, so indices stay stable): the number of rays this bounce actually
+    traced per lane — 1 for a live closest-hit walk plus 1 per NEE shadow
+    ray whose occlusion walk was genuinely driven (`prevalid`; inert lanes
+    cost nothing by construction, see _occluded).  Statically gated: the
+    count_rays=False program is byte-identical to before.
 
     The shared physics of the megakernel and the wavefront kernel: closest
     hit, BSDF scatter, sky/emissive accumulation, optional NEE, optional
@@ -828,6 +855,11 @@ def _path_bounce(
     )
     (_, hit, px, py, pz, nx, ny, nz, front, ar, ag, ab, kp, pp) = ch[:14]
     lidp = ch[14] if mis else None
+    # Rays traced this bounce: the closest-hit walk for each live lane;
+    # NEE shadow rays append below as their walks are issued.  Recomputed
+    # from the mask rather than aliasing the live_f input plane into a
+    # second carry slot (Mosaic layout hygiene; see _zeros_unreplicated).
+    rays_cast = (live_f > 0.5).astype(jnp.float32) if count_rays else None
     salt_base = jnp.uint32(16) + jnp.uint32(3) * jnp.asarray(i_b, jnp.uint32)
     sx, sy, sz, attr, attg, attb, ok = _scatter(
         dx, dy, dz, nx, ny, nz, front, ar, ag, ab, kp, pp, seeds, salt_base,
@@ -913,6 +945,7 @@ def _path_bounce(
                 dxc * dxc + dyc * dyc + dzc * dzc <= r_chk * r_chk * 1.0001
             )
         nee_base = live & hit & is_lam & ~inside_any
+        rays_box = [rays_cast]  # shadow-ray counts fold in per light term
 
         def light_contribution(li, pick_weight, salt_off, rr, rg, rb,
                                rot_salt=None):
@@ -988,6 +1021,9 @@ def _path_bounce(
             # drive the any-hit walk — metal/glass/miss lanes cost nothing.
             inside = d2 <= lrad * lrad * 1.0001
             prevalid = nee_base & (cos_i > 0.0) & ~inside & (disc_l > 0.0)
+            if count_rays:
+                # One shadow ray per lane whose occlusion walk is driven.
+                rays_box[0] = rays_box[0] + prevalid.astype(jnp.float32)
             win = jnp.where(
                 prevalid, jnp.maximum(t_l, 0.0) * (1.0 - 1e-3), 0.0
             )
@@ -1022,6 +1058,8 @@ def _path_bounce(
             bounce_seed = rng_ops.hash2(pick_seed, jnp.uint32(3000) + i_u)
             li = (rng_ops.hash2(bounce_seed, 0) % jnp.uint32(num_lights)).astype(jnp.int32)
             rr, rg, rb = light_contribution(li, num_lights, 0, rr, rg, rb)
+        if count_rays:
+            rays_cast = rays_box[0]
 
     scattered = live & hit & ok & ~is_emis
     if num_lights > 0:
@@ -1062,6 +1100,8 @@ def _path_bounce(
     )
     if mis:
         out = out + (pc_out,)
+    if count_rays:
+        out = out + (rays_cast,)
     return out
 
 
@@ -1089,8 +1129,21 @@ def _kernel(
     adaptive_min_spp: int = 8,
     mis: bool = False,
     clamp: float = 0.0,
+    return_spp_map: bool = False,
+    count_rays: bool = False,
+    adaptive_resume: bool = False,
+    adaptive_chunk: int = 0,
 ):
     """One (TILE_ROWS x 128)-pixel image tile: ray gen -> trace -> write.
+
+    `adaptive_resume` (adaptive progressive accumulation): 6 extra INPUT
+    planes — prior rgb raw sums, per-pixel count, Welford mlum/m2 — and the
+    6 outputs are the updated state instead of a mean image.  The in-kernel
+    convergence loop continues at the absolute sample index `count[0,0]`
+    (tile-constant), takes at most `adaptive_chunk` more samples, and
+    evaluates the SAME stopping test at the same absolute indices as the
+    one-shot adaptive loop — so a chunked run is bitwise identical to one
+    shot on the same budget.
 
     Fuses the reference's get_ray (wgsl:305-331) into the trace kernel so no
     per-ray data ever crosses HBM: inputs are ~200 bytes of scalars, the
@@ -1109,6 +1162,10 @@ def _kernel(
     if num_lights > 0:
         lights_ref = rest[0]
         rest = rest[1:]
+    adapt_in = None
+    if adaptive_resume:
+        adapt_in = rest[:6]  # sum_r, sum_g, sum_b, count, mlum, m2
+        rest = rest[6:]
     outr_ref, outg_ref, outb_ref = rest[:3]
 
     i = pl.program_id(0)
@@ -1183,22 +1240,23 @@ def _kernel(
                 mesh_smooth=mesh_smooth,
             )
             skr, skg, skb = _sky(dx, dy, dz)
+            one_ray = (jnp.ones(shape, jnp.float32),) if count_rays else ()
             if mode == "albedo":
                 return (
                     jnp.where(hit, ar, skr),
                     jnp.where(hit, ag, skg),
                     jnp.where(hit, ab, skb),
-                )
+                ) + one_ray
             if mode == "depth":
                 dist = jnp.where(
                     hit, t_hit * jnp.sqrt(dx * dx + dy * dy + dz * dz), 0.0
                 )
-                return dist, dist, dist
+                return (dist, dist, dist) + one_ray
             return (
                 jnp.where(hit, 0.5 * (nx + 1.0), skr),
                 jnp.where(hit, 0.5 * (ny + 1.0), skg),
                 jnp.where(hit, 0.5 * (nz + 1.0), skb),
-            )
+            ) + one_ray
 
         body = functools.partial(
             _path_bounce,
@@ -1210,6 +1268,7 @@ def _kernel(
             num_lights=num_lights, rr_depth=rr_depth,
             pid=pid, s_u32=s_u32, frame_seed_u32=frame_seed_u32,
             sampler_spec=sampler_spec, mis=mis, max_depth=max_depth,
+            count_rays=count_rays,
         )
 
         ones = jnp.ones(shape, jnp.float32)
@@ -1221,6 +1280,13 @@ def _kernel(
         )
         if mis:
             carry = carry + (zeros,)  # prev_cos (appended last; indices stable)
+        if count_rays:
+            # Accumulated rays-traced plane.  The init must NOT be a splat
+            # constant: Mosaic pins a splat-initialized carry whose yield is
+            # a direct self-accumulation (c + delta) to the replicated
+            # layout and then fails the body's non-replicated result with
+            # "Invalid relayout" on real TPU (interpret mode can't see it).
+            carry = carry + (_zeros_unreplicated(shape),)
 
         def cond(c):
             # Tile-level early exit: stop as soon as every ray in the tile has
@@ -1229,9 +1295,17 @@ def _kernel(
             # max_depth; only the tile's deepest path sets its trip count.
             return (c[0] < max_depth) & (jnp.max(c[13]) > 0.5)
 
-        def while_body(c):
-            out = body(c[0], c[1:])
-            return (c[0] + jnp.int32(1),) + out
+        if count_rays:
+            # The last carry plane accumulates each bounce's rays-cast
+            # delta (the bounce's own last output plane); the bounce state
+            # proper excludes it.
+            def while_body(c):
+                out = body(c[0], c[1:-1])
+                return (c[0] + jnp.int32(1),) + out[:-1] + (c[-1] + out[-1],)
+        else:
+            def while_body(c):
+                out = body(c[0], c[1:])
+                return (c[0] + jnp.int32(1),) + out
 
         carry = jax.lax.while_loop(cond, while_body, carry)
         # Exhausted rays contribute black (the fixed semantics; the reference's
@@ -1245,12 +1319,69 @@ def _kernel(
                 1.0, jnp.float32(clamp) / jnp.maximum(m, 1e-12)
             )
             r_s, g_s, b_s = r_s * scale, g_s * scale, b_s * scale
+        if count_rays:
+            return r_s, g_s, b_s, carry[-1]
         return r_s, g_s, b_s
+
+    if adaptive_resume:
+        # Adaptive PROGRESSIVE step: continue the one-shot adaptive loop
+        # from the carried Welford state.  Same body, same stopping test at
+        # the same absolute sample indices — plus the chunk bound — so a
+        # chunked run to the same budget is bitwise equal to one shot.
+        min_spp = min(max(2, adaptive_min_spp), spp)
+        valid_f = (
+            (y_local < jnp.int32(height)) & (x < jnp.int32(width))
+        ).astype(jnp.float32)
+        n_valid = jnp.maximum(jnp.sum(valid_f), 1.0)
+
+        def tile_mean(plane):
+            return jnp.sum(plane * valid_f) / n_valid
+
+        sr0, sg0, sb0 = adapt_in[0][:], adapt_in[1][:], adapt_in[2][:]
+        cnt0, ml0, m20 = adapt_in[3][:], adapt_in[4][:], adapt_in[5][:]
+        k0 = cnt0[0, 0].astype(jnp.int32)  # tile-constant by construction
+
+        def ad_body(c):
+            k, sr, sg, sb, mlum, m2 = c
+            r, g, b = one_sample(base_sample + jnp.asarray(k, jnp.uint32))[:3]
+            k1f = jnp.asarray(k + 1, jnp.float32)
+            lum = (r + g + b) * jnp.float32(1.0 / 3.0)
+            d = lum - mlum
+            mlum = mlum + d / k1f
+            m2 = m2 + d * (lum - mlum)
+            return (k + jnp.int32(1), sr + r, sg + g, sb + b, mlum, m2)
+
+        def ad_cond(c):
+            k, _, _, _, mlum, m2 = c
+            kf = jnp.asarray(k, jnp.float32)
+            stderr2 = tile_mean(m2) / jnp.maximum(kf - 1.0, 1.0) / kf
+            scale = tile_mean(mlum) * jnp.float32(adaptive_tol) + jnp.float32(
+                1e-4
+            )
+            want = (k < min_spp) | ((k < spp) & (stderr2 > scale * scale))
+            return want & (k < k0 + jnp.int32(adaptive_chunk))
+
+        k, sr, sg, sb, mlum, m2 = jax.lax.while_loop(
+            ad_cond, ad_body, (k0, sr0, sg0, sb0, ml0, m20)
+        )
+        outr_ref[:] = sr
+        outg_ref[:] = sg
+        outb_ref[:] = sb
+        rest[3][:] = jnp.broadcast_to(jnp.asarray(k, jnp.float32), shape)
+        rest[4][:] = mlum
+        rest[5][:] = m2
+        return
 
     # In-kernel spp loop: one launch renders (and averages) all samples,
     # instead of one launch + one full HBM image write per sample.
+    # `cnt` (count_rays) totals rays traced per pixel ACROSS samples — a
+    # sum, never averaged.
+    cnt = jnp.zeros(shape, jnp.float32)
     if spp == 1:
-        r, g, b = one_sample(base_sample)
+        out1 = one_sample(base_sample)
+        r, g, b = out1[:3]
+        if count_rays:
+            cnt = out1[3]
         n_taken = jnp.float32(1.0)
     elif adaptive_tol > 0.0:
         # Adaptive sampling: the spp loop exits per TILE once the tile's
@@ -1275,17 +1406,20 @@ def _kernel(
             return jnp.sum(plane * valid_f) / n_valid
 
         def ad_body(c):
-            k, sr, sg, sb, mlum, m2 = c
-            r, g, b = one_sample(base_sample + jnp.asarray(k, jnp.uint32))
+            k, sr, sg, sb, sc, mlum, m2 = c
+            outk = one_sample(base_sample + jnp.asarray(k, jnp.uint32))
+            r, g, b = outk[:3]
+            if count_rays:
+                sc = sc + outk[3]
             k1f = jnp.asarray(k + 1, jnp.float32)
             lum = (r + g + b) * jnp.float32(1.0 / 3.0)
             d = lum - mlum
             mlum = mlum + d / k1f
             m2 = m2 + d * (lum - mlum)
-            return (k + jnp.int32(1), sr + r, sg + g, sb + b, mlum, m2)
+            return (k + jnp.int32(1), sr + r, sg + g, sb + b, sc, mlum, m2)
 
         def ad_cond(c):
-            k, _, _, _, mlum, m2 = c
+            k, _, _, _, _, mlum, m2 = c
             kf = jnp.asarray(k, jnp.float32)
             # Per-pixel stderr^2 of the running mean = var / k; compare the
             # tile-mean stderr against (tol * tile-mean luminance + eps) —
@@ -1297,26 +1431,41 @@ def _kernel(
             )
             return (k < min_spp) | ((k < spp) & (stderr2 > scale * scale))
 
-        k, r, g, b, _, _ = jax.lax.while_loop(
-            ad_cond, ad_body, (jnp.int32(0), z, z, z, z, z)
+        # The count accumulator's init must be layout-concrete (see
+        # _zeros_unreplicated); the rgb/Welford carries pass through selects
+        # and divides that keep their layouts concrete either way.
+        zc = _zeros_unreplicated(shape) if count_rays else z
+        k, r, g, b, cnt, _, _ = jax.lax.while_loop(
+            ad_cond, ad_body, (jnp.int32(0), z, z, z, zc, z, z)
         )
         n_taken = jnp.asarray(k, jnp.float32)
         r, g, b = r / n_taken, g / n_taken, b / n_taken
     else:
         def spp_body(k, acc):
-            r, g, b = one_sample(base_sample + jnp.asarray(k, jnp.uint32))
-            return acc[0] + r, acc[1] + g, acc[2] + b
+            outk = one_sample(base_sample + jnp.asarray(k, jnp.uint32))
+            acc2 = (acc[0] + outk[0], acc[1] + outk[1], acc[2] + outk[2])
+            if count_rays:
+                acc2 = acc2 + (acc[3] + outk[3],)
+            return acc2
 
         z = jnp.zeros(shape, jnp.float32)
-        r, g, b = jax.lax.fori_loop(0, spp, spp_body, (z, z, z))
+        # Count accumulator: layout-concrete init (see _zeros_unreplicated).
+        acc0 = (z, z, z) + ((_zeros_unreplicated(shape),) if count_rays else ())
+        acc = jax.lax.fori_loop(0, spp, spp_body, acc0)
         inv = jnp.float32(spp)
-        r, g, b = r / inv, g / inv, b / inv
+        r, g, b = acc[0] / inv, acc[1] / inv, acc[2] / inv
+        if count_rays:
+            cnt = acc[3]
         n_taken = jnp.float32(spp)
     outr_ref[:] = r
     outg_ref[:] = g
     outb_ref[:] = b
-    if len(rest) == 4:  # optional 4th output: per-pixel sample-count plane
-        rest[3][:] = jnp.broadcast_to(n_taken, shape)
+    extra = rest[3:]
+    if return_spp_map:  # per-pixel sample-count plane
+        extra[0][:] = jnp.broadcast_to(n_taken, shape)
+        extra = extra[1:]
+    if count_rays:  # per-pixel rays-traced plane (sum over samples)
+        extra[0][:] = cnt
 
 
 def camera_vector(camera) -> Array:
@@ -1366,8 +1515,11 @@ def render_pallas(
     adaptive_tol: float = 0.0,
     adaptive_min_spp: int = 8,
     return_spp_map: bool = False,
+    return_ray_count: bool = False,
     mis: bool = False,
     clamp: float = 0.0,
+    adaptive_state: tuple | None = None,
+    adaptive_chunk: int = 0,
 ) -> Array:
     """Render spp samples fully on-chip; returns the (height, width, 3) RGB
     mean.  Sample s of the call uses stream index `sample_index + s`, so one
@@ -1383,7 +1535,22 @@ def render_pallas(
     mildly biased where it stops early (standard adaptive-sampling caveat);
     keep tol at or below the noise floor you can see.  `return_spp_map=True`
     additionally returns the (height, width) per-pixel sample counts
-    (constant within each tile).
+    (constant within each tile).  `return_ray_count=True` additionally
+    returns the (height, width) per-pixel count of rays the kernel actually
+    traced across all samples — live closest-hit walks per bounce plus NEE
+    shadow rays whose occlusion walk was driven (in-kernel counters, the
+    measured basis for honest bounce-ray throughput; appended after the
+    spp map when both are requested).
+
+    `adaptive_state` (adaptive PROGRESSIVE accumulation; requires
+    adaptive_tol > 0, mode='path', adaptive_chunk > 0, and no other extra
+    outputs): a tuple of six (height, width) f32 arrays — rgb raw sums
+    r/g/b, per-pixel count (tile-constant), Welford mlum, m2 — as produced
+    by a previous call (zeros to start).  The kernel resumes the adaptive
+    loop at the carried absolute sample index, takes at most
+    adaptive_chunk more samples per tile, and returns the updated 6-tuple;
+    chunked runs are bitwise identical to the one-shot adaptive render of
+    the same budget (see ops/accumulate.AdaptiveAccumState).
 
     The only HBM traffic is the output image: ray generation, the sphere
     scan, the mesh BVH traversal, materials, and the bounce loop all run
@@ -1491,6 +1658,27 @@ def render_pallas(
         in_specs += [smem((8, num_lights))]
         args += [lights_planes(sc.lights)]
 
+    if adaptive_state is not None:
+        if adaptive_tol <= 0.0 or mode != "path" or adaptive_chunk <= 0:
+            raise ValueError(
+                "adaptive_state requires adaptive_tol > 0, mode='path' and "
+                "adaptive_chunk > 0"
+            )
+        if return_spp_map or return_ray_count:
+            raise ValueError(
+                "adaptive_state already returns the per-pixel count plane; "
+                "return_spp_map/return_ray_count do not compose with it"
+            )
+        if len(adaptive_state) != 6:
+            raise ValueError(
+                f"adaptive_state must be a 6-tuple, got {len(adaptive_state)}"
+            )
+        for st in adaptive_state:
+            pad = jnp.zeros((h_pad, w_pad), jnp.float32)
+            pad = pad.at[:height, :width].set(jnp.asarray(st, jnp.float32))
+            in_specs.append(tile_spec)
+            args.append(pad)
+
     kernel = functools.partial(
         _kernel, width=width, height=height, n_spheres=n, has_mesh=has_mesh,
         has_sphere_bvh=has_sphere_bvh,
@@ -1504,10 +1692,18 @@ def render_pallas(
         adaptive_min_spp=adaptive_min_spp,
         mis=mis and num_lights > 0,
         clamp=float(clamp),
+        return_spp_map=return_spp_map,
+        count_rays=return_ray_count,
+        adaptive_resume=adaptive_state is not None,
+        adaptive_chunk=adaptive_chunk,
     )
     out_specs = [tile_spec, tile_spec, tile_spec]
     out_shapes = [out_shape, out_shape, out_shape]
-    if return_spp_map:
+    n_extra_out = (
+        3 if adaptive_state is not None
+        else int(return_spp_map) + int(return_ray_count)
+    )
+    for _ in range(n_extra_out):
         out_specs.append(tile_spec)
         out_shapes.append(out_shape)
     outs = pl.pallas_call(
@@ -1519,7 +1715,11 @@ def render_pallas(
         interpret=interpret,
     )(*args)
 
+    if adaptive_state is not None:
+        # Updated state: (sum_r, sum_g, sum_b, count, mlum, m2).
+        return tuple(o[:height, :width] for o in outs)
     img = jnp.stack([o[:height, :width] for o in outs[:3]], axis=-1)
-    if return_spp_map:
-        return img, outs[3][:height, :width]
+    extras = tuple(o[:height, :width] for o in outs[3:])
+    if extras:
+        return (img,) + extras
     return img

@@ -56,6 +56,7 @@ wavefront schedulers the ray-tracing literature uses for the same problem.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -99,8 +100,13 @@ def _wf_kernel(
     sampler_spec: tuple | None = None,
     mis: bool = False,
     max_depth: int = 0,  # only read under mis (last-bounce NEE exemption)
+    count_rays: bool = False,
 ):
     """One path bounce over a (tile_rows, 128) tile of compacted rays.
+
+    `count_rays=True` adds one output plane after the radiance deltas: the
+    bounce's per-lane rays-traced delta (see _path_bounce) — the wavefront
+    engine's in-kernel counters.
 
     `regen=False`: every ray in the launch is at the same (sample, bounce),
     carried as SMEM scalars.  `regen=True` (the regenerating engine): rays
@@ -173,13 +179,16 @@ def _wf_kernel(
             num_lights=num_lights, rr_depth=rr_depth,
             pid=pid_u32, s_u32=s_u32, frame_seed_u32=frame_seed_u32,
             sampler_spec=sampler_spec, mis=mis, max_depth=max_depth,
+            count_rays=count_rays,
         )
-        # out: ox..dz, tr..tb, rad r/g/b, live_f, pd_f[, pc_f]
+        # out: ox..dz, tr..tb, rad r/g/b, live_f, pd_f[, pc_f][, rays]
         vals = (out[0], out[1], out[2], out[3], out[4], out[5],
                 out[6], out[7], out[8], out[13], out[12])
         if mis:
             vals = vals + (out[14],)
         vals = vals + (out[9], out[10], out[11])
+        if count_rays:
+            vals = vals + (out[-1],)
         for o, v in zip(outs, vals):
             o[:] = v
 
@@ -215,7 +224,14 @@ def _partition_live(live: Array) -> Array:
     return jnp.zeros((p,), jnp.int32).at[dest].set(jnp.arange(p, dtype=jnp.int32))
 
 
-def _sort_rows_octant(live_rows: Array, dx, dy, dz, bounce_rows=None) -> Array:
+#: Per-axis cell count of the spatial sort's origin grid (sort='spatial'):
+#: rows are binned by mean-origin cell of a GRT_SORT_CELLS^3 grid over the
+#: live rows' origin AABB, then by direction octant within each cell.
+SORT_CELLS = int(_os.environ.get("GRT_SORT_CELLS", "4"))
+
+
+def _sort_rows_octant(live_rows: Array, dx, dy, dz, bounce_rows=None,
+                      origins=None, cells: int = SORT_CELLS) -> Array:
     """Gather permutation: live rows first, grouped by the octant of each
     row's mean bounce direction (dead rows last).  Groups directionally
     similar rows into the same kernel tile so the tile-coherent BVH cursor
@@ -225,15 +241,40 @@ def _sort_rows_octant(live_rows: Array, dx, dy, dz, bounce_rows=None) -> Array:
     row's 128 rays bounce in lockstep) additionally groups rows by a capped
     bounce bucket BEFORE the octant: fresh primary rows are directionally
     tight and should not share tiles with deep diffuse rows, whose wide
-    subtree unions would otherwise tax every tile they touch."""
+    subtree unions would otherwise tax every tile they touch.
+
+    `origins` (sort='spatial'; the (ox, oy, oz) planes) additionally bins
+    rows by the cell of their mean ray ORIGIN on a `cells`^3 grid spanning
+    the live rows' origin bounding box (recomputed per bounce — the live
+    footprint shrinks as paths die), binning coarse-to-fine: bounce bucket,
+    then cell, then octant.  VERDICT r4 item 4 lever (a): after the first
+    diffuse bounce, rays that share a direction octant still START all over
+    the scene, so each tile's BVH subtree union stays near-total; origin
+    binning groups rays whose traversal actually touches the same
+    neighbourhood."""
     key = (
         (jnp.mean(dx, axis=1) > 0).astype(jnp.int32) * 4
         + (jnp.mean(dy, axis=1) > 0).astype(jnp.int32) * 2
         + (jnp.mean(dz, axis=1) > 0).astype(jnp.int32)
     )
+    n_keys = 8
+    if origins is not None:
+        live_m = live_rows > 0.5
+        big = jnp.float32(3.4e38)
+        cell = jnp.zeros(key.shape, jnp.int32)
+        for plane in origins:
+            m = jnp.mean(plane, axis=1)
+            lo = jnp.min(jnp.where(live_m, m, big))
+            hi = jnp.max(jnp.where(live_m, m, -big))
+            step = jnp.maximum(hi - lo, 1e-6) / cells
+            c = jnp.clip(((m - lo) / step).astype(jnp.int32), 0, cells - 1)
+            cell = cell * cells + c
+        key = key + n_keys * cell
+        n_keys *= cells ** 3
     if bounce_rows is not None:
-        key = key + 8 * jnp.clip(bounce_rows, 0, 3)
-    key = jnp.where(live_rows > 0.5, key, jnp.int32(8 * 4))
+        key = key + n_keys * jnp.clip(bounce_rows, 0, 3)
+        n_keys *= 4
+    key = jnp.where(live_rows > 0.5, key, jnp.int32(n_keys))
     return jnp.argsort(key, stable=True).astype(jnp.int32)
 
 
@@ -264,10 +305,18 @@ def render_wavefront(
     sampler_spec: tuple | None = None,
     mis: bool = False,
     clamp: float = 0.0,
+    return_ray_count: bool = False,
 ) -> Array:
     """Path-trace spp samples with per-bounce ray compaction; returns the
     (height, width, 3) RGB mean.  Draw-for-draw the same image as the
     megakernel / jax backends (same counter-based stream).
+
+    `return_ray_count=True` additionally returns the (height, width)
+    per-pixel count of rays traced across all samples (in-kernel counters,
+    same definition as the megakernel's — the counts agree exactly because
+    the engines trace the identical ray set).  Unsupported with
+    regenerate=True (the pool's per-bounce deltas have no per-sample
+    total); the megakernel counter covers that case by stream invariance.
 
     Ray generation and compaction run in XLA; each bounce is one Pallas
     launch over the compacted ray array.  `y_offset`/`total_width` address a
@@ -290,9 +339,10 @@ def render_wavefront(
     from gpu_ray_tracing_tpu.models.scene import as_scene, resolve_mesh_has_emissive
     from gpu_ray_tracing_tpu.ops import rays as rays_ops
 
-    if sort not in ("octant", "octant-flat", "live"):
+    if sort not in ("octant", "octant-flat", "spatial", "live"):
         raise ValueError(
-            f"sort={sort!r}; expected 'octant', 'octant-flat' or 'live'"
+            f"sort={sort!r}; expected 'octant', 'octant-flat', 'spatial' "
+            "or 'live'"
         )
     if regenerate and not 0.0 <= refill_threshold <= 1.0:
         # > 1.0 would never refill while stream blocks remain -> the pool
@@ -309,6 +359,12 @@ def render_wavefront(
         # straight into the image accumulator; a per-sample clamp has no
         # per-sample total to act on there.
         raise ValueError("clamp > 0 is unsupported with ray regeneration")
+    if return_ray_count and regenerate:
+        raise ValueError(
+            "return_ray_count is unsupported with ray regeneration; use "
+            "the megakernel counter (count_traced_rays) — the count is "
+            "engine-invariant"
+        )
     sc = as_scene(scene_or_spheres)
     spheres = sc.spheres
     if sc.mesh is not None:
@@ -376,10 +432,11 @@ def render_wavefront(
         static_args += [lights_planes(sc.lights)]
     mis = mis and num_lights > 0
     n_state = 12 if mis else 11  # prev_cos appended last under MIS
+    n_tail = 4 if return_ray_count else 3  # radiance deltas [+ ray count]
     in_specs += [tile] * (n_state + (3 if regenerate else 1))
-    out_specs = tuple([tile] * (n_state + 3))
+    out_specs = tuple([tile] * (n_state + n_tail))
     plane = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
-    out_shape = tuple([plane] * (n_state + 3))
+    out_shape = tuple([plane] * (n_state + n_tail))
 
     kernel = functools.partial(
         _wf_kernel,
@@ -388,7 +445,7 @@ def render_wavefront(
         rr_depth=russian_roulette_depth, sky_intensity=float(sky_intensity),
         num_lights=num_lights, mesh_smooth=has_mesh and sc.mesh.smooth,
         regen=regenerate, sampler_spec=sampler_spec, mis=mis,
-        max_depth=max_depth,
+        max_depth=max_depth, count_rays=return_ray_count,
     )
     bounce_call = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
@@ -446,7 +503,7 @@ def render_wavefront(
         )
         if mis:
             state = state + (jnp.zeros((rows, 128), jnp.float32),)  # prev_cos
-        rad = (jnp.zeros((rows, 128), jnp.float32),) * 3
+        rad = (jnp.zeros((rows, 128), jnp.float32),) * n_tail
 
         def cond(c):
             i_b, n_live = c[0], c[1]
@@ -483,6 +540,11 @@ def render_wavefront(
                     # No bounce key: in the sample-major loop every row is
                     # at the same depth anyway.
                     perm = _sort_rows_octant(live_rows, state[4], state[5], state[6])
+                elif sort == "spatial":
+                    perm = _sort_rows_octant(
+                        live_rows, state[4], state[5], state[6],
+                        origins=(state[1], state[2], state[3]),
+                    )
                 else:
                     perm = _partition_live(live_rows)
                 return tuple(s[perm] for s in state), tuple(r[perm] for r in rad)
@@ -504,12 +566,13 @@ def render_wavefront(
         if clamp > 0.0:
             # Per-sample max-component radiance clamp (elementwise - each
             # lane is one pixel's sample - so permutation order is moot);
-            # same arithmetic as the megakernel and clamp_radiance.
+            # same arithmetic as the megakernel and clamp_radiance.  The
+            # ray-count plane (rad[3:], when present) is never scaled.
             m = jnp.maximum(rad[0], jnp.maximum(rad[1], rad[2]))
             scale = jnp.minimum(
                 1.0, jnp.float32(clamp) / jnp.maximum(m, 1e-12)
             )
-            rad = tuple(r * scale for r in rad)
+            rad = tuple(r * scale for r in rad[:3]) + rad[3:]
         return tuple(r[inv] for r in rad)
 
     def spp_body(k, acc):
@@ -517,11 +580,13 @@ def render_wavefront(
         return tuple(a + r for a, r in zip(acc, rad))
 
     z = jnp.zeros((rows, 128), jnp.float32)
-    rad = jax.lax.fori_loop(0, spp, spp_body, (z, z, z))
+    rad = jax.lax.fori_loop(0, spp, spp_body, (z,) * n_tail)
     img = jnp.stack(
-        [r.reshape(-1)[:p].reshape(height, width) for r in rad], axis=-1
-    )
-    return img / jnp.float32(spp)
+        [r.reshape(-1)[:p].reshape(height, width) for r in rad[:3]], axis=-1
+    ) / jnp.float32(spp)
+    if return_ray_count:
+        return img, rad[3].reshape(-1)[:p].reshape(height, width)
+    return img
 
 
 def _run_regen(
@@ -645,6 +710,12 @@ def _run_regen(
                 perm = _sort_rows_octant(
                     live_rows, state[3], state[4], state[5],
                     bounce_rows=bnc[:, 0],
+                )
+            elif sort == "spatial":
+                perm = _sort_rows_octant(
+                    live_rows, state[3], state[4], state[5],
+                    bounce_rows=bnc[:, 0],
+                    origins=(state[0], state[1], state[2]),
                 )
             elif sort == "octant-flat":
                 perm = _sort_rows_octant(live_rows, state[3], state[4], state[5])
