@@ -171,9 +171,12 @@ def _dispatch_kernel_render(
 ) -> Array:
     """Route a hash-stream render to the configured Pallas engine.
 
-    `adaptive=True` engages config.adaptive_tol on the megakernel (one-shot
-    full-budget renders only — progressive and sharded folds need exact
-    per-sample counts, so they never set it).
+    `adaptive=True` engages config.adaptive_tol on the megakernel: one-shot
+    full-budget renders, including row-sharded ones (parallel.sharding
+    dispatches this per row shard — disjoint pixels compose).  The
+    fold-based progressive steps never set it (they need exact per-sample
+    counts; adaptive_progressive_step carries the kernel's own state
+    instead).
 
     The single dispatch point for backend='pallas'/'wavefront' — used by the
     per-sample path, the full-frame kernel path, and the sharded renderer —

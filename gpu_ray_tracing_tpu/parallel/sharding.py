@@ -43,7 +43,8 @@ from gpu_ray_tracing_tpu.utils.config import RenderConfig
 Array = jax.Array
 
 
-def _check(config: RenderConfig, mesh: Mesh, row_partition: str = "contiguous"):
+def _check(config: RenderConfig, mesh: Mesh, row_partition: str = "contiguous",
+           allow_adaptive: bool = False):
     if row_partition not in ("contiguous", "interleaved"):
         raise ValueError(
             f"row_partition={row_partition!r}; expected 'contiguous' or "
@@ -59,12 +60,30 @@ def _check(config: RenderConfig, mesh: Mesh, row_partition: str = "contiguous"):
             "config.rng='hash' (default) or 'wgsl', not 'threefry'"
         )
     if config.adaptive_tol > 0.0:
-        # The spp-axis psum weights every shard's batch by an assumed equal
-        # sample count; adaptive tiles take data-dependent counts.
-        raise ValueError(
-            "adaptive_tol > 0 is a one-shot unsharded render() mode; the "
-            "sharded fold needs exact per-sample counts"
-        )
+        # Row shards own disjoint pixels, so adaptive per-tile sample counts
+        # compose with row sharding (render_sharded dispatches the
+        # megakernel's one-shot in-kernel convergence loop per shard).  The
+        # spp-axis psum, by contrast, weights every shard's batch by an
+        # assumed equal sample count, and the fold-based progressive step
+        # needs exact per-sample counts — both stay rejected.
+        if not allow_adaptive:
+            raise ValueError(
+                "adaptive_tol > 0 does not compose with the fold-based "
+                "sharded progressive step; use render_sharded (row-sharded "
+                "one-shot adaptive) or the unsharded "
+                "adaptive_progressive_step"
+            )
+        if mesh.shape.get(SPP_AXIS, 1) != 1:
+            raise ValueError(
+                "adaptive_tol > 0 shards over ROWS only (disjoint pixels); "
+                "the spp-axis psum assumes equal per-shard sample counts — "
+                f"got spp axis of size {mesh.shape.get(SPP_AXIS)}"
+            )
+        if config.rng != "hash":
+            raise ValueError(
+                "sharded adaptive rendering is an in-kernel megakernel mode "
+                "and requires config.rng='hash'"
+            )
     missing = [a for a in (ROW_AXIS, SPP_AXIS) if a not in mesh.shape]
     if missing:
         # The shard_map bodies take axis_index/psum over BOTH axes; a mesh
@@ -197,10 +216,20 @@ def render_sharded(
         The per-frame price is one row de-interleave of the final image.
         The RNG is keyed on global pixel ids, so the estimator is
         unchanged under either partition.
+
+    Adaptive sampling (config.adaptive_tol > 0) composes with ROW sharding:
+    each shard runs the megakernel's in-kernel convergence loop on its own
+    rows (spp axis must be size 1 — per-tile sample counts are
+    data-dependent, so the equal-weight spp psum cannot apply).  When shard
+    bands align with the unsharded frame's 32-row tiles, the result matches
+    the unsharded adaptive render; interleaved partitions evaluate tile
+    statistics over strided rows and may allocate samples differently
+    (every pixel still gets >= adaptive_min_spp of the same stream).
     """
     if isinstance(camera, CameraSettings):
         camera = derive_camera(camera, config.width, config.height)
-    n_rows, n_spp = _check(config, mesh, row_partition)
+    adaptive = config.adaptive_tol > 0.0
+    n_rows, n_spp = _check(config, mesh, row_partition, allow_adaptive=True)
     local_h = config.height // n_rows
     spp_local = config.spp // n_spp
     interpret = _mesh_interpret(mesh)
@@ -212,6 +241,24 @@ def render_sharded(
         xi = jax.lax.axis_index(ROW_AXIS)
         si = jax.lax.axis_index(SPP_AXIS)
         y0, stride = _partition_params(row_partition, xi, local_h, n_rows)
+
+        if adaptive:
+            # Row shards own disjoint pixels, so each shard runs the
+            # megakernel's one-shot in-kernel adaptive convergence loop on
+            # its own rows (spp axis is size 1 — _check).  Tile statistics
+            # are windows over the shard's LOCAL tiling: when the shard
+            # band aligns with the unsharded frame's 32-row tiles the
+            # per-tile exits (and the image) match the unsharded adaptive
+            # render; an interleaved partition's tiles hold strided rows,
+            # so its exits may allocate samples differently — every pixel
+            # still gets >= adaptive_min_spp of the same unbiased stream.
+            return _dispatch_kernel_render(
+                spheres, camera, config,
+                sample_index=jnp.uint32(0), frame_seed=frame_seed,
+                spp=config.spp, height=local_h, y_offset=y0,
+                total_width=config.width, interpret=interpret,
+                row_stride=stride, adaptive=True,
+            )
 
         def sample_body(j, acc):
             s_global = si * spp_local + j

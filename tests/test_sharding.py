@@ -276,3 +276,72 @@ def test_sharded_mis_matches_unsharded():
     a = np.asarray(render_sharded(sc, BASE_CAMERA, cfg, mesh, frame_seed=jnp.uint32(5)))
     b = np.asarray(render(sc, BASE_CAMERA, cfg, frame_seed=jnp.uint32(5)))
     assert_images_match(a, b)
+
+
+def test_adaptive_row_sharded_prefix_property(scene):
+    """Row-sharded adaptive rendering (r4): with a huge tolerance every
+    tile of every shard stops exactly at adaptive_min_spp, and because
+    adaptive samples are a PREFIX of the identical global-pixel-id stream
+    the image matches the unsharded fixed render at spp=min_spp."""
+    mesh = make_mesh(4, 1)
+    cfg_ad = _cfg(width=64, height=128, spp=16, max_depth=4,
+                  backend="pallas", adaptive_tol=1e6, adaptive_min_spp=4)
+    cfg_4 = _cfg(width=64, height=128, spp=4, max_depth=4, backend="pallas")
+    a = np.asarray(render_sharded(scene, BASE_CAMERA, cfg_ad, mesh,
+                                  frame_seed=jnp.uint32(2)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg_4, frame_seed=jnp.uint32(2)))
+    assert_images_match(a, b)
+    # Adaptivity engaged: the early-exit image is NOT the full 16-spp one.
+    full = np.asarray(render(
+        scene, BASE_CAMERA,
+        _cfg(width=64, height=128, spp=16, max_depth=4, backend="pallas"),
+        frame_seed=jnp.uint32(2)))
+    assert not np.array_equal(a, full)
+
+
+def test_adaptive_row_sharded_matches_unsharded(scene):
+    """With 32-row-aligned contiguous bands each shard sees exactly the
+    tiles the unsharded frame has (same pixels, same draws), so the
+    per-tile Welford exits match and the sharded adaptive image agrees
+    with the unsharded adaptive render up to per-shape rounding."""
+    mesh = make_mesh(4, 1)
+    cfg = _cfg(width=64, height=128, spp=8, max_depth=4, backend="pallas",
+               adaptive_tol=0.05, adaptive_min_spp=2)
+    a = np.asarray(render_sharded(scene, BASE_CAMERA, cfg, mesh,
+                                  frame_seed=jnp.uint32(3)))
+    b = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3)))
+    assert_images_match(a, b)
+
+
+def test_adaptive_sharded_interleaved_is_valid(scene):
+    """Interleaved adaptive shards evaluate tile statistics over strided
+    rows, so sample ALLOCATION may differ from the contiguous partition —
+    but every pixel still accumulates a prefix of the same unbiased
+    stream, so the estimates agree to MC-noise level."""
+    mesh = make_mesh(4, 1)
+    cfg = _cfg(width=64, height=128, spp=8, max_depth=4, backend="pallas",
+               adaptive_tol=0.05, adaptive_min_spp=2)
+    a = np.asarray(render_sharded(scene, BASE_CAMERA, cfg, mesh,
+                                  frame_seed=jnp.uint32(3),
+                                  row_partition="interleaved"))
+    b = np.asarray(render_sharded(scene, BASE_CAMERA, cfg, mesh,
+                                  frame_seed=jnp.uint32(3)))
+    assert a.shape == b.shape
+    assert np.isfinite(a).all()
+    assert abs(float(a.mean()) - float(b.mean())) < 0.02
+
+
+def test_adaptive_sharded_rejections(scene):
+    """adaptive_tol shards over rows only; spp-axis meshes and the
+    fold-based progressive step stay rejected with actionable messages."""
+    import pytest
+
+    cfg = _cfg(width=64, height=128, spp=8, backend="pallas",
+               adaptive_tol=0.05, adaptive_min_spp=2)
+    with pytest.raises(ValueError, match="ROWS only"):
+        render_sharded(scene, BASE_CAMERA, cfg, make_mesh(4, 2),
+                       frame_seed=jnp.uint32(0))
+    st = shard_accum_state(init_accum(cfg.height, cfg.width), make_mesh(4, 1))
+    with pytest.raises(ValueError, match="does not compose"):
+        progressive_step_sharded(st, scene, BASE_CAMERA, cfg, make_mesh(4, 1),
+                                 frame_seed=jnp.uint32(0))
