@@ -344,6 +344,183 @@ def cmd_progressive(args) -> int:
     return 0
 
 
+class _RawKeys:
+    """Non-blocking single-key reads from a tty, restored on exit.
+
+    Outside a tty (tests, pipes, --no-input) it is inert and `poll()`
+    yields only the injected test keys."""
+
+    def __init__(self, enabled: bool, inject: list[str] | None = None):
+        self._enabled = enabled and sys.stdin.isatty()
+        self._saved = None
+        self._inject = list(inject or [])
+
+    def __enter__(self):
+        if self._enabled:
+            import termios
+            import tty
+
+            self._saved = termios.tcgetattr(sys.stdin.fileno())
+            tty.setcbreak(sys.stdin.fileno())
+        return self
+
+    def __exit__(self, *exc):
+        if self._saved is not None:
+            import termios
+
+            termios.tcsetattr(
+                sys.stdin.fileno(), termios.TCSADRAIN, self._saved
+            )
+        return False
+
+    def poll(self) -> str:
+        """All pending input (may include escape sequences), without
+        blocking; one injected batch per call in test mode."""
+        out = self._inject.pop(0) if self._inject else ""
+        if not self._enabled:
+            return out
+        import select
+
+        while select.select([sys.stdin], [], [], 0)[0]:
+            out += sys.stdin.read(1)
+        return out
+
+
+#: view-command key bindings -> (camera op, signed step scale).  The map
+#: mirrors the reference's keyboard systems: W/S dolly (camera.rs:140-147),
+#: A/D strafe (camera.rs:150-157), arrows/R-F elevate (camera.rs:160-166),
+#: arrows/J-L orbit yaw (camera.rs:170-187), 1/2 pitch with the 0.95 flip
+#: guard (camera.rs:209-242), +/- the FOV zoom the reference wrote but
+#: never registered (camera.rs:48, 57-68).
+def _view_key_ops():
+    from gpu_ray_tracing_tpu.models import camera as cam_ops
+
+    move, turn, fovs = 0.4, 0.08, 2.0
+    return {
+        "w": (cam_ops.dolly, -move), "s": (cam_ops.dolly, move),
+        "a": (cam_ops.strafe, -move), "d": (cam_ops.strafe, move),
+        "r": (cam_ops.elevate, move), "f": (cam_ops.elevate, -move),
+        "\x1b[A": (cam_ops.elevate, move), "\x1b[B": (cam_ops.elevate, -move),
+        "j": (cam_ops.orbit_yaw, turn), "l": (cam_ops.orbit_yaw, -turn),
+        "\x1b[D": (cam_ops.orbit_yaw, turn), "\x1b[C": (cam_ops.orbit_yaw, -turn),
+        "1": (cam_ops.orbit_pitch, turn), "2": (cam_ops.orbit_pitch, -turn),
+        "+": (cam_ops.zoom, -fovs), "-": (cam_ops.zoom, fovs),
+    }
+
+
+def cmd_view(args) -> int:
+    """Live progressive viewer in the terminal — the runtime equivalent of
+    the reference's interactive window (sprite presentation lib.rs:79-87,
+    per-frame accumulation you watch converge wgsl:352-358, keyboard camera
+    camera.rs:125-253).  Camera keys apply the pure motion ops and RESET
+    the accumulation, exactly the reference's camera_has_moved semantics;
+    the camera is a traced argument of the jitted progressive step, so
+    moving it never recompiles."""
+    import time
+
+    import gpu_ray_tracing_tpu as rt
+    from gpu_ray_tracing_tpu.models.camera import validate_camera
+    from gpu_ray_tracing_tpu.utils.ansi import (
+        CLEAR_SCREEN,
+        CURSOR_HOME,
+        HIDE_CURSOR,
+        SHOW_CURSOR,
+        image_to_ansi,
+    )
+
+    if args.adaptive_tol > 0.0:
+        print("error: --adaptive-tol does not compose with the viewer's "
+              "progressive accumulation; use `render`", file=sys.stderr)
+        return 2
+    scene, cam, cfg = _build_scene(args), _build_camera(args), _build_config(args)
+    if args.spp_per_step > 1 and cfg.spp % args.spp_per_step != 0:
+        print(f"error: --spp-per-step {args.spp_per_step} must divide "
+              f"--spp {cfg.spp}", file=sys.stderr)
+        return 2
+    if args.cols is None:
+        import shutil
+
+        args.cols = min(shutil.get_terminal_size((80, 24)).columns, cfg.width)
+    key_ops = _view_key_ops()
+    inject = args.inject_keys.split(",") if args.inject_keys else None
+    state = rt.init_accum(cfg.height, cfg.width)
+    reset = False
+    step = 0
+    quit_key = False
+    interactive = not args.no_input
+    sys.stdout.write(CLEAR_SCREEN + (HIDE_CURSOR if interactive else ""))
+    try:
+        with _RawKeys(interactive, inject) as keys:
+            while (args.max_steps == 0 or step < args.max_steps) and not quit_key:
+                kw = _rng_kwargs(
+                    args, step if args.rng == "threefry" else 0
+                )
+                t0 = time.perf_counter()
+                state = jax.block_until_ready(rt.progressive_step(
+                    state, scene, cam, cfg, reset=reset,
+                    spp_per_step=args.spp_per_step, **kw,
+                ))
+                dt = time.perf_counter() - t0
+                reset = False
+                count = int(state.count)
+                frame = image_to_ansi(np.asarray(state.rgb), args.cols,
+                                      args.gamma)
+                pos = np.asarray(cam.look_from)
+                status = (
+                    f"{count}/{cfg.spp} spp | {dt * 1e3:6.1f} ms/step | "
+                    f"cam ({pos[0]:.2f}, {pos[1]:.2f}, {pos[2]:.2f}) "
+                    f"fov {float(cam.field_of_view):.0f}"
+                )
+                help_line = ("[wasd] move  [rf/arrows] up/down  [jl/arrows] "
+                             "orbit  [12] pitch  [+-] zoom  [0] re-center  "
+                             "[x] quit") if interactive else ""
+                sys.stdout.write(
+                    CURSOR_HOME + frame + "\n" + status + "\x1b[K\n"
+                    + help_line + "\x1b[K")
+                sys.stdout.flush()
+                pressed = keys.poll()
+                moved = False
+                i = 0
+                while i < len(pressed):
+                    tok = pressed[i]
+                    if tok == "\x1b" and pressed[i:i + 3] in key_ops:
+                        tok = pressed[i:i + 3]
+                    i += len(tok)
+                    if tok in ("x", "\x1b"):
+                        quit_key = tok == "x"  # bare ESC = dropped seq tail
+                        if quit_key:
+                            break
+                        continue
+                    if tok == "0":  # re-center on the scene origin
+                        cam = cam.replace(
+                            look_at=jnp.zeros(3, jnp.float32))
+                        moved = True
+                        continue
+                    op = key_ops.get(tok)
+                    if op is None:
+                        continue
+                    fn, amount = op
+                    cam = fn(cam, amount)
+                    moved = True
+                if moved:
+                    validate_camera(cam)
+                    # The reference's camera_has_moved contract: motion
+                    # restarts the accumulation (wgsl:352-358).
+                    reset = True
+                step += 1
+    finally:
+        if interactive:
+            sys.stdout.write(SHOW_CURSOR)
+        sys.stdout.write("\n")
+        sys.stdout.flush()
+    if args.out:
+        from gpu_ray_tracing_tpu.utils.image import write_image
+
+        p = write_image(args.out, np.asarray(state.rgb), args.gamma)
+        print(f"wrote {p}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="gpu_ray_tracing_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="command", required=True)
@@ -374,6 +551,25 @@ def main(argv=None) -> int:
                    help="write a <out>_preview image snapshot every N steps "
                         "(0 = off) so long renders are inspectable mid-run")
     p.set_defaults(fn=cmd_progressive)
+
+    p = sub.add_parser(
+        "view",
+        help="live progressive viewer in the terminal (ANSI truecolor "
+             "half-blocks) with interactive keyboard camera",
+    )
+    _add_common(p)
+    p.add_argument("--cols", type=int, default=None,
+                   help="frame width in terminal columns (default: fit)")
+    p.add_argument("--max-steps", type=int, default=0,
+                   help="stop after N steps (0 = run until [x])")
+    p.add_argument("--spp-per-step", type=int, default=1,
+                   help="samples folded per repaint (must divide --spp)")
+    p.add_argument("--no-input", action="store_true",
+                   help="disable keyboard handling (non-tty/CI runs)")
+    p.add_argument("--out", default=None,
+                   help="write the final accumulation to this image on exit")
+    p.add_argument("--inject-keys", default=None, help=argparse.SUPPRESS)
+    p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("bench", help="run the 5-config benchmark suite")
     p.add_argument("--quick", action="store_true")

@@ -384,3 +384,72 @@ def test_offline_example_preview_cadence(tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(os.path.join(tmp_path, "r_preview.png"))
+
+
+def test_ansi_downsample_and_frame():
+    """The terminal presentation layer: box-mean downsampling is exact on
+    aligned grids, and image_to_ansi emits one truecolor half-block cell
+    per (2-pixel column) with the top/bottom rows as fg/bg."""
+    from gpu_ray_tracing_tpu.utils.ansi import downsample_mean, image_to_ansi
+
+    img = np.zeros((4, 8, 3), np.float32)
+    img[:2] = [1.0, 0.0, 0.0]  # top half red
+    img[2:] = [0.0, 1.0, 0.0]  # bottom half green
+    small = downsample_mean(img, 2, 4)
+    assert small.shape == (2, 4, 3)
+    np.testing.assert_allclose(small[0], [[1, 0, 0]] * 4)
+    np.testing.assert_allclose(small[1], [[0, 1, 0]] * 4)
+    # Ragged bins still average correctly (5 -> 2 columns).
+    ragged = downsample_mean(np.ones((2, 5, 3), np.float32), 1, 2)
+    np.testing.assert_allclose(ragged, np.ones((1, 2, 3)))
+
+    s = image_to_ansi(img, cols=8, gamma=1.0)
+    lines = s.split("\n")
+    assert len(lines) == 2  # full width: 4 pixel rows -> 2 half-block lines
+    assert lines[0].count("▀") == 8
+    assert "38;2;255;0;0m" in lines[0] and "48;2;255;0;0m" in lines[0]
+    assert "38;2;0;255;0m" in lines[1] and "48;2;0;255;0m" in lines[1]
+    # Aspect preservation: halving the columns halves the pixel rows, so
+    # the red top row becomes the fg and the green bottom the bg of ONE line.
+    one = image_to_ansi(img, cols=4, gamma=1.0)
+    assert "\n" not in one
+    assert "38;2;255;0;0m" in one and "48;2;0;255;0m" in one
+    # Non-finite radiance renders black rather than poisoning the frame.
+    bad = np.full((2, 2, 3), np.nan, np.float32)
+    assert "38;2;0;0;0m" in image_to_ansi(bad, cols=2)
+
+
+def test_cli_view_progressive_and_reset(tmp_path, capsys):
+    """The `view` command: progressive repaints accumulate; an injected
+    camera key applies the motion op and RESETS the accumulation (the
+    reference's camera_has_moved contract); [x] quits."""
+    from gpu_ray_tracing_tpu.cli import main
+
+    out = os.path.join(tmp_path, "view.png")
+    rc = main([
+        "view", "--scene", "base", "--width", "48", "--height", "36",
+        "--spp", "8", "--depth", "3", "--max-steps", "4", "--no-input",
+        "--cols", "24", "--out", out,
+        # step 1 poll: dolly forward (resets count); step 3 poll: quit.
+        "--inject-keys", "w,,x",
+    ])
+    captured = capsys.readouterr().out
+    assert rc == 0
+    assert os.path.exists(out)
+    assert "▀" in captured
+    # Step 1 reaches 1 spp; the 'w' reset restarts the count, so the last
+    # repaint before [x] shows 2/8 spp (not 3/8).
+    assert "1/8 spp" in captured
+    assert "2/8 spp" in captured
+    assert "3/8 spp" not in captured
+
+
+def test_cli_view_rejects_adaptive(capsys):
+    from gpu_ray_tracing_tpu.cli import main
+
+    rc = main([
+        "view", "--scene", "base", "--width", "48", "--height", "36",
+        "--spp", "8", "--max-steps", "1", "--no-input",
+        "--adaptive-tol", "0.05",
+    ])
+    assert rc == 2
