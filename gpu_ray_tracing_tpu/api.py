@@ -627,6 +627,26 @@ def adaptive_progressive_step(
     )
 
 
+@partial(jax.jit, static_argnames=("c",))
+def _count_ray_map(spheres, camera, c, frame_seed):
+    # Module-level so repeated count_traced_rays calls (one per benchmark
+    # frame) hit the jit trace cache instead of retracing the megakernel.
+    from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
+
+    out = render_pallas(
+        spheres, camera, width=c.width, height=c.height,
+        sample_index=jnp.uint32(0), frame_seed=frame_seed,
+        max_depth=c.max_depth, t_min=c.t_min, t_max=c.t_max,
+        mode=c.integrator,
+        russian_roulette_depth=c.russian_roulette_depth,
+        sky_intensity=c.sky_intensity, nee=c.nee, mis=c.mis,
+        clamp=c.clamp, spp=c.spp, sampler_spec=c.sampler_spec,
+        adaptive_tol=c.adaptive_tol, adaptive_min_spp=c.adaptive_min_spp,
+        return_ray_count=True,
+    )
+    return out[-1]
+
+
 def count_traced_rays(
     spheres: Spheres,
     camera: Camera | CameraSettings,
@@ -667,26 +687,9 @@ def count_traced_rays(
     # engine-invariant; the wavefront scheduler traces the same ray set).
     cfg = dataclasses.replace(config, backend="pallas", regenerate="off")
 
-    @partial(jax.jit, static_argnames=("c",))
-    def _count(spheres, camera, c, frame_seed):
-        from gpu_ray_tracing_tpu.ops.pallas.megakernel import render_pallas
-
-        out = render_pallas(
-            spheres, camera, width=c.width, height=c.height,
-            sample_index=jnp.uint32(0), frame_seed=frame_seed,
-            max_depth=c.max_depth, t_min=c.t_min, t_max=c.t_max,
-            mode=c.integrator,
-            russian_roulette_depth=c.russian_roulette_depth,
-            sky_intensity=c.sky_intensity, nee=c.nee, mis=c.mis,
-            clamp=c.clamp, spp=c.spp, sampler_spec=c.sampler_spec,
-            adaptive_tol=c.adaptive_tol, adaptive_min_spp=c.adaptive_min_spp,
-            return_ray_count=True,
-        )
-        return out[-1]
-
     import numpy as np
 
-    ray_map = _count(spheres, camera, cfg, frame_seed)
+    ray_map = _count_ray_map(spheres, camera, cfg, frame_seed)
     # Host-side f64 sum: per-pixel counts are small exact f32 integers, but
     # a frame total can exceed f32's 2^24 exact-integer range.
     result = {

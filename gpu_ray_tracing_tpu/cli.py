@@ -381,8 +381,18 @@ class _RawKeys:
             return out
         import select
 
-        while select.select([sys.stdin], [], [], 0)[0]:
-            out += sys.stdin.read(1)
+        # Read the raw fd, not sys.stdin: TextIOWrapper.read(1) slurps a
+        # whole escape sequence into its Python-side buffer while returning
+        # one char, after which select() on the fd sees nothing pending —
+        # tearing "\x1b[A" into a bare ESC now and an orphaned "[A" on the
+        # next keypress.  os.read keeps the unread bytes on the fd where
+        # select() can see them.
+        fd = sys.stdin.fileno()
+        while select.select([fd], [], [], 0)[0]:
+            chunk = os.read(fd, 64)
+            if not chunk:
+                break
+            out += chunk.decode("utf-8", errors="ignore")
         return out
 
 
@@ -460,9 +470,13 @@ def cmd_view(args) -> int:
                     state, scene, cam, cfg, reset=reset,
                     spp_per_step=args.spp_per_step, **kw,
                 ))
+                # float()ing a step output inside the timed region: on the
+                # axon tunnel block_until_ready can return before the work
+                # executes (CLAUDE.md platform rules), so the displayed
+                # ms/step must include a readback that depends on the step.
+                count = int(state.count)
                 dt = time.perf_counter() - t0
                 reset = False
-                count = int(state.count)
                 frame = image_to_ansi(np.asarray(state.rgb), args.cols,
                                       args.gamma)
                 pos = np.asarray(cam.look_from)

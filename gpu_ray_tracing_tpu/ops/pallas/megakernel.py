@@ -1323,12 +1323,15 @@ def _kernel(
             return r_s, g_s, b_s, carry[-1]
         return r_s, g_s, b_s
 
-    if adaptive_resume:
-        # Adaptive PROGRESSIVE step: continue the one-shot adaptive loop
-        # from the carried Welford state.  Same body, same stopping test at
-        # the same absolute sample indices — plus the chunk bound — so a
-        # chunked run to the same budget is bitwise equal to one shot.
+    def _adaptive_tools():
+        """Welford update + stopping test, shared VERBATIM by the one-shot
+        adaptive loop and the adaptive_resume progressive branch: the
+        documented bitwise resume == one-shot guarantee holds only because
+        both run exactly these operations in this order."""
         min_spp = min(max(2, adaptive_min_spp), spp)
+        # Boundary tiles: only IN-FRAME lanes may drive the stopping
+        # decision — the pad lanes render off-frame rays whose statistics
+        # must not stop (or prolong) the visible pixels' sampling.
         valid_f = (
             (y_local < jnp.int32(height)) & (x < jnp.int32(width))
         ).astype(jnp.float32)
@@ -1337,6 +1340,35 @@ def _kernel(
         def tile_mean(plane):
             return jnp.sum(plane * valid_f) / n_valid
 
+        def welford(k, r, g, b, mlum, m2):
+            k1f = jnp.asarray(k + 1, jnp.float32)
+            lum = (r + g + b) * jnp.float32(1.0 / 3.0)
+            d = lum - mlum
+            mlum = mlum + d / k1f
+            m2 = m2 + d * (lum - mlum)
+            return mlum, m2
+
+        def wants_more(k, mlum, m2):
+            kf = jnp.asarray(k, jnp.float32)
+            # Per-pixel stderr^2 of the running mean = var / k; compare the
+            # tile-mean stderr against (tol * tile-mean luminance + eps) —
+            # the eps is a fixed absolute floor so black tiles terminate —
+            # in squared form (no per-pixel sqrt on the hot exit test).
+            stderr2 = tile_mean(m2) / jnp.maximum(kf - 1.0, 1.0) / kf
+            scale = tile_mean(mlum) * jnp.float32(adaptive_tol) + jnp.float32(
+                1e-4
+            )
+            return (k < min_spp) | ((k < spp) & (stderr2 > scale * scale))
+
+        return welford, wants_more
+
+    if adaptive_resume:
+        # Adaptive PROGRESSIVE step: continue the one-shot adaptive loop
+        # from the carried Welford state.  Same body, same stopping test at
+        # the same absolute sample indices — plus the chunk bound — so a
+        # chunked run to the same budget is bitwise equal to one shot.
+        welford, wants_more = _adaptive_tools()
+
         sr0, sg0, sb0 = adapt_in[0][:], adapt_in[1][:], adapt_in[2][:]
         cnt0, ml0, m20 = adapt_in[3][:], adapt_in[4][:], adapt_in[5][:]
         k0 = cnt0[0, 0].astype(jnp.int32)  # tile-constant by construction
@@ -1344,22 +1376,14 @@ def _kernel(
         def ad_body(c):
             k, sr, sg, sb, mlum, m2 = c
             r, g, b = one_sample(base_sample + jnp.asarray(k, jnp.uint32))[:3]
-            k1f = jnp.asarray(k + 1, jnp.float32)
-            lum = (r + g + b) * jnp.float32(1.0 / 3.0)
-            d = lum - mlum
-            mlum = mlum + d / k1f
-            m2 = m2 + d * (lum - mlum)
+            mlum, m2 = welford(k, r, g, b, mlum, m2)
             return (k + jnp.int32(1), sr + r, sg + g, sb + b, mlum, m2)
 
         def ad_cond(c):
             k, _, _, _, mlum, m2 = c
-            kf = jnp.asarray(k, jnp.float32)
-            stderr2 = tile_mean(m2) / jnp.maximum(kf - 1.0, 1.0) / kf
-            scale = tile_mean(mlum) * jnp.float32(adaptive_tol) + jnp.float32(
-                1e-4
+            return wants_more(k, mlum, m2) & (
+                k < k0 + jnp.int32(adaptive_chunk)
             )
-            want = (k < min_spp) | ((k < spp) & (stderr2 > scale * scale))
-            return want & (k < k0 + jnp.int32(adaptive_chunk))
 
         k, sr, sg, sb, mlum, m2 = jax.lax.while_loop(
             ad_cond, ad_body, (k0, sr0, sg0, sb0, ml0, m20)
@@ -1392,18 +1416,8 @@ def _kernel(
         # take adaptive_min_spp samples, penumbra tiles run to spp).
         # Samples taken are a PREFIX of the identical sample stream, so
         # the draws are unchanged — only the per-tile count varies.
-        min_spp = min(max(2, adaptive_min_spp), spp)
+        welford, wants_more = _adaptive_tools()
         z = jnp.zeros(shape, jnp.float32)
-        # Boundary tiles: only IN-FRAME lanes may drive the stopping
-        # decision — the pad lanes render off-frame rays whose statistics
-        # must not stop (or prolong) the visible pixels' sampling.
-        valid_f = (
-            (y_local < jnp.int32(height)) & (x < jnp.int32(width))
-        ).astype(jnp.float32)
-        n_valid = jnp.maximum(jnp.sum(valid_f), 1.0)
-
-        def tile_mean(plane):
-            return jnp.sum(plane * valid_f) / n_valid
 
         def ad_body(c):
             k, sr, sg, sb, sc, mlum, m2 = c
@@ -1411,25 +1425,12 @@ def _kernel(
             r, g, b = outk[:3]
             if count_rays:
                 sc = sc + outk[3]
-            k1f = jnp.asarray(k + 1, jnp.float32)
-            lum = (r + g + b) * jnp.float32(1.0 / 3.0)
-            d = lum - mlum
-            mlum = mlum + d / k1f
-            m2 = m2 + d * (lum - mlum)
+            mlum, m2 = welford(k, r, g, b, mlum, m2)
             return (k + jnp.int32(1), sr + r, sg + g, sb + b, sc, mlum, m2)
 
         def ad_cond(c):
             k, _, _, _, _, mlum, m2 = c
-            kf = jnp.asarray(k, jnp.float32)
-            # Per-pixel stderr^2 of the running mean = var / k; compare the
-            # tile-mean stderr against (tol * tile-mean luminance + eps) —
-            # the eps is a fixed absolute floor so black tiles terminate —
-            # in squared form (no per-pixel sqrt on the hot exit test).
-            stderr2 = tile_mean(m2) / jnp.maximum(kf - 1.0, 1.0) / kf
-            scale = tile_mean(mlum) * jnp.float32(adaptive_tol) + jnp.float32(
-                1e-4
-            )
-            return (k < min_spp) | ((k < spp) & (stderr2 > scale * scale))
+            return wants_more(k, mlum, m2)
 
         # The count accumulator's init must be layout-concrete (see
         # _zeros_unreplicated); the rgb/Welford carries pass through selects

@@ -45,13 +45,26 @@ def render_fingerprint(scene, config, *, frame_seed=None, key=None) -> str:
 
     from gpu_ray_tracing_tpu.models.scene import as_scene
 
+    # The spp BUDGET is deliberately NOT hashed raw: extending a finished
+    # 64-spp render to 256 spp is the core resume workflow, and the sample
+    # stream does not depend on the budget for the independent / threefry /
+    # wgsl samplers (every draw is f(pixel id, sample index, frame seed,
+    # salt)).  It leaks in only through the sampler: stratified derives its
+    # (kx, ky) grid from the budget (sample i's stratum moves when the
+    # budget does -> refuse), while sobol points are addressed by absolute
+    # sample index and are prefix-stable across budgets (rng.sobol_nbits is
+    # a static loop bound, not a stream parameter -> don't refuse).
+    if config.sampler == "stratified":
+        sampler_id: tuple = config.sampler_spec
+    else:
+        sampler_id = (config.sampler,)
     sc = as_scene(scene)
     h = hashlib.sha256()
     h.update(
         repr((
-            "v1",
-            config.width, config.height, config.spp, config.max_depth,
-            config.integrator, config.rng, config.sampler, config.parity,
+            "v2",
+            config.width, config.height, config.max_depth,
+            config.integrator, config.rng, sampler_id, config.parity,
             config.nee, config.mis, config.clamp, config.sky_intensity,
             config.russian_roulette_depth, config.t_min, config.t_max,
         )).encode()

@@ -129,8 +129,11 @@ class RenderConfig:
     # biased (the standard adaptive-sampling caveat) — keep the tolerance
     # at or below the visible noise floor, and note gradients replay the
     # jax path at full spp (exact for non-adaptive renders, approximate
-    # under adaptive).  Progressive/sharded accumulation needs exact
-    # per-sample counts and rejects adaptive configs.
+    # under adaptive).  Composes with `api.adaptive_progressive_step`
+    # (per-pixel count plane; bitwise equal to the one-shot render) and
+    # with ROW-sharded `render_sharded` meshes (spp axis must be 1);
+    # fold-based `progressive_step` and spp-axis shards need exact
+    # per-sample counts and still reject adaptive configs.
     adaptive_tol: float = 0.0
     adaptive_min_spp: int = 8
 

@@ -190,6 +190,23 @@ def test_checkpoint_fingerprint(tmp_path):
         scene, dataclasses.replace(cfg, backend="pallas"),
         frame_seed=jnp.uint32(1),
     )
+    # Extending the spp BUDGET is the core resume workflow and doesn't move
+    # the stream for budget-independent samplers: independent and sobol
+    # (index-addressed, prefix-stable) keep their fingerprint; stratified
+    # derives its strata grid from the budget, so extension is refused.
+    assert fp == render_fingerprint(
+        scene, dataclasses.replace(cfg, spp=32), frame_seed=jnp.uint32(1)
+    )
+    sobol = dataclasses.replace(cfg, sampler="sobol")
+    fp_sobol = render_fingerprint(scene, sobol, frame_seed=jnp.uint32(1))
+    assert fp_sobol == render_fingerprint(
+        scene, dataclasses.replace(sobol, spp=64), frame_seed=jnp.uint32(1)
+    )
+    strat = dataclasses.replace(cfg, sampler="stratified")
+    fp_strat = render_fingerprint(scene, strat, frame_seed=jnp.uint32(1))
+    assert fp_strat != render_fingerprint(
+        scene, dataclasses.replace(strat, spp=32), frame_seed=jnp.uint32(1)
+    )
 
     state = init_accum(cfg.height, cfg.width)
     path = os.path.join(tmp_path, "fp.npz")
@@ -442,6 +459,35 @@ def test_cli_view_progressive_and_reset(tmp_path, capsys):
     assert "1/8 spp" in captured
     assert "2/8 spp" in captured
     assert "3/8 spp" not in captured
+
+
+def test_rawkeys_keeps_escape_sequences_whole(monkeypatch):
+    """_RawKeys.poll must return a pending arrow-key escape sequence in ONE
+    call.  Regression: reading via buffered sys.stdin.read(1) let
+    TextIOWrapper slurp the sequence tail into its Python-side buffer where
+    select() on the fd can't see it — poll returned a bare ESC (discarded
+    as a dropped tail) and arrow keys were silently dead in the viewer."""
+    import pty
+    import sys as _sys
+    import time
+
+    from gpu_ray_tracing_tpu.cli import _RawKeys
+
+    master, slave = pty.openpty()
+    sin = os.fdopen(slave, "r")
+    try:
+        monkeypatch.setattr(_sys, "stdin", sin)
+        with _RawKeys(True) as keys:
+            os.write(master, b"\x1b[Aw")  # Up arrow + a following key
+            for _ in range(100):  # wait for the pty to make bytes readable
+                time.sleep(0.01)
+                got = keys.poll()
+                if got:
+                    break
+            assert got == "\x1b[Aw"
+    finally:
+        os.close(master)
+        sin.close()
 
 
 def test_cli_view_rejects_adaptive(capsys):
