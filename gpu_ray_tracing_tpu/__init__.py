@@ -48,6 +48,7 @@ from gpu_ray_tracing_tpu.models.mesh import (
     torus,
     transform_mesh,
 )
+from gpu_ray_tracing_tpu.models.cornell import cornell_box_scene, cornell_camera
 from gpu_ray_tracing_tpu.models.scene import Scene, make_scene
 from gpu_ray_tracing_tpu.models.spheres import (
     DIELECTRIC,
@@ -86,6 +87,8 @@ __all__ = [
     "TriangleMesh",
     "base_scene",
     "box",
+    "cornell_box_scene",
+    "cornell_camera",
     "icosphere",
     "load_obj",
     "make_mesh",

@@ -69,7 +69,90 @@ def extract_lights(spheres: Spheres) -> Lights | None:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["spheres", "mesh", "bvh", "sphere_bvh", "lights"],
+    data_fields=["v0", "e1", "e2", "normal", "area", "emission", "face_ids"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class TriLights:
+    """Emissive mesh-triangle light list for next-event estimation.
+
+    Extracted host-side by make_scene AFTER BVH face reordering, so
+    `face_ids` index the mesh the render actually traverses.  Light
+    ordinals continue after the sphere lights: the j-th triangle light is
+    global light `sphere_count + j` — one ordinal space drives the RNG
+    salts, the MIS identity planes, and the kernel SMEM layout.  Emission
+    is two-sided (matching BSDF-hit emission of mesh faces, which ignores
+    front_face); `normal` is the unit geometric normal, used for the
+    area-to-solid-angle pdf only.
+    """
+
+    v0: Array  # (T, 3)
+    e1: Array  # (T, 3)
+    e2: Array  # (T, 3)
+    normal: Array  # (T, 3) unit geometric normals
+    area: Array  # (T,)
+    emission: Array  # (T, 3)
+    face_ids: Array  # (T,) i32 indices into the (reordered) mesh faces
+
+    @property
+    def count(self) -> int:
+        return self.v0.shape[0]
+
+
+def extract_tri_lights(mesh) -> TriLights | None:
+    """Collect the emissive, non-degenerate mesh faces (None if none).
+
+    Zero-area faces are excluded from the light list: Moller-Trumbore's
+    determinant test rejects them so they can never radiate via a BSDF
+    hit either — the identity space stays consistent.
+    """
+    import numpy as np
+
+    from gpu_ray_tracing_tpu.models.spheres import EMISSIVE as _EM
+
+    kind = np.asarray(mesh.mat_kind)
+    e1 = np.asarray(mesh.e1, np.float64)
+    e2 = np.asarray(mesh.e2, np.float64)
+    cross = np.cross(e1, e2)
+    area2 = np.linalg.norm(cross, axis=-1)  # = 2 * area
+    idx = np.flatnonzero((kind == _EM) & (area2 > 1e-12))
+    if idx.size == 0:
+        return None
+    return TriLights(
+        v0=mesh.v0[idx],
+        e1=mesh.e1[idx],
+        e2=mesh.e2[idx],
+        normal=jnp.asarray(
+            cross[idx] / area2[idx][:, None], jnp.float32
+        ),
+        area=jnp.asarray(0.5 * area2[idx], jnp.float32),
+        emission=mesh.albedo[idx] * mesh.mat_param[idx][:, None],
+        face_ids=jnp.asarray(idx, jnp.int32),
+    )
+
+
+def tri_light_id_per_face(mesh, tri_lights: TriLights | None):
+    """(F,) i32 TRI-LIGHT ordinal per mesh face (-1 for non-lights).
+
+    The j-th entry of tri_lights maps to global ordinal sphere_count + j;
+    the OFFSET is added by the consumer (it needs the scene's sphere light
+    count).  This array is what gives MIS exact light identity for mesh
+    hits — the triangle table and the jax gather both read it.  Pure jnp
+    scatter: it must also work under jit, where face_ids is traced.
+    """
+    f = int(mesh.num_triangles)
+    lid = jnp.full((f,), -1, jnp.int32)
+    if tri_lights is not None:
+        lid = lid.at[tri_lights.face_ids].set(
+            jnp.arange(tri_lights.count, dtype=jnp.int32)
+        )
+    return lid
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["spheres", "mesh", "bvh", "sphere_bvh", "lights",
+                 "tri_lights"],
     meta_fields=["bvh_leaf_size", "mesh_has_emissive"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -79,15 +162,18 @@ class Scene:
     `mesh`/`bvh` are None for sphere-only scenes (the reference's entire
     repertoire); `sphere_bvh` (spheres reordered leaf-contiguously) lets the
     megakernel cull the sphere scan on large scenes; `bvh_leaf_size` is
-    static metadata for the traversal loop.  `mesh_has_emissive` is a
-    STATIC flag recorded by make_scene (the NEE light list covers spheres
-    only, so emissive mesh faces must be rejected — and the check must be
-    host-side metadata, not a traced-array inspection, or it explodes
-    under jit).  Its default None means "unknown" — a directly-constructed
-    Scene (bypassing make_scene) resolves it lazily at the nee=True guard
-    via `resolve_mesh_has_emissive`, which inspects the mesh when concrete
-    and refuses to guess when traced, so a hand-built emissive-mesh scene
-    can never silently render a biased NEE image.
+    static metadata for the traversal loop.  `tri_lights` is the emissive-
+    mesh-face light list (extracted by make_scene after BVH reordering);
+    NEE samples it alongside the sphere `lights` in one ordinal space.
+    `mesh_has_emissive` is a STATIC flag recorded by make_scene — nee=True
+    with an emissive mesh requires `tri_lights` to be present (a directly-
+    constructed Scene that skipped extraction must be rejected, and the
+    check must be host-side metadata, not a traced-array inspection, or it
+    explodes under jit).  Its default None means "unknown" — a directly-
+    constructed Scene resolves it lazily at the nee=True guard via
+    `resolve_mesh_has_emissive`, which inspects the mesh when concrete and
+    refuses to guess when traced, so a hand-built emissive-mesh scene can
+    never silently render a biased NEE image.
     """
 
     spheres: Spheres
@@ -95,6 +181,7 @@ class Scene:
     bvh: BVH | None = None
     sphere_bvh: BVH | None = None
     lights: Lights | None = None
+    tri_lights: TriLights | None = None
     bvh_leaf_size: int = 4
     mesh_has_emissive: bool | None = None
 
@@ -170,13 +257,17 @@ def make_scene(
             while bvh.num_nodes > MAX_PALLAS_BVH_NODES:
                 bvh_leaf_size *= 2
                 mesh, bvh = build_mesh_bvh(mesh_in, leaf_size=bvh_leaf_size)
+        # Extract AFTER BVH reordering so tri-light face ids index the mesh
+        # the render actually traverses.
         return Scene(
             spheres=spheres, mesh=mesh, bvh=bvh, sphere_bvh=s_bvh,
-            lights=lights, bvh_leaf_size=bvh_leaf_size,
+            lights=lights, tri_lights=extract_tri_lights(mesh),
+            bvh_leaf_size=bvh_leaf_size,
             mesh_has_emissive=mesh_has_emissive,
         )
     return Scene(spheres=spheres, mesh=mesh, bvh=None, sphere_bvh=s_bvh,
-                 lights=lights, mesh_has_emissive=mesh_has_emissive)
+                 lights=lights, tri_lights=extract_tri_lights(mesh),
+                 mesh_has_emissive=mesh_has_emissive)
 
 
 def as_scene(scene_or_spheres) -> Scene:
@@ -215,11 +306,16 @@ def intersect_scene(
     scene: Scene,
     t_min: float,
     t_max: float,
-) -> tuple[Hit, Array, Array, Array]:
+    *,
+    want_mesh_wins: bool = False,
+) -> tuple:
     """Closest hit across all geometry; returns (hit, albedo, kind, param).
 
     The material arrays are per-ray, resolved from whichever primitive won
     the closest-hit race — trace loops never index geometry arrays again.
+    `want_mesh_wins=True` appends a boolean "the mesh won this lane" plane:
+    hit.idx is a sphere index OR a face index depending on the winner, and
+    MIS light identity needs to know which table to gather from.
     """
     s_hit = intersect_spheres(origins, dirs, scene.spheres, t_min, t_max)
     albedo = scene.spheres.albedo[s_hit.idx]
@@ -227,6 +323,10 @@ def intersect_scene(
     param = scene.spheres.mat_param[s_hit.idx]
 
     if scene.mesh is None:
+        if want_mesh_wins:
+            return s_hit, albedo, kind, param, jnp.zeros(
+                s_hit.t.shape, dtype=bool
+            )
         return s_hit, albedo, kind, param
 
     if scene.bvh is not None:
@@ -250,6 +350,8 @@ def intersect_scene(
     albedo = jnp.where(w, scene.mesh.albedo[m_hit.idx], albedo)
     kind = jnp.where(mesh_wins, scene.mesh.mat_kind[m_hit.idx], kind)
     param = jnp.where(mesh_wins, scene.mesh.mat_param[m_hit.idx], param)
+    if want_mesh_wins:
+        return hit, albedo, kind, param, mesh_wins
     return hit, albedo, kind, param
 
 

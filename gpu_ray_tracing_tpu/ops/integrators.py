@@ -194,15 +194,21 @@ def trace_path(
     from gpu_ray_tracing_tpu.models.spheres import LAMBERTIAN
 
     scene = as_scene(scene)
+    # One light ORDINAL space: sphere lights 0..S-1, then triangle lights
+    # S..S+T-1 — it drives the NEE salts, the MIS identity planes, and the
+    # kernels' SMEM layouts identically.
+    n_slights = 0 if scene.lights is None else scene.lights.count
+    n_tlights = 0 if scene.tri_lights is None else scene.tri_lights.count
+    total_lights = n_slights + n_tlights
     if mis and not nee:
         raise ValueError("mis=True is a weighting of NEE; it requires nee=True")
-    if mis and scene.lights is not None and scene.lights.count > 4:
+    if mis and total_lights > 4:
         raise ValueError(
             "mis=True supports the <= 4-light deterministic NEE loop only "
             "(the > 4-light picked-light estimator keeps the binary "
             "emission exclusion)"
         )
-    if nee and (scene.lights is None or scene.lights.count == 0):
+    if nee and total_lights == 0:
         raise ValueError(
             "nee=True needs a Scene with emissive lights; build it with "
             "make_scene so the light list is extracted"
@@ -210,10 +216,17 @@ def trace_path(
     # Static metadata check (never inspect traced arrays here — this runs
     # inside jit with a dynamic scene; make_scene records the flag, and
     # resolve_mesh_has_emissive covers directly-constructed Scenes).
-    if nee and resolve_mesh_has_emissive(scene):
+    if nee and resolve_mesh_has_emissive(scene) and scene.tri_lights is None:
         raise ValueError(
-            "nee=True cannot sample EMISSIVE mesh faces (the light list "
-            "covers spheres only); use sphere lights or nee=False"
+            "nee=True with EMISSIVE mesh faces needs the triangle light "
+            "list; build the Scene via make_scene (it extracts tri_lights)"
+        )
+    if nee and n_tlights > 0 and total_lights > 4:
+        raise ValueError(
+            f"nee=True supports at most 4 total lights when the mesh is "
+            f"emissive (got {n_slights} sphere + {n_tlights} triangle "
+            "lights; the > 4-light picked-light estimator covers sphere "
+            "lights only)"
         )
 
     batch_shape = dirs.shape[:-1]
@@ -233,6 +246,13 @@ def trace_path(
         _lid_per_sphere = jnp.where(
             _is_em, jnp.cumsum(_is_em.astype(jnp.int32)) - 1, -1
         )
+        if n_tlights > 0:
+            # Per-face GLOBAL ordinal (sphere lights first): gathered by
+            # the winning face index when the mesh wins the closest hit.
+            from gpu_ray_tracing_tpu.models.scene import tri_light_id_per_face
+
+            _lid_base = tri_light_id_per_face(scene.mesh, scene.tri_lights)
+            _lid_per_tri = jnp.where(_lid_base >= 0, _lid_base + n_slights, -1)
 
     def body(i, carry):
         if count_rays:
@@ -247,7 +267,13 @@ def trace_path(
         if count_rays:
             # One closest-hit walk per live lane this bounce.
             rays = rays + live.astype(jnp.float32)
-        hit, albedo, kind, param = intersect_scene(o, d, scene, t_min, t_max)
+        if mis and scene.mesh is not None:
+            hit, albedo, kind, param, mesh_won = intersect_scene(
+                o, d, scene, t_min, t_max, want_mesh_wins=True
+            )
+        else:
+            hit, albedo, kind, param = intersect_scene(o, d, scene, t_min, t_max)
+            mesh_won = None
 
         if pixel_seeds is not None:
             # Salts 16+3i..18+3i: three independent draws per bounce.
@@ -310,16 +336,29 @@ def trace_path(
             # form w_b = 1 / (1 + r^2), r = 1 / (2 (1-cos_max) prev_cos).
             # Specular/miss-regenerated lanes (prev_diffuse False) keep
             # weight 1, exactly the non-MIS accounting.
-            # Exact light identity from the closest-hit sphere index: a
-            # mesh-won hit.idx may exceed the sphere count (clip before the
-            # gather), but such lanes are never EMISSIVE (the nee=True guard
-            # rejects emissive meshes) so `emissive` masks them out.
+            # Exact light identity from the closest-hit index: a sphere win
+            # gathers the per-sphere light ordinal, a mesh win (mesh_won)
+            # the per-face one — hit.idx addresses whichever table won, so
+            # the two gathers are disambiguated by the winner plane.  Lanes
+            # clipped out of range are never EMISSIVE, so `emissive` masks
+            # them out.
             hit_lid = _lid_per_sphere[
                 jnp.clip(hit.idx, 0, scene.spheres.count - 1)
             ]
+            if n_tlights > 0:
+                hit_lid = jnp.where(
+                    mesh_won,
+                    _lid_per_tri[
+                        jnp.clip(hit.idx, 0, scene.mesh.num_triangles - 1)
+                    ],
+                    hit_lid,
+                )
+            elif mesh_won is not None:
+                # Non-emissive mesh: a mesh win is never a light.
+                hit_lid = jnp.where(mesh_won, -1, hit_lid)
             one_minus_cm = jnp.zeros(batch_shape, jnp.float32)
             matched = emissive & (hit_lid >= 0)
-            for l_static in range(scene.lights.count):
+            for l_static in range(n_slights):
                 c_l = scene.lights.centers[l_static]
                 r_l = scene.lights.radii[l_static]
                 is_l = hit_lid == l_static
@@ -327,9 +366,29 @@ def trace_path(
                 one_minus_cm = jnp.where(
                     is_l, _one_minus_cos_max(r_l * r_l, d2o), one_minus_cm
                 )
+            # r_ratio = p_nee / p_b per lane.  Sphere lights:
+            # (1/(2 pi (1-cos_max))) / (prev_cos/pi) = 1/(2 (1-cos_max) pc).
             r_ratio = 1.0 / jnp.maximum(
                 2.0 * one_minus_cm * prev_cos, 1e-12
             )
+            if n_tlights > 0:
+                # Triangle lights: p_nee = d^2/(cos_l * area) with
+                # cos_l = |n_l . delta| / d  ->  p_nee = d^3/(|n_l.delta| A),
+                # so r = pi d^3 / (|n_l.delta| * area * prev_cos).  Pure
+                # point arithmetic (hit point minus prev vertex) — no
+                # direction normalization needed.
+                delta = hit.point - o
+                d2h = jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-12)
+                d3h = d2h * jnp.sqrt(d2h)
+                for j_static in range(n_tlights):
+                    g = n_slights + j_static
+                    nl = scene.tri_lights.normal[j_static]
+                    a_l = scene.tri_lights.area[j_static]
+                    ndot = jnp.abs(jnp.sum(delta * nl, axis=-1))
+                    r_tri = (jnp.float32(jnp.pi) * d3h) / jnp.maximum(
+                        ndot * a_l * prev_cos, 1e-12
+                    )
+                    r_ratio = jnp.where(hit_lid == g, r_tri, r_ratio)
             # `matched` is every emissive hit by construction (active
             # emissive spheres ARE the light list); the exclusion branch is
             # a defensive never-double-count fallback, not a tolerance gap.
@@ -361,7 +420,7 @@ def trace_path(
             # variance; salts match the megakernel); larger counts pick one
             # per lane (weight L).
             lights = scene.lights
-            num_l = lights.count
+            num_l = n_slights
 
             def _nee_draws(salt_off, n_draws=3):
                 # Salt layout: 2000 + 37*bounce + 7*light + {0,1,2}.  Strides
@@ -399,12 +458,18 @@ def trace_path(
             # that light; such lanes fall back to pure BSDF sampling (their
             # prev_diffuse stays False below so BSDF-hit emission counts) —
             # unbiased either way, no dark ring around embedded lights.
-            all_d2 = jnp.sum(
-                (lights.centers[None, :, :] - pnt[..., None, :]) ** 2, axis=-1
-            )
-            inside_any = jnp.any(
-                all_d2 <= (lights.radii[None, :] ** 2) * 1.0001, axis=-1
-            )
+            # (Sphere lights only: a point can't be "inside" a 2D triangle
+            # light, so tri lights never invalidate a lane this way.)
+            if num_l > 0:
+                all_d2 = jnp.sum(
+                    (lights.centers[None, :, :] - pnt[..., None, :]) ** 2,
+                    axis=-1,
+                )
+                inside_any = jnp.any(
+                    all_d2 <= (lights.radii[None, :] ** 2) * 1.0001, axis=-1
+                )
+            else:
+                inside_any = jnp.zeros(batch_shape, dtype=bool)
             nee_ok = diffuse_hit & ~inside_any
             rays_box = [jnp.zeros(batch_shape, jnp.float32)]
 
@@ -468,6 +533,59 @@ def trace_path(
                     valid[..., None], result + throughput * albedo * le * wgt, result
                 )
 
+            def _nee_tri_term(j, u1n, u2n, result):
+                """Triangle-light NEE: uniform-area sample on emissive face
+                j (static), area-to-solid-angle pdf.  Estimator:
+                Le * (albedo/pi) * cos_i / pdf_w with
+                pdf_w = d^2 / (cos_l * area)  ->
+                contribution = Le * albedo * cos_i * cos_l * area/(pi d^2).
+                Two-sided (|cos_l|), matching BSDF-hit emission of mesh
+                faces, which ignores front_face."""
+                tl = scene.tri_lights
+                su = jnp.sqrt(u1n)
+                b1 = 1.0 - su
+                b2 = u2n * su
+                p = (
+                    tl.v0[j]
+                    + b1[..., None] * tl.e1[j]
+                    + b2[..., None] * tl.e2[j]
+                )
+                dc = p - pnt
+                d2 = jnp.sum(dc * dc, axis=-1)
+                d2s = jnp.maximum(d2, 1e-12)
+                dist = jnp.sqrt(d2s)
+                omega = dc / dist[..., None]
+                cos_i = jnp.sum(hit.normal * omega, axis=-1)
+                cos_l = jnp.abs(jnp.sum(tl.normal[j] * omega, axis=-1))
+
+                from gpu_ray_tracing_tpu.models.scene import nearest_t_scene
+
+                shadow_t = nearest_t_scene(pnt, omega, scene, t_min, t_max)
+                # The sampled face itself sits at t == dist and must not
+                # count as a blocker (same 1e-3 relative slack as spheres).
+                visible = shadow_t >= dist * (1.0 - 1e-3)
+                prevalid = (
+                    nee_ok & (cos_i > 0.0) & (cos_l > 1e-7) & (d2 > 1e-12)
+                )
+                if count_rays:
+                    rays_box[0] = rays_box[0] + prevalid.astype(jnp.float32)
+                valid = prevalid & visible
+                wgt = cos_i * cos_l * tl.area[j] / (jnp.float32(jnp.pi) * d2s)
+                if mis:
+                    # ratio = p_b / p_nee = cos_i cos_l area / (pi d^2)
+                    # == wgt, the same identity the sphere term uses; last
+                    # bounce keeps weight 1 (no BSDF counterpart is traced).
+                    ratio = wgt
+                    last = jnp.asarray(i, jnp.int32) == max_depth - 1
+                    wgt = jnp.where(last, wgt, wgt / (1.0 + ratio * ratio))
+                wgt = wgt[..., None]
+                le = tl.emission[j]
+                return jnp.where(
+                    valid[..., None],
+                    result + throughput * albedo * le * wgt,
+                    result,
+                )
+
             if num_l <= 4:
                 for l_static in range(num_l):
                     u1n, u2n = _nee_draws(7 * l_static + 1, n_draws=2)
@@ -497,6 +615,23 @@ def trace_path(
                     num_l, u1n, u2n, result,
                     lights.centers[li], lights.radii[li], lights.emission[li],
                 )
+            # Triangle lights extend the SAME ordinal/salt space after the
+            # sphere lights (guards cap the total at 4 when any exist).
+            for j_static in range(n_tlights):
+                g = num_l + j_static
+                u1n, u2n = _nee_draws(7 * g + 1, n_draws=2)
+                if sampler_spec is not None and pixel_seeds is not None:
+                    # First-bounce area sample: (u1n, u2n) stratify the
+                    # triangle's barycentric square, pair id salt 8+g.
+                    sn1, sn2 = rng_ops.sampler_uniforms(
+                        u1n, u2n, pixel_ids, sample_index, frame_seed_u32,
+                        sampler_spec,
+                        rot_salt=rng_ops._NEE_ROT_SALT_BASE + g,
+                    )
+                    first_b = jnp.asarray(i, jnp.int32) == 0
+                    u1n = jnp.where(first_b, sn1, u1n)
+                    u2n = jnp.where(first_b, sn2, u2n)
+                result = _nee_tri_term(j_static, u1n, u2n, result)
         if nee and count_rays:
             rays = rays + rays_box[0]
         # Absorbed rays (metal below surface) contribute black (wgsl:278).

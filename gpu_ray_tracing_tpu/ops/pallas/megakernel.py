@@ -156,38 +156,50 @@ _TRI_PER_ROW = 128 // _TRI_SLOTS  # 4
 _TV0, _TE1, _TE2 = 0, 3, 6
 _TN0, _TN1, _TN2 = 9, 12, 15  # corner normals (n0 alone when flat-shaded)
 _TALB, _TKIND, _TPARAM = 18, 21, 22
+_TLID = 23  # global NEE light ordinal of emissive faces; -1 otherwise
 
 # BVH node plane rows: f32 (8, M) bounds; i32 (4, M) links.
 _BMINX, _BMINY, _BMINZ, _BMAXX, _BMAXY, _BMAXZ = range(6)
 _LMISS, _LSTART, _LCOUNT = range(3)
 
 
-def mesh_table(mesh) -> Array:
+def mesh_table(mesh, tri_light_ids=None) -> Array:
     """Pack a TriangleMesh into the (G, 128) f32 VMEM triangle table.
 
-    Triangle t occupies lanes [32*(t%4), 32*(t%4)+23) of row t//4; rows are
+    Triangle t occupies lanes [32*(t%4), 32*(t%4)+24) of row t//4; rows are
     padded to a sublane multiple of 8 with degenerate triangles (e1=e2=0 =>
     the Moller-Trumbore determinant test rejects them), which also makes the
     4-triangle group scan safe at unaligned leaf boundaries.
+
+    `tri_light_ids` ((F,) i32, optional): GLOBAL NEE light ordinal per face
+    (-1 for non-lights) — slot _TLID, read by the closest-hit light-id
+    plane under MIS.  Packed as -1 everywhere when absent.
     """
     f = mesh.num_triangles
     if mesh.smooth:
         n0, n1, n2 = mesh.n0, mesh.n1, mesh.n2
     else:
         n0 = n1 = n2 = mesh.normals
+    if tri_light_ids is None:
+        lid_col = jnp.full((f, 1), -1.0, jnp.float32)
+    else:
+        lid_col = jnp.asarray(tri_light_ids, jnp.float32)[:, None]
     attrs = jnp.concatenate(
         [
             mesh.v0, mesh.e1, mesh.e2, n0, n1, n2, mesh.albedo,
             mesh.mat_kind.astype(jnp.float32)[:, None],
             mesh.mat_param[:, None],
-            jnp.zeros((f, _TRI_SLOTS - 23), jnp.float32),
+            lid_col,
+            jnp.zeros((f, _TRI_SLOTS - 24), jnp.float32),
         ],
         axis=1,
     )  # (F, 32)
     group = _TRI_PER_ROW * 8  # row of 4 x sublane multiple of 8
     pad = (-f) % group
     if pad:
-        attrs = jnp.concatenate([attrs, jnp.zeros((pad, _TRI_SLOTS), jnp.float32)])
+        # Pad rows: degenerate geometry, light id -1.
+        pad_row = jnp.zeros((pad, _TRI_SLOTS), jnp.float32).at[:, _TLID].set(-1.0)
+        attrs = jnp.concatenate([attrs, pad_row])
     return attrs.reshape(-1, 128)
 
 
@@ -203,6 +215,22 @@ def lights_planes(lights) -> Array:
     planes = planes.at[4].set(lights.emission[:, 0])
     planes = planes.at[5].set(lights.emission[:, 1])
     planes = planes.at[6].set(lights.emission[:, 2])
+    return planes
+
+
+def tri_lights_planes(tri_lights) -> Array:
+    """Pack a TriLights list into the (16, T) f32 SMEM layout: rows
+    v0.xyz 0-2, e1.xyz 3-5, e2.xyz 6-8, unit normal 9-11, area 12,
+    emission r/g/b 13-15."""
+    t = tri_lights.count
+    planes = jnp.zeros((16, t), jnp.float32)
+    for k in range(3):
+        planes = planes.at[0 + k].set(tri_lights.v0[:, k])
+        planes = planes.at[3 + k].set(tri_lights.e1[:, k])
+        planes = planes.at[6 + k].set(tri_lights.e2[:, k])
+        planes = planes.at[9 + k].set(tri_lights.normal[:, k])
+        planes = planes.at[13 + k].set(tri_lights.emission[:, k])
+    planes = planes.at[12].set(tri_lights.area)
     return planes
 
 
@@ -405,8 +433,9 @@ def _traverse_mesh(
     `carry` is (tb, nxp, nyp, nzp, ar, ag, ab, kp, pp): the shared closest-
     hit state, with OUTWARD normals in the n-planes; sphere results already
     folded in by the caller.  An optional 10th plane is the light-id (MIS):
-    a triangle win clears it to -1 (mesh faces are never NEE lights — the
-    nee=True guard rejects emissive meshes).  With `smooth`, corner normals
+    a triangle win takes the face's _TLID slot — the global NEE ordinal of
+    emissive faces, -1 otherwise — giving mesh lights the same exact
+    identity sphere lights have.  With `smooth`, corner normals
     interpolate at the hit barycentrics — UNNORMALIZED (the caller
     renormalizes once after traversal instead of per candidate).
     """
@@ -438,7 +467,7 @@ def _traverse_mesh(
         kp = jnp.where(better, at(_TKIND), kp)
         pp = jnp.where(better, at(_TPARAM), pp)
         if with_lid:
-            lidp = jnp.where(better, jnp.float32(-1.0), lidp)
+            lidp = jnp.where(better, at(_TLID), lidp)
             return tb, nxp, nyp, nzp, ar, ag, ab, kp, pp, lidp
         return tb, nxp, nyp, nzp, ar, ag, ab, kp, pp
 
@@ -801,6 +830,8 @@ def _path_bounce(
     sky_intensity,
     num_lights,
     rr_depth,
+    tri_lights_ref=None,
+    num_tri_lights=0,
     pid=None,
     s_u32=None,
     frame_seed_u32=None,
@@ -884,11 +915,14 @@ def _path_bounce(
     is_emis = kp >= 2.5
     emis = live & hit & is_emis
     w_emis = 1.0
-    if num_lights > 0 and mis:
-        # Exact light identity from the closest-hit's _LIGHTID plane
-        # (replaces the r3 geometric tolerance, which could mis-match
-        # near-concentric/shell-adjacent lights and silently break the
-        # power heuristic's sum-to-1 property).
+    total_lights = num_lights + num_tri_lights
+    if total_lights > 0 and mis:
+        # Exact light identity from the closest-hit's light-id plane
+        # (scene _LIGHTID row for sphere wins, triangle-table _TLID slot
+        # for mesh wins; replaces the r3 geometric tolerance, which could
+        # mis-match near-concentric/shell-adjacent lights and silently
+        # break the power heuristic's sum-to-1 property).  r_ratio =
+        # p_nee / p_b per lane.
         one_minus_cm = jnp.zeros_like(pc_f)
         for l_mis in range(num_lights):
             lcx = lights_ref[0, l_mis]
@@ -902,21 +936,43 @@ def _path_bounce(
                 is_l, _one_minus_cos_max(lr * lr, d2o), one_minus_cm
             )
         r_ratio = 1.0 / jnp.maximum(2.0 * one_minus_cm * pc_f, 1e-12)
+        if num_tri_lights > 0:
+            # Triangle lights: p_nee = d^3/(|n_l . delta| * area) with
+            # delta = hit point - prev vertex (pure point arithmetic, no
+            # direction normalization), p_b = prev_cos/pi ->
+            # r = pi d^3 / (|n_l . delta| * area * prev_cos).  Matches
+            # ops/integrators.trace_path.
+            dhx, dhy, dhz = px - ox, py - oy, pz - oz
+            d2h = jnp.maximum(dhx * dhx + dhy * dhy + dhz * dhz, 1e-12)
+            d3h = d2h * jnp.sqrt(d2h)
+            for j_mis in range(num_tri_lights):
+                g = num_lights + j_mis
+                tnx = tri_lights_ref[9, j_mis]
+                tny = tri_lights_ref[10, j_mis]
+                tnz = tri_lights_ref[11, j_mis]
+                t_area = tri_lights_ref[12, j_mis]
+                ndot = jnp.abs(dhx * tnx + dhy * tny + dhz * tnz)
+                r_tri = (jnp.float32(jnp.pi) * d3h) / jnp.maximum(
+                    ndot * t_area * pc_f, 1e-12
+                )
+                is_l = jnp.abs(lidp - jnp.float32(g)) < 0.5
+                r_ratio = jnp.where(is_l, r_tri, r_ratio)
         # Every emissive hit carries a light id by construction (active
-        # emissive spheres ARE the light list); the exclusion branch is a
-        # defensive never-double-count fallback, not a tolerance gap.
+        # emissive spheres and non-degenerate emissive faces ARE the light
+        # list); the exclusion branch is a defensive never-double-count
+        # fallback, not a tolerance gap.
         w_emis = jnp.where(
             prev_diffuse,
             jnp.where(lidp > -0.5, 1.0 / (1.0 + r_ratio * r_ratio), 0.0),
             1.0,
         )
-    elif num_lights > 0:
+    elif total_lights > 0:
         emis = emis & ~prev_diffuse
     rr = jnp.where(emis, rr + tr * ar * (pp * w_emis), rr)
     rg = jnp.where(emis, rg + tg * ag * (pp * w_emis), rg)
     rb = jnp.where(emis, rb + tb_ * ab * (pp * w_emis), rb)
 
-    if num_lights > 0:
+    if total_lights > 0:
         # Next-event estimation.  Per-lane light selection would need a
         # per-lane gather from SMEM (unsupported), so for small light
         # counts we loop over ALL lights (deterministic, lowest variance,
@@ -924,7 +980,9 @@ def _path_bounce(
         # for the whole frame (unbiased; the xL factor cancels the pick
         # pdf).  The pick is a function of (sample, frame seed, bounce)
         # only — not of tile ids — so every engine/sharding draws it
-        # identically; samples average the picks back out.
+        # identically; samples average the picks back out.  Triangle
+        # lights extend the same ordinal/salt space after the sphere
+        # lights (render_pallas caps the total at 4 when any exist).
         i_u = jnp.asarray(i_b, jnp.uint32)
         is_lam = kp < 0.5
         # Shading points inside any light's radius fall back to BSDF
@@ -1048,6 +1106,79 @@ def _path_bounce(
             rb = jnp.where(valid, rb + tb_ * ab * (leb * wgt), rb)
             return rr, rg, rb
 
+        def tri_light_contribution(j, rr, rg, rb):
+            """Triangle-light NEE: uniform-area sample on emissive face j
+            (STATIC — all parameters are scalar SMEM reads), area-to-solid-
+            angle pdf.  contribution = Le * albedo * cos_i * cos_l * area
+            / (pi d^2); two-sided (|cos_l|).  Matches trace_path's
+            _nee_tri_term arithmetic and salts exactly."""
+            g = num_lights + j  # global ordinal -> salt/rotation ids
+            salt2 = jnp.uint32(2000) + jnp.uint32(37) * i_u + jnp.uint32(7 * g)
+            u1n = _uniform(seeds, salt2 + jnp.uint32(1))
+            u2n = _uniform(seeds, salt2 + jnp.uint32(2))
+            if sampler_spec is not None:
+                sn1, sn2 = rng_ops.sampler_uniforms(
+                    u1n, u2n, pid, s_u32, frame_seed_u32, sampler_spec,
+                    rot_salt=rng_ops._NEE_ROT_SALT_BASE + g,
+                )
+                first_b = jnp.asarray(i_b, jnp.int32) == 0
+                u1n = jnp.where(first_b, sn1, u1n)
+                u2n = jnp.where(first_b, sn2, u2n)
+
+            v0x, v0y, v0z = (tri_lights_ref[0, j], tri_lights_ref[1, j],
+                             tri_lights_ref[2, j])
+            e1x, e1y, e1z = (tri_lights_ref[3, j], tri_lights_ref[4, j],
+                             tri_lights_ref[5, j])
+            e2x, e2y, e2z = (tri_lights_ref[6, j], tri_lights_ref[7, j],
+                             tri_lights_ref[8, j])
+            tnx, tny, tnz = (tri_lights_ref[9, j], tri_lights_ref[10, j],
+                             tri_lights_ref[11, j])
+            t_area = tri_lights_ref[12, j]
+            ler, leg, leb = (tri_lights_ref[13, j], tri_lights_ref[14, j],
+                             tri_lights_ref[15, j])
+
+            su = jnp.sqrt(u1n)
+            b1 = 1.0 - su
+            b2 = u2n * su
+            lpx = v0x + b1 * e1x + b2 * e2x
+            lpy = v0y + b1 * e1y + b2 * e2y
+            lpz = v0z + b1 * e1z + b2 * e2z
+            dcx, dcy, dcz = lpx - px, lpy - py, lpz - pz
+            d2 = dcx * dcx + dcy * dcy + dcz * dcz
+            d2s = jnp.maximum(d2, 1e-12)
+            inv_dl = jax.lax.rsqrt(d2s)
+            dist = d2s * inv_dl  # = sqrt(d2s)
+            omx, omy, omz = dcx * inv_dl, dcy * inv_dl, dcz * inv_dl
+            cos_i = nx * omx + ny * omy + nz * omz
+            cos_l = jnp.abs(tnx * omx + tny * omy + tnz * omz)
+
+            prevalid = (
+                nee_base & (cos_i > 0.0) & (cos_l > 1e-7) & (d2 > 1e-12)
+            )
+            if count_rays:
+                rays_box[0] = rays_box[0] + prevalid.astype(jnp.float32)
+            # The sampled face itself sits at t == dist: the pre-shrunk
+            # window excludes it, so only genuine blockers close a lane
+            # (same 1e-3 relative slack as the sphere term).
+            win = jnp.where(prevalid, dist * (1.0 - 1e-3), 0.0)
+            blocked = _occluded(
+                scene_ref, n_spheres, t_min, px, py, pz, omx, omy, omz, win,
+                mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
+            )
+            valid = prevalid & ~blocked
+            wgt = cos_i * cos_l * t_area / (jnp.float32(jnp.pi) * d2s)
+            if mis:
+                # ratio = p_b / p_nee = cos_i cos_l area / (pi d^2) == wgt;
+                # last bounce keeps weight 1 (no BSDF counterpart is
+                # traced).  Matches trace_path.
+                ratio = wgt
+                last = jnp.asarray(i_b, jnp.int32) == max_depth - 1
+                wgt = jnp.where(last, wgt, wgt / (1.0 + ratio * ratio))
+            rr = jnp.where(valid, rr + tr * ar * (ler * wgt), rr)
+            rg = jnp.where(valid, rg + tg * ag * (leg * wgt), rg)
+            rb = jnp.where(valid, rb + tb_ * ab * (leb * wgt), rb)
+            return rr, rg, rb
+
         if num_lights <= 4:
             for l_static in range(num_lights):
                 rr, rg, rb = light_contribution(
@@ -1058,6 +1189,8 @@ def _path_bounce(
             bounce_seed = rng_ops.hash2(pick_seed, jnp.uint32(3000) + i_u)
             li = (rng_ops.hash2(bounce_seed, 0) % jnp.uint32(num_lights)).astype(jnp.int32)
             rr, rg, rb = light_contribution(li, num_lights, 0, rr, rg, rb)
+        for j_static in range(num_tri_lights):
+            rr, rg, rb = tri_light_contribution(j_static, rr, rg, rb)
         if count_rays:
             rays_cast = rays_box[0]
 
@@ -1121,7 +1254,8 @@ def _kernel(
     mode: str,
     rr_depth: int = 0,
     sky_intensity: float = 1.0,
-    num_lights: int = 0,  # > 0 enables in-kernel next-event estimation
+    num_lights: int = 0,  # sphere lights; > 0 enables in-kernel NEE
+    num_tri_lights: int = 0,  # emissive mesh faces (same ordinal space)
     mesh_smooth: bool = False,
     spp: int = 1,
     sampler_spec: tuple | None = None,
@@ -1161,6 +1295,10 @@ def _kernel(
         rest = rest[2:]
     if num_lights > 0:
         lights_ref = rest[0]
+        rest = rest[1:]
+    tri_lights_ref = None
+    if num_tri_lights > 0:
+        tri_lights_ref = rest[0]
         rest = rest[1:]
     adapt_in = None
     if adaptive_resume:
@@ -1266,6 +1404,7 @@ def _kernel(
             n_spheres=n_spheres, t_min=t_min, t_max=t_max,
             mesh_smooth=mesh_smooth, sky_intensity=sky_intensity,
             num_lights=num_lights, rr_depth=rr_depth,
+            tri_lights_ref=tri_lights_ref, num_tri_lights=num_tri_lights,
             pid=pid, s_u32=s_u32, frame_seed_u32=frame_seed_u32,
             sampler_spec=sampler_spec, mis=mis, max_depth=max_depth,
             count_rays=count_rays,
@@ -1620,7 +1759,16 @@ def render_pallas(
     in_specs = [smem((1, 24)), smem((1, 4)), smem((_SCENE_ROWS, n))]
     args = [cam_vec, ints, scene]
     if has_mesh:
-        tbl = mesh_table(sc.mesh)
+        tri_lids = None
+        if nee and sc.tri_lights is not None:
+            # Global light ordinals per face (sphere lights first) for the
+            # table's _TLID slot — the MIS light-id plane for mesh wins.
+            from gpu_ray_tracing_tpu.models.scene import tri_light_id_per_face
+
+            base_lid = tri_light_id_per_face(sc.mesh, sc.tri_lights)
+            n_sl0 = 0 if sc.lights is None else sc.lights.count
+            tri_lids = jnp.where(base_lid >= 0, base_lid + n_sl0, -1)
+        tbl = mesh_table(sc.mesh, tri_light_ids=tri_lids)
         bvhf, bvhi = bvh_planes(sc.bvh)
         in_specs += [
             pl.BlockSpec(tbl.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -1637,27 +1785,42 @@ def render_pallas(
         args += [sbf, sbi]
 
     num_lights = 0
+    num_tri_lights = 0
     if nee:
-        if sc.lights is None or sc.lights.count == 0:
+        n_sl = 0 if sc.lights is None else sc.lights.count
+        n_tl = 0 if sc.tri_lights is None else sc.tri_lights.count
+        if n_sl + n_tl == 0:
             raise ValueError(
                 "nee=True needs a Scene with emissive lights (make_scene)"
             )
         # Static metadata check (this runs under jit with a traced scene;
         # make_scene records the flag host-side).
-        if resolve_mesh_has_emissive(sc):
+        if resolve_mesh_has_emissive(sc) and sc.tri_lights is None:
             raise ValueError(
-                "nee=True cannot sample EMISSIVE mesh faces (the light "
-                "list covers spheres only); use sphere lights or nee=False"
+                "nee=True with EMISSIVE mesh faces needs the triangle "
+                "light list; build the Scene via make_scene (it extracts "
+                "tri_lights)"
             )
-        num_lights = sc.lights.count
-        if mis and num_lights > 4:
+        if n_tl > 0 and n_sl + n_tl > 4:
+            raise ValueError(
+                f"nee=True supports at most 4 total lights when the mesh "
+                f"is emissive (got {n_sl} sphere + {n_tl} triangle lights; "
+                "the > 4-light picked-light estimator covers sphere "
+                "lights only)"
+            )
+        if mis and n_sl + n_tl > 4:
             raise ValueError(
                 "mis=True supports the <= 4-light deterministic NEE loop "
                 "only (the > 4-light picked-light estimator keeps the "
                 "binary emission exclusion)"
             )
-        in_specs += [smem((8, num_lights))]
-        args += [lights_planes(sc.lights)]
+        num_lights, num_tri_lights = n_sl, n_tl
+        if num_lights > 0:
+            in_specs += [smem((8, num_lights))]
+            args += [lights_planes(sc.lights)]
+        if num_tri_lights > 0:
+            in_specs += [smem((16, num_tri_lights))]
+            args += [tri_lights_planes(sc.tri_lights)]
 
     if adaptive_state is not None:
         if adaptive_tol <= 0.0 or mode != "path" or adaptive_chunk <= 0:
@@ -1686,12 +1849,13 @@ def render_pallas(
         max_depth=max_depth, t_min=float(t_min), t_max=float(t_max), mode=mode,
         rr_depth=russian_roulette_depth, sky_intensity=float(sky_intensity),
         num_lights=num_lights,
+        num_tri_lights=num_tri_lights,
         mesh_smooth=has_mesh and sc.mesh.smooth,
         spp=spp,
         sampler_spec=sampler_spec,
         adaptive_tol=float(adaptive_tol),
         adaptive_min_spp=adaptive_min_spp,
-        mis=mis and num_lights > 0,
+        mis=mis and (num_lights + num_tri_lights) > 0,
         clamp=float(clamp),
         return_spp_map=return_spp_map,
         count_rays=return_ray_count,

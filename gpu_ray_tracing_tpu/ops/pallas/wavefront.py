@@ -74,6 +74,7 @@ from gpu_ray_tracing_tpu.ops.pallas.megakernel import (
     lights_planes,
     mesh_table,
     scene_planes,
+    tri_lights_planes,
 )
 
 Array = jax.Array
@@ -96,6 +97,7 @@ def _wf_kernel(
     sky_intensity: float,
     num_lights: int,
     mesh_smooth: bool,
+    num_tri_lights: int = 0,
     regen: bool = False,
     sampler_spec: tuple | None = None,
     mis: bool = False,
@@ -126,6 +128,10 @@ def _wf_kernel(
         rest = rest[2:]
     if num_lights > 0:
         lights_ref = rest[0]
+        rest = rest[1:]
+    tri_lights_ref = None
+    if num_tri_lights > 0:
+        tri_lights_ref = rest[0]
         rest = rest[1:]
     if regen:
         pid_ref, smp_ref, bnc_ref = rest[:3]
@@ -177,6 +183,7 @@ def _wf_kernel(
             n_spheres=n_spheres, t_min=t_min, t_max=t_max,
             mesh_smooth=mesh_smooth, sky_intensity=sky_intensity,
             num_lights=num_lights, rr_depth=rr_depth,
+            tri_lights_ref=tri_lights_ref, num_tri_lights=num_tri_lights,
             pid=pid_u32, s_u32=s_u32, frame_seed_u32=frame_seed_u32,
             sampler_spec=sampler_spec, mis=mis, max_depth=max_depth,
             count_rays=count_rays,
@@ -399,7 +406,16 @@ def render_wavefront(
     has_mesh = sc.mesh is not None
     has_sphere_bvh = sc.sphere_bvh is not None
     if has_mesh:
-        tbl = mesh_table(sc.mesh)
+        tri_lids = None
+        if nee and sc.tri_lights is not None:
+            # Global light ordinals per face (sphere lights first) for the
+            # table's _TLID slot — the MIS light-id plane for mesh wins.
+            from gpu_ray_tracing_tpu.models.scene import tri_light_id_per_face
+
+            base_lid = tri_light_id_per_face(sc.mesh, sc.tri_lights)
+            n_sl0 = 0 if sc.lights is None else sc.lights.count
+            tri_lids = jnp.where(base_lid >= 0, base_lid + n_sl0, -1)
+        tbl = mesh_table(sc.mesh, tri_light_ids=tri_lids)
         in_specs += [
             pl.BlockSpec(tbl.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             smem((8, sc.bvh.num_nodes)),
@@ -413,24 +429,39 @@ def render_wavefront(
                      smem((4, sc.sphere_bvh.num_nodes))]
         static_args += [sbf, sbi]
     num_lights = 0
+    num_tri_lights = 0
     if nee:
-        if sc.lights is None or sc.lights.count == 0:
+        n_sl = 0 if sc.lights is None else sc.lights.count
+        n_tl = 0 if sc.tri_lights is None else sc.tri_lights.count
+        if n_sl + n_tl == 0:
             raise ValueError("nee=True needs a Scene with emissive lights")
-        if resolve_mesh_has_emissive(sc):
+        if resolve_mesh_has_emissive(sc) and sc.tri_lights is None:
             raise ValueError(
-                "nee=True cannot sample EMISSIVE mesh faces (the light "
-                "list covers spheres only); use sphere lights or nee=False"
+                "nee=True with EMISSIVE mesh faces needs the triangle "
+                "light list; build the Scene via make_scene (it extracts "
+                "tri_lights)"
             )
-        num_lights = sc.lights.count
-        if mis and num_lights > 4:
+        if n_tl > 0 and n_sl + n_tl > 4:
+            raise ValueError(
+                f"nee=True supports at most 4 total lights when the mesh "
+                f"is emissive (got {n_sl} sphere + {n_tl} triangle lights; "
+                "the > 4-light picked-light estimator covers sphere "
+                "lights only)"
+            )
+        if mis and n_sl + n_tl > 4:
             raise ValueError(
                 "mis=True supports the <= 4-light deterministic NEE loop "
                 "only (the > 4-light picked-light estimator keeps the "
                 "binary emission exclusion)"
             )
-        in_specs += [smem((8, num_lights))]
-        static_args += [lights_planes(sc.lights)]
-    mis = mis and num_lights > 0
+        num_lights, num_tri_lights = n_sl, n_tl
+        if num_lights > 0:
+            in_specs += [smem((8, num_lights))]
+            static_args += [lights_planes(sc.lights)]
+        if num_tri_lights > 0:
+            in_specs += [smem((16, num_tri_lights))]
+            static_args += [tri_lights_planes(sc.tri_lights)]
+    mis = mis and (num_lights + num_tri_lights) > 0
     n_state = 12 if mis else 11  # prev_cos appended last under MIS
     n_tail = 4 if return_ray_count else 3  # radiance deltas [+ ray count]
     in_specs += [tile] * (n_state + (3 if regenerate else 1))
@@ -444,6 +475,7 @@ def render_wavefront(
         t_min=float(t_min), t_max=float(t_max),
         rr_depth=russian_roulette_depth, sky_intensity=float(sky_intensity),
         num_lights=num_lights, mesh_smooth=has_mesh and sc.mesh.smooth,
+        num_tri_lights=num_tri_lights,
         regen=regenerate, sampler_spec=sampler_spec, mis=mis,
         max_depth=max_depth, count_rays=return_ray_count,
     )

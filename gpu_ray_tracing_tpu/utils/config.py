@@ -70,11 +70,14 @@ class RenderConfig:
     # scenes lit purely by EMISSIVE surfaces.
     sky_intensity: float = 1.0
 
-    # Next-event estimation: sample emissive-sphere lights directly with
-    # shadow rays at every diffuse bounce (massively less noise in scenes
-    # lit by small lights; ~2x per-bounce cost).  Requires a Scene built via
-    # make_scene (the static light list).  Off by default: the reference is
-    # a pure BSDF-sampling tracer.
+    # Next-event estimation: sample lights directly with shadow rays at
+    # every diffuse bounce (massively less noise in scenes lit by small
+    # lights; ~2x per-bounce cost).  Emissive SPHERES (cone-sampled) and
+    # emissive MESH FACES (area-sampled triangle lights) share one ordinal
+    # space; an emissive mesh caps the total at 4 lights (the > 4-light
+    # picked-light estimator covers spheres only).  Requires a Scene built
+    # via make_scene (the static light lists).  Off by default: the
+    # reference is a pure BSDF-sampling tracer.
     nee: bool = False
 
     # Multiple importance sampling (requires nee=True, <= 4 lights): instead

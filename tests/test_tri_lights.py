@@ -1,0 +1,309 @@
+"""Triangle lights: emissive mesh faces as first-class NEE/MIS lights.
+
+Round-4 feature: make_scene extracts emissive, non-degenerate mesh faces
+into Scene.tri_lights; NEE area-samples them and MIS weighs BSDF-ray face
+hits via the triangle table's light-id slot.  Sphere and triangle lights
+share ONE ordinal space (spheres first), so the RNG salts, the MIS
+identity planes, and the kernel SMEM layouts line up across all three
+engines.  The reference has neither meshes nor NEE (compute_shader.wgsl
+is BSDF-only over spheres); these tests validate the extension against
+analytic integrals and cross-engine agreement instead.
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpu_ray_tracing_tpu import RenderConfig, make_scene, render
+from gpu_ray_tracing_tpu.models.mesh import make_mesh, merge_meshes
+from gpu_ray_tracing_tpu.models.scene import (
+    extract_tri_lights,
+    tri_light_id_per_face,
+)
+from gpu_ray_tracing_tpu.models.spheres import (
+    EMISSIVE,
+    LAMBERTIAN,
+    make_spheres,
+)
+from gpu_ray_tracing_tpu.ops.integrators import trace_path
+from tests.test_api import BASE_CAMERA
+from tests.test_sharding import assert_images_match
+
+
+def _quad_mesh(y, half, le, center=(0.0, 0.0), albedo=(1.0, 1.0, 1.0)):
+    """Horizontal square light: side 2*half at height y, two triangles."""
+    cx, cz = center
+    verts = np.array(
+        [
+            [cx - half, y, cz - half],
+            [cx + half, y, cz - half],
+            [cx + half, y, cz + half],
+            [cx - half, y, cz + half],
+        ],
+        np.float32,
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    return make_mesh(verts, faces, albedo=albedo, mat_kind=EMISSIVE,
+                     mat_param=le)
+
+
+def _floor(albedo=0.7):
+    return make_spheres(
+        [((0.0, -1000.0, 0.0), 1000.0, LAMBERTIAN, (albedo,) * 3, 0.0)]
+    )
+
+
+def test_extract_tri_lights_fields():
+    """Areas, unit normals, emission = albedo * param; degenerate emissive
+    faces are excluded (Moller-Trumbore rejects them, so they can never
+    radiate either — the identity space stays consistent)."""
+    quad = _quad_mesh(2.0, 0.5, 4.0, albedo=(1.0, 0.9, 0.8))
+    # Append a DEGENERATE emissive face (repeated vertex -> zero area).
+    degen = make_mesh(
+        np.array([[0.0, 1.0, 0.0], [0.0, 1.0, 0.0], [1.0, 1.0, 0.0]],
+                 np.float32),
+        np.array([[0, 1, 2]], np.int64),
+        mat_kind=EMISSIVE, mat_param=9.0,
+    )
+    lam = make_mesh(
+        np.array([[0.0, 0.0, -3.0], [1.0, 0.0, -3.0], [0.0, 1.0, -3.0]],
+                 np.float32),
+        np.array([[0, 1, 2]], np.int64),
+        mat_kind=LAMBERTIAN,
+    )
+    mesh = merge_meshes(lam, quad, degen)
+    tl = extract_tri_lights(mesh)
+    assert tl is not None and tl.count == 2  # degenerate face dropped
+    np.testing.assert_allclose(np.asarray(tl.area), [0.5, 0.5], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(tl.normal), axis=-1), 1.0, rtol=1e-6
+    )
+    # Horizontal quad: normals along +-y.
+    np.testing.assert_allclose(np.abs(np.asarray(tl.normal)[:, 1]), 1.0,
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(tl.emission), [[4.0, 3.6, 3.2]] * 2, rtol=1e-6
+    )
+    # face_ids index the mesh as given; the per-face ordinal map inverts it.
+    kind = np.asarray(mesh.mat_kind)
+    assert (kind[np.asarray(tl.face_ids)] == EMISSIVE).all()
+    lid = np.asarray(tri_light_id_per_face(mesh, tl))
+    assert (lid[np.asarray(tl.face_ids)] == np.arange(2)).all()
+    assert (np.delete(lid, np.asarray(tl.face_ids)) == -1).all()
+    # No emissive faces at all -> None.
+    assert extract_tri_lights(lam) is None
+
+
+def test_make_scene_tri_lights_survive_bvh_reorder():
+    """make_scene extracts AFTER BVH face reordering: face_ids must index
+    the mesh the render actually traverses."""
+    quad = _quad_mesh(2.0, 0.3, 5.0)
+    lam = make_mesh(
+        np.array([[-2.0, 0.1, -2.0], [2.0, 0.1, -2.0], [0.0, 0.1, 2.0]],
+                 np.float32),
+        np.array([[0, 1, 2]], np.int64),
+        mat_kind=LAMBERTIAN,
+    )
+    scene = make_scene(_floor(), merge_meshes(quad, lam))
+    tl = scene.tri_lights
+    assert tl is not None and tl.count == 2
+    ids = np.asarray(tl.face_ids)
+    np.testing.assert_array_equal(
+        np.asarray(scene.mesh.mat_kind)[ids], EMISSIVE
+    )
+    np.testing.assert_allclose(np.asarray(scene.mesh.v0)[ids],
+                               np.asarray(tl.v0))
+    np.testing.assert_allclose(np.asarray(scene.mesh.e1)[ids],
+                               np.asarray(tl.e1))
+
+
+def test_tri_nee_analytic_irradiance():
+    """A lambertian point at distance h directly under a small horizontal
+    quad light: E[outgoing radiance] -> Le * albedo * A / (pi h^2) as the
+    solid angle shrinks (cos_i = cos_l = 1).  Validates the area-to-solid-
+    angle pdf conversion end-to-end."""
+    albedo, le, h, half = 0.6, 5.0, 2.0, 0.1
+    scene = make_scene(_floor(albedo), _quad_mesh(h, half, le))
+    n = 4096
+    o = jnp.tile(jnp.asarray([[0.0, 0.5, 0.0]], jnp.float32), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32), (n, 1))
+    seeds = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)
+    # Depth 1 + sky off: only the NEE direct term contributes.
+    out = np.asarray(trace_path(
+        o, d, scene, 1, 1e-3, 3.4e35, pixel_seeds=seeds, sky_intensity=0.0,
+        nee=True,
+    ))
+    area = (2 * half) ** 2
+    expected = le * albedo * area / (np.pi * h * h)
+    np.testing.assert_allclose(out.mean(axis=0), expected, rtol=0.05)
+
+
+def test_tri_nee_shadow_rays_respect_occluders():
+    """A lambertian slab between the probe point and the quad light must
+    kill the NEE term (distance-bounded any-hit over the whole scene)."""
+    albedo, le, h = 0.6, 5.0, 2.0
+    blocker = make_mesh(
+        np.array([[-1.0, 1.0, -1.0], [1.0, 1.0, -1.0], [1.0, 1.0, 1.0],
+                  [-1.0, 1.0, 1.0]], np.float32),
+        np.array([[0, 1, 2], [0, 2, 3]], np.int64),
+        mat_kind=LAMBERTIAN, albedo=(0.2, 0.2, 0.2),
+    )
+    lit = make_scene(_floor(albedo), _quad_mesh(h, 0.1, le))
+    dark = make_scene(_floor(albedo),
+                      merge_meshes(_quad_mesh(h, 0.1, le), blocker))
+    n = 2048
+    o = jnp.tile(jnp.asarray([[0.0, 0.5, 0.0]], jnp.float32), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32), (n, 1))
+    seeds = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)
+    kw = dict(pixel_seeds=seeds, sky_intensity=0.0, nee=True)
+    bright = np.asarray(trace_path(o, d, lit, 1, 1e-3, 3.4e35, **kw))
+    shadow = np.asarray(trace_path(o, d, dark, 1, 1e-3, 3.4e35, **kw))
+    assert bright.mean() > 1e-3
+    np.testing.assert_allclose(shadow, 0.0, atol=1e-7)
+
+
+def _mixed_scene():
+    """One sphere light + a 2-face quad light (3 total ordinals) over a
+    floor and a red sphere — exercises both light kinds in one walk."""
+    spheres = make_spheres(
+        [
+            ((0.0, -1000.0, 0.0), 1000.0, LAMBERTIAN, (0.7, 0.7, 0.7), 0.0),
+            ((-0.6, 0.35, -2.2), 0.35, LAMBERTIAN, (0.8, 0.3, 0.3), 0.0),
+            ((2.0, 2.0, -2.0), 0.5, EMISSIVE, (1.0, 0.9, 0.7), 3.0),
+        ]
+    )
+    quad = _quad_mesh(2.5, 0.6, 4.0, center=(-1.5, -2.0),
+                      albedo=(0.9, 1.0, 0.8))
+    return make_scene(spheres, quad)
+
+
+@pytest.mark.parametrize("mis", [False, True])
+def test_tri_lights_match_across_engines(mis):
+    """NEE (and MIS) with mixed sphere + triangle lights must draw the
+    same counter-RNG streams in all three engines."""
+    scene = _mixed_scene()
+    imgs = {}
+    for be in ("jax", "pallas", "wavefront"):
+        cfg = RenderConfig(
+            width=48, height=32, spp=2, max_depth=4, backend=be,
+            nee=True, mis=mis, sky_intensity=0.0,
+        )
+        imgs[be] = np.asarray(
+            render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(5))
+        )
+    for img in imgs.values():
+        assert np.isfinite(img).all()
+    assert imgs["pallas"].mean() > 1e-3  # lights actually illuminate
+    # CPU-interpret FMA contraction drifts ~1 ULP between the two Pallas
+    # engines' NEE accumulation (see test_stratified_nee_matches_across_
+    # engines); any stream divergence would be orders of magnitude larger.
+    np.testing.assert_allclose(
+        imgs["pallas"], imgs["wavefront"], rtol=1e-5, atol=1e-6
+    )
+    assert_images_match(imgs["jax"], imgs["pallas"], flip_frac=0.02,
+                        mean_tol=2e-3)
+
+
+def test_tri_lights_estimators_agree():
+    """BSDF-only, NEE, and MIS are all unbiased on a quad-light scene:
+    their high-spp means must converge to the same integral."""
+    scene = _mixed_scene()
+
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops import rays as rays_ops
+
+    cam = derive_camera(BASE_CAMERA, 32, 24)
+
+    @partial(jax.jit, static_argnames=("nee", "mis", "spp"))
+    def go(frame_seed, nee, mis, spp):
+        acc = jnp.zeros((24, 32, 3), jnp.float32)
+
+        def body(s, acc):
+            o, d, seeds = rays_ops.generate_rays_hash(
+                cam, 32, 24, jnp.uint32(s), frame_seed)
+            return acc + trace_path(
+                o, d, scene, 5, 1e-3, 3.4e35, pixel_seeds=seeds,
+                sky_intensity=0.0, nee=nee, mis=mis)
+
+        return jax.lax.fori_loop(0, spp, body, acc) / spp
+
+    means = {
+        name: float(np.asarray(go(jnp.uint32(9), nee, mis, 1024)).mean())
+        for name, (nee, mis) in
+        {"bsdf": (False, False), "nee": (True, False),
+         "mis": (True, True)}.items()
+    }
+    assert abs(means["nee"] - means["bsdf"]) < 0.03 * means["bsdf"], means
+    assert abs(means["mis"] - means["nee"]) < 0.02 * means["nee"], means
+
+
+def test_tri_lights_guards():
+    """> 4 total lights with an emissive mesh is rejected by every engine;
+    a hand-built Scene that skipped tri-light extraction is rejected too
+    (it would silently drop the mesh lights from NEE)."""
+    from gpu_ray_tracing_tpu.models.mesh import icosphere, transform_mesh
+
+    big = transform_mesh(
+        icosphere(1, albedo=(1.0, 0.9, 0.8), mat_kind=EMISSIVE,
+                  mat_param=4.0),
+        scale=0.6, translate=(0.0, 0.6, 0.0),
+    )
+    scene = make_scene(_floor(), big)
+    assert scene.tri_lights.count == 80
+    for be in ("jax", "pallas", "wavefront"):
+        cfg = RenderConfig(width=32, height=24, spp=1, max_depth=3,
+                           nee=True, backend=be, sky_intensity=0.0)
+        with pytest.raises(ValueError, match="at most 4 total lights"):
+            render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(1))
+
+    small = _mixed_scene()
+    stripped = dataclasses.replace(small, tri_lights=None)
+    for be in ("jax", "pallas", "wavefront"):
+        cfg = RenderConfig(width=32, height=24, spp=1, max_depth=3,
+                           nee=True, backend=be, sky_intensity=0.0)
+        with pytest.raises(ValueError, match="tri_lights"):
+            render(stripped, BASE_CAMERA, cfg, frame_seed=jnp.uint32(1))
+
+
+def test_cornell_box_scene():
+    """The canonical triangle-light scene builds and renders: 2 lamp
+    triangles, finite lit image with nee+mis, near-black without NEE at
+    1 spp (BSDF rays almost never find the lamp — the estimator gap the
+    feature exists for)."""
+    from gpu_ray_tracing_tpu import cornell_box_scene, cornell_camera
+
+    scene = cornell_box_scene()
+    assert scene.tri_lights is not None and scene.tri_lights.count == 2
+    assert scene.lights is None  # no sphere lights: tri-only ordinal space
+    cam = cornell_camera()
+    cfg = RenderConfig(width=48, height=48, spp=1, max_depth=4, nee=True,
+                       mis=True, sky_intensity=0.0, backend="jax")
+    img = np.asarray(render(scene, cam, cfg, frame_seed=jnp.uint32(2)))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.05
+    bsdf_cfg = dataclasses.replace(cfg, nee=False, mis=False)
+    bsdf = np.asarray(render(scene, cam, bsdf_cfg, frame_seed=jnp.uint32(2)))
+    # Direct lamp pixels still fire; the diffuse interior is mostly black.
+    assert np.median(bsdf.max(axis=-1)) < 0.01 * np.median(img.max(axis=-1))
+
+
+def test_tri_lights_row_shard_invariant():
+    """Row-sharded rendering must reproduce the unsharded tri-light image:
+    the NEE draws ride the global-pixel-id counter streams."""
+    from gpu_ray_tracing_tpu.parallel.mesh import make_mesh as make_dev_mesh
+    from gpu_ray_tracing_tpu.parallel.sharding import render_sharded
+
+    scene = _mixed_scene()
+    cfg = RenderConfig(width=48, height=32, spp=2, max_depth=4,
+                       backend="pallas", nee=True, mis=True,
+                       sky_intensity=0.0)
+    base = np.asarray(render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3)))
+    mesh = make_dev_mesh(2, 1)
+    sharded = np.asarray(render_sharded(
+        scene, BASE_CAMERA, cfg, mesh, frame_seed=jnp.uint32(3)
+    ))
+    np.testing.assert_allclose(base, sharded, rtol=1e-5, atol=1e-6)
