@@ -35,6 +35,8 @@ from gpu_ray_tracing_tpu import (  # noqa: E402
     CameraSettings,
     RenderConfig,
     base_scene,
+    cornell_box_scene,
+    cornell_camera,
     make_scene,
     one_weekend_scene,
     render,
@@ -85,7 +87,13 @@ MESH_CAMERA = BASE_CAMERA.replace(
 
 
 def _cases():
-    """(golden_name, render_fn, backends_that_apply)."""
+    """(golden_name, render_fn, backends_that_apply[, ref_mode]).
+
+    ref_mode "golden" (default) compares every backend against the
+    committed CPU golden; "device-jax" compares the Pallas engines against
+    the jax backend ON THE CURRENT DEVICE (for scenes whose specular
+    transport chaotically amplifies cross-platform fp differences — the
+    CPU pin still lives in tests/test_goldens.py)."""
     all_b = ("jax", "pallas", "wavefront")
     yield (
         "base_normal_64x48.npy",
@@ -152,6 +160,27 @@ def _cases():
         ),
         all_b,
     )
+    # Cornell box: TRIANGLE lights (area-sampled NEE + the _TLID identity
+    # slot under MIS) on an enclosed mesh scene with dielectric + metal
+    # spheres — the r4 tri-light extension, end to end.  ref="device-jax":
+    # this scene is chaotically fp-amplifying across PLATFORMS (the glass
+    # sphere is a lens — sub-ulp cross-platform rounding of refraction
+    # directions moves which points the 15x lamp lights, ~9% of pixels
+    # drift > 1e-3 vs the CPU golden with all three TPU backends in
+    # agreement), so the on-chip gate compares the Pallas engines against
+    # the SAME-DEVICE jax render; the CPU pin lives in test_goldens.
+    yield (
+        "cornell_48x48.npy",
+        lambda backend: render(
+            cornell_box_scene(), cornell_camera(),
+            RenderConfig(width=48, height=48, spp=4, max_depth=6,
+                         sky_intensity=0.0, nee=True, mis=True,
+                         backend=backend),
+            frame_seed=jnp.uint32(13),
+        ),
+        all_b,
+        "device-jax",
+    )
 
 
 def main(argv=None) -> int:
@@ -166,15 +195,22 @@ def main(argv=None) -> int:
     )
     ok = True
     results = []
-    for name, fn, applies in _cases():
-        golden = np.load(os.path.join(GOLDEN_DIR, name))
+    for case in _cases():
+        name, fn, applies = case[:3]
+        ref_mode = case[3] if len(case) > 3 else "golden"
+        if ref_mode == "device-jax":
+            ref = np.asarray(fn("jax"))
+        else:
+            ref = np.load(os.path.join(GOLDEN_DIR, name))
         for backend in backends:
             if backend not in applies:
                 continue
+            if ref_mode == "device-jax" and backend == "jax":
+                continue  # it IS the reference on this device
             img = np.asarray(fn(backend))
-            d = np.abs(img - golden).max(axis=-1)
+            d = np.abs(img - ref).max(axis=-1)
             flips = float((d > 1e-3).mean())
-            mean = float(np.abs(img - golden).mean())
+            mean = float(np.abs(img - ref).mean())
             # 1.5% flip budget: at golden resolutions (1-3k pixels) a dozen
             # borderline silhouette pixels is expected compiler-rounding
             # variance, not an error signal.
@@ -182,6 +218,7 @@ def main(argv=None) -> int:
             ok &= passed
             rec = {
                 "golden": name, "device": device.platform, "backend": backend,
+                "ref": ref_mode,
                 "flipped_pixels": round(flips, 6), "mean_abs_diff": round(mean, 8),
                 "max_abs_diff": round(float(d.max()), 6), "pass": passed,
             }
