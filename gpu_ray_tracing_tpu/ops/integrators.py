@@ -221,13 +221,6 @@ def trace_path(
             "nee=True with EMISSIVE mesh faces needs the triangle light "
             "list; build the Scene via make_scene (it extracts tri_lights)"
         )
-    if nee and n_tlights > 0 and total_lights > 4:
-        raise ValueError(
-            f"nee=True supports at most 4 total lights when the mesh is "
-            f"emissive (got {n_slights} sphere + {n_tlights} triangle "
-            "lights; the > 4-light picked-light estimator covers sphere "
-            "lights only)"
-        )
 
     batch_shape = dirs.shape[:-1]
     throughput = jnp.ones((*batch_shape, 3), jnp.float32)
@@ -586,7 +579,114 @@ def trace_path(
                     result,
                 )
 
-            if num_l <= 4:
+            def _nee_combined_pick(gi, u1n, u2n, result):
+                """Pick-one-light NEE over the COMBINED ordinal space
+                (> 4 total lights with triangle lights present): build the
+                sphere-cone and triangle-area candidates from the picked
+                ordinal, select per lane by its kind, and drive ONE shadow
+                walk with the selected direction — the walk dominates the
+                cost, the duplicated candidate math does not.  Weight =
+                total_lights cancels the uniform pick pdf; MIS is
+                structurally off here (its <= 4 guard), so the binary
+                prev_diffuse exclusion applies as in the sphere pick."""
+                is_sph = gi < num_l
+                zero3 = jnp.zeros((*batch_shape, 3), jnp.float32)
+                zero = jnp.zeros(batch_shape, jnp.float32)
+                # Sphere-cone candidate, params gathered by the pick.
+                if num_l > 0:
+                    li = jnp.clip(gi, 0, num_l - 1)
+                    lc = lights.centers[li]
+                    lr = lights.radii[li]
+                    le_s = lights.emission[li]
+                    dc = lc - pnt
+                    d2 = jnp.sum(dc * dc, axis=-1)
+                    d2s = jnp.maximum(d2, 1e-12)
+                    inside = d2 <= lr * lr * 1.0001
+                    omc = _one_minus_cos_max(lr * lr, d2s)
+                    cos_t = 1.0 - u1n * omc
+                    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+                    phi = u2n * jnp.float32(2.0 * jnp.pi)
+                    wl = dc / jnp.sqrt(d2s)[..., None]
+                    pick = jnp.abs(wl[..., 0:1]) > 0.9
+                    a_ax = jnp.where(
+                        pick,
+                        jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
+                        jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+                    )
+                    u_ax = jnp.cross(a_ax, wl)
+                    u_ax = u_ax / jnp.maximum(
+                        jnp.linalg.norm(u_ax, axis=-1, keepdims=True), 1e-12
+                    )
+                    v_ax = jnp.cross(wl, u_ax)
+                    omega_s = (
+                        u_ax * (jnp.cos(phi) * sin_t)[..., None]
+                        + v_ax * (jnp.sin(phi) * sin_t)[..., None]
+                        + wl * cos_t[..., None]
+                    )
+                    cos_i_s = jnp.sum(hit.normal * omega_s, axis=-1)
+                    h_l = jnp.sum(dc * omega_s, axis=-1)
+                    disc_l = h_l * h_l - (d2 - lr * lr)
+                    t_s = h_l - jnp.sqrt(jnp.maximum(disc_l, 0.0))
+                    prevalid_s = (
+                        nee_ok & (cos_i_s > 0.0) & ~inside & (disc_l > 0.0)
+                    )
+                    wgt_s = cos_i_s * 2.0 * omc
+                else:
+                    omega_s, t_s, wgt_s, le_s = zero3, zero, zero, zero3
+                    prevalid_s = jnp.zeros(batch_shape, dtype=bool)
+                # Triangle-area candidate, params gathered by the pick.
+                tl = scene.tri_lights
+                ji = jnp.clip(gi - num_l, 0, n_tlights - 1)
+                su = jnp.sqrt(u1n)
+                b1 = 1.0 - su
+                b2 = u2n * su
+                p = (
+                    tl.v0[ji]
+                    + b1[..., None] * tl.e1[ji]
+                    + b2[..., None] * tl.e2[ji]
+                )
+                dct = p - pnt
+                d2t = jnp.sum(dct * dct, axis=-1)
+                d2ts = jnp.maximum(d2t, 1e-12)
+                dist_t = jnp.sqrt(d2ts)
+                omega_t = dct / dist_t[..., None]
+                cos_i_t = jnp.sum(hit.normal * omega_t, axis=-1)
+                cos_l = jnp.abs(jnp.sum(tl.normal[ji] * omega_t, axis=-1))
+                prevalid_t = (
+                    nee_ok & (cos_i_t > 0.0) & (cos_l > 1e-7) & (d2t > 1e-12)
+                )
+                wgt_t = (
+                    cos_i_t * cos_l * tl.area[ji]
+                    / (jnp.float32(jnp.pi) * d2ts)
+                )
+                le_t = tl.emission[ji]
+                # Lane-wise select, ONE walk, accumulate.
+                omega = jnp.where(is_sph[..., None], omega_s, omega_t)
+                maxt = jnp.where(is_sph, t_s, dist_t)
+                prevalid = jnp.where(is_sph, prevalid_s, prevalid_t)
+                if count_rays:
+                    rays_box[0] = rays_box[0] + prevalid.astype(jnp.float32)
+
+                from gpu_ray_tracing_tpu.models.scene import nearest_t_scene
+
+                shadow_t = nearest_t_scene(pnt, omega, scene, t_min, t_max)
+                visible = shadow_t >= maxt * (1.0 - 1e-3)
+                valid = prevalid & visible
+                wgt = (
+                    jnp.where(is_sph, wgt_s, wgt_t)
+                    * jnp.float32(total_lights)
+                )
+                le = jnp.where(is_sph[..., None], le_s, le_t)
+                return jnp.where(
+                    valid[..., None],
+                    result + throughput * albedo * le * wgt[..., None],
+                    result,
+                )
+
+            # total <= 4 (== num_l <= 4 for sphere-only scenes, so the
+            # stream is unchanged there): deterministic loop over ALL
+            # lights, both kinds.  Above 4, pick one ordinal per lane.
+            if total_lights <= 4:
                 for l_static in range(num_l):
                     u1n, u2n = _nee_draws(7 * l_static + 1, n_draws=2)
                     if sampler_spec is not None and pixel_seeds is not None:
@@ -608,30 +708,44 @@ def trace_path(
                         jnp.broadcast_to(lights.radii[l_static], batch_shape),
                         jnp.broadcast_to(lights.emission[l_static], (*batch_shape, 3)),
                     )
-            else:
+            elif n_tlights == 0:
                 u_l, u1n, u2n = _nee_draws(0)
                 li = jnp.clip((u_l * num_l).astype(jnp.int32), 0, num_l - 1)
                 result = _nee_light_term(
                     num_l, u1n, u2n, result,
                     lights.centers[li], lights.radii[li], lights.emission[li],
                 )
+            else:
+                # > 4 lights INCLUDING triangle lights: pick ONE ordinal
+                # per lane from the combined space (weight = total cancels
+                # the 1/total pick pdf), build both candidate samples, and
+                # select lane-wise BEFORE the single shadow walk — the walk
+                # is the expensive part, the candidate math is not.
+                u_l, u1n, u2n = _nee_draws(0)
+                gi = jnp.clip(
+                    (u_l * total_lights).astype(jnp.int32), 0,
+                    total_lights - 1,
+                )
+                result = _nee_combined_pick(gi, u1n, u2n, result)
             # Triangle lights extend the SAME ordinal/salt space after the
-            # sphere lights (guards cap the total at 4 when any exist).
-            for j_static in range(n_tlights):
-                g = num_l + j_static
-                u1n, u2n = _nee_draws(7 * g + 1, n_draws=2)
-                if sampler_spec is not None and pixel_seeds is not None:
-                    # First-bounce area sample: (u1n, u2n) stratify the
-                    # triangle's barycentric square, pair id salt 8+g.
-                    sn1, sn2 = rng_ops.sampler_uniforms(
-                        u1n, u2n, pixel_ids, sample_index, frame_seed_u32,
-                        sampler_spec,
-                        rot_salt=rng_ops._NEE_ROT_SALT_BASE + g,
-                    )
-                    first_b = jnp.asarray(i, jnp.int32) == 0
-                    u1n = jnp.where(first_b, sn1, u1n)
-                    u2n = jnp.where(first_b, sn2, u2n)
-                result = _nee_tri_term(j_static, u1n, u2n, result)
+            # sphere lights (the <= 4-total static loop; larger counts take
+            # the combined pick above).
+            if total_lights <= 4:
+                for j_static in range(n_tlights):
+                    g = num_l + j_static
+                    u1n, u2n = _nee_draws(7 * g + 1, n_draws=2)
+                    if sampler_spec is not None and pixel_seeds is not None:
+                        # First-bounce area sample: (u1n, u2n) stratify the
+                        # triangle's barycentric square, pair id salt 8+g.
+                        sn1, sn2 = rng_ops.sampler_uniforms(
+                            u1n, u2n, pixel_ids, sample_index, frame_seed_u32,
+                            sampler_spec,
+                            rot_salt=rng_ops._NEE_ROT_SALT_BASE + g,
+                        )
+                        first_b = jnp.asarray(i, jnp.int32) == 0
+                        u1n = jnp.where(first_b, sn1, u1n)
+                        u2n = jnp.where(first_b, sn2, u2n)
+                    result = _nee_tri_term(j_static, u1n, u2n, result)
         if nee and count_rays:
             rays = rays + rays_box[0]
         # Absorbed rays (metal below surface) contribute black (wgsl:278).

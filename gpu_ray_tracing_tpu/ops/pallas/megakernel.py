@@ -1005,6 +1005,46 @@ def _path_bounce(
         nee_base = live & hit & is_lam & ~inside_any
         rays_box = [rays_cast]  # shadow-ray counts fold in per light term
 
+        def _sphere_cand(lcx, lcy, lcz, lrad, u1n, u2n):
+            """Cone-sample candidate toward a sphere light: returns
+            (omx, omy, omz, t_l, prevalid, wgt0), where wgt0 = cos_i *
+            2(1-cos_max) is both the estimator weight and the MIS
+            p_b/p_nee ratio.  ONE copy of the cone math, shared by the
+            <= 4 loop, the sphere pick, and the combined pick."""
+            dcx, dcy, dcz = lcx - px, lcy - py, lcz - pz
+            d2 = dcx * dcx + dcy * dcy + dcz * dcz
+            d2s = jnp.maximum(d2, 1e-12)
+            inv_dl = jax.lax.rsqrt(d2s)
+            wlx, wly, wlz = dcx * inv_dl, dcy * inv_dl, dcz * inv_dl
+            omc = _one_minus_cos_max(lrad * lrad, d2s)
+            cos_t = 1.0 - u1n * omc
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            phi = u2n * jnp.float32(2.0 * jnp.pi)
+            # Orthonormal basis around wl; cross(a, wl), a = (axx, axy, 0).
+            pickx = jnp.abs(wlx) > 0.9
+            axx = jnp.where(pickx, 0.0, 1.0)
+            axy = jnp.where(pickx, 1.0, 0.0)
+            uax = axy * wlz
+            uay = -axx * wlz
+            uaz = axx * wly - axy * wlx
+            uinv = jax.lax.rsqrt(jnp.maximum(uax * uax + uay * uay + uaz * uaz, 1e-12))
+            uax, uay, uaz = uax * uinv, uay * uinv, uaz * uinv
+            vax = wly * uaz - wlz * uay
+            vay = wlz * uax - wlx * uaz
+            vaz = wlx * uay - wly * uax
+            cp, sp = jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t
+            omx = uax * cp + vax * sp + wlx * cos_t
+            omy = uay * cp + vay * sp + wly * cos_t
+            omz = uaz * cp + vaz * sp + wlz * cos_t
+            cos_i = nx * omx + ny * omy + nz * omz
+            h_l = dcx * omx + dcy * omy + dcz * omz
+            disc_l = h_l * h_l - (d2 - lrad * lrad)
+            t_l = h_l - jnp.sqrt(jnp.maximum(disc_l, 0.0))
+            inside = d2 <= lrad * lrad * 1.0001
+            prevalid = nee_base & (cos_i > 0.0) & ~inside & (disc_l > 0.0)
+            wgt0 = cos_i * 2.0 * omc
+            return omx, omy, omz, t_l, prevalid, wgt0
+
         def light_contribution(li, pick_weight, salt_off, rr, rg, rb,
                                rot_salt=None):
             if jnp.ndim(li) == 0:
@@ -1043,42 +1083,13 @@ def _path_bounce(
                 u1n = jnp.where(first_b, sn1, u1n)
                 u2n = jnp.where(first_b, sn2, u2n)
 
-            dcx, dcy, dcz = lcx - px, lcy - py, lcz - pz
-            d2 = dcx * dcx + dcy * dcy + dcz * dcz
-            d2s = jnp.maximum(d2, 1e-12)
-            inv_dl = jax.lax.rsqrt(d2s)
-            wlx, wly, wlz = dcx * inv_dl, dcy * inv_dl, dcz * inv_dl
-            omc = _one_minus_cos_max(lrad * lrad, d2s)
-            cos_t = 1.0 - u1n * omc
-            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-            phi = u2n * jnp.float32(2.0 * jnp.pi)
-            # Orthonormal basis around wl; cross(a, wl), a = (axx, axy, 0).
-            pickx = jnp.abs(wlx) > 0.9
-            axx = jnp.where(pickx, 0.0, 1.0)
-            axy = jnp.where(pickx, 1.0, 0.0)
-            uax = axy * wlz
-            uay = -axx * wlz
-            uaz = axx * wly - axy * wlx
-            uinv = jax.lax.rsqrt(jnp.maximum(uax * uax + uay * uay + uaz * uaz, 1e-12))
-            uax, uay, uaz = uax * uinv, uay * uinv, uaz * uinv
-            vax = wly * uaz - wlz * uay
-            vay = wlz * uax - wlx * uaz
-            vaz = wlx * uay - wly * uax
-            cp, sp = jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t
-            omx = uax * cp + vax * sp + wlx * cos_t
-            omy = uay * cp + vay * sp + wly * cos_t
-            omz = uaz * cp + vaz * sp + wlz * cos_t
-            cos_i = nx * omx + ny * omy + nz * omz
-            h_l = dcx * omx + dcy * omy + dcz * omz
-            disc_l = h_l * h_l - (d2 - lrad * lrad)
-            t_l = h_l - jnp.sqrt(jnp.maximum(disc_l, 0.0))
-
+            omx, omy, omz, t_l, prevalid, wgt0 = _sphere_cand(
+                lcx, lcy, lcz, lrad, u1n, u2n
+            )
             # Every scan-independent validity term is known BEFORE the
             # shadow scan; folding them into the occlusion window (0 =
             # lane inert) means only genuinely samplable lambertian lanes
             # drive the any-hit walk — metal/glass/miss lanes cost nothing.
-            inside = d2 <= lrad * lrad * 1.0001
-            prevalid = nee_base & (cos_i > 0.0) & ~inside & (disc_l > 0.0)
             if count_rays:
                 # One shadow ray per lane whose occlusion walk is driven.
                 rays_box[0] = rays_box[0] + prevalid.astype(jnp.float32)
@@ -1090,7 +1101,7 @@ def _path_bounce(
                 mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
             )
             valid = prevalid & ~blocked
-            wgt = cos_i * 2.0 * omc * jnp.float32(pick_weight)
+            wgt = wgt0 * jnp.float32(pick_weight)
             if mis:
                 # w_nee = p_nee^2 / (p_nee^2 + p_b^2)
                 #       = 1 / (1 + (2 cos_i (1 - cos_max))^2); matches the
@@ -1098,7 +1109,7 @@ def _path_bounce(
                 # The LAST bounce keeps w_nee = 1: its BSDF counterpart is
                 # never traced (depth-truncation bias otherwise); matches
                 # trace_path.
-                ratio = 2.0 * cos_i * omc
+                ratio = wgt0
                 last = jnp.asarray(i_b, jnp.int32) == max_depth - 1
                 wgt = jnp.where(last, wgt, wgt / (1.0 + ratio * ratio))
             rr = jnp.where(valid, rr + tr * ar * (ler * wgt), rr)
@@ -1106,37 +1117,14 @@ def _path_bounce(
             rb = jnp.where(valid, rb + tb_ * ab * (leb * wgt), rb)
             return rr, rg, rb
 
-        def tri_light_contribution(j, rr, rg, rb):
-            """Triangle-light NEE: uniform-area sample on emissive face j
-            (STATIC — all parameters are scalar SMEM reads), area-to-solid-
-            angle pdf.  contribution = Le * albedo * cos_i * cos_l * area
-            / (pi d^2); two-sided (|cos_l|).  Matches trace_path's
-            _nee_tri_term arithmetic and salts exactly."""
-            g = num_lights + j  # global ordinal -> salt/rotation ids
-            salt2 = jnp.uint32(2000) + jnp.uint32(37) * i_u + jnp.uint32(7 * g)
-            u1n = _uniform(seeds, salt2 + jnp.uint32(1))
-            u2n = _uniform(seeds, salt2 + jnp.uint32(2))
-            if sampler_spec is not None:
-                sn1, sn2 = rng_ops.sampler_uniforms(
-                    u1n, u2n, pid, s_u32, frame_seed_u32, sampler_spec,
-                    rot_salt=rng_ops._NEE_ROT_SALT_BASE + g,
-                )
-                first_b = jnp.asarray(i_b, jnp.int32) == 0
-                u1n = jnp.where(first_b, sn1, u1n)
-                u2n = jnp.where(first_b, sn2, u2n)
-
-            v0x, v0y, v0z = (tri_lights_ref[0, j], tri_lights_ref[1, j],
-                             tri_lights_ref[2, j])
-            e1x, e1y, e1z = (tri_lights_ref[3, j], tri_lights_ref[4, j],
-                             tri_lights_ref[5, j])
-            e2x, e2y, e2z = (tri_lights_ref[6, j], tri_lights_ref[7, j],
-                             tri_lights_ref[8, j])
-            tnx, tny, tnz = (tri_lights_ref[9, j], tri_lights_ref[10, j],
-                             tri_lights_ref[11, j])
-            t_area = tri_lights_ref[12, j]
-            ler, leg, leb = (tri_lights_ref[13, j], tri_lights_ref[14, j],
-                             tri_lights_ref[15, j])
-
+        def _tri_cand(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+                      tnx, tny, tnz, t_area, u1n, u2n):
+            """Uniform-area candidate toward an emissive triangle:
+            returns (omx, omy, omz, dist, prevalid, wgt0), where wgt0 =
+            cos_i * cos_l * area / (pi d^2) is both the estimator weight
+            and the MIS p_b/p_nee ratio.  Two-sided (|cos_l|).  ONE copy
+            of the area math, shared by the <= 4 loop and the combined
+            pick; matches trace_path's _nee_tri_term arithmetic."""
             su = jnp.sqrt(u1n)
             b1 = 1.0 - su
             b2 = u2n * su
@@ -1151,9 +1139,38 @@ def _path_bounce(
             omx, omy, omz = dcx * inv_dl, dcy * inv_dl, dcz * inv_dl
             cos_i = nx * omx + ny * omy + nz * omz
             cos_l = jnp.abs(tnx * omx + tny * omy + tnz * omz)
-
             prevalid = (
                 nee_base & (cos_i > 0.0) & (cos_l > 1e-7) & (d2 > 1e-12)
+            )
+            wgt0 = cos_i * cos_l * t_area / (jnp.float32(jnp.pi) * d2s)
+            return omx, omy, omz, dist, prevalid, wgt0
+
+        def _tri_params(j):
+            """The 16 SMEM scalars of triangle light j (static or traced)."""
+            return tuple(tri_lights_ref[k, j] for k in range(16))
+
+        def tri_light_contribution(j, rr, rg, rb):
+            """Triangle-light NEE: uniform-area sample on emissive face j
+            (STATIC — all parameters are scalar SMEM reads), area-to-solid-
+            angle pdf.  contribution = Le * albedo * cos_i * cos_l * area
+            / (pi d^2).  Matches trace_path's _nee_tri_term salts."""
+            g = num_lights + j  # global ordinal -> salt/rotation ids
+            salt2 = jnp.uint32(2000) + jnp.uint32(37) * i_u + jnp.uint32(7 * g)
+            u1n = _uniform(seeds, salt2 + jnp.uint32(1))
+            u2n = _uniform(seeds, salt2 + jnp.uint32(2))
+            if sampler_spec is not None:
+                sn1, sn2 = rng_ops.sampler_uniforms(
+                    u1n, u2n, pid, s_u32, frame_seed_u32, sampler_spec,
+                    rot_salt=rng_ops._NEE_ROT_SALT_BASE + g,
+                )
+                first_b = jnp.asarray(i_b, jnp.int32) == 0
+                u1n = jnp.where(first_b, sn1, u1n)
+                u2n = jnp.where(first_b, sn2, u2n)
+
+            p = _tri_params(j)
+            ler, leg, leb = p[13], p[14], p[15]
+            omx, omy, omz, dist, prevalid, wgt0 = _tri_cand(
+                *p[:13], u1n, u2n
             )
             if count_rays:
                 rays_box[0] = rays_box[0] + prevalid.astype(jnp.float32)
@@ -1166,12 +1183,11 @@ def _path_bounce(
                 mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
             )
             valid = prevalid & ~blocked
-            wgt = cos_i * cos_l * t_area / (jnp.float32(jnp.pi) * d2s)
+            wgt = wgt0
             if mis:
-                # ratio = p_b / p_nee = cos_i cos_l area / (pi d^2) == wgt;
-                # last bounce keeps weight 1 (no BSDF counterpart is
-                # traced).  Matches trace_path.
-                ratio = wgt
+                # ratio = p_b / p_nee == wgt0; last bounce keeps weight 1
+                # (no BSDF counterpart is traced).  Matches trace_path.
+                ratio = wgt0
                 last = jnp.asarray(i_b, jnp.int32) == max_depth - 1
                 wgt = jnp.where(last, wgt, wgt / (1.0 + ratio * ratio))
             rr = jnp.where(valid, rr + tr * ar * (ler * wgt), rr)
@@ -1179,18 +1195,105 @@ def _path_bounce(
             rb = jnp.where(valid, rb + tb_ * ab * (leb * wgt), rb)
             return rr, rg, rb
 
-        if num_lights <= 4:
+        def combined_pick_contribution(g, rr, rg, rb):
+            """> 4 total lights with triangle lights present: ONE picked
+            ordinal from the combined space (weight = total cancels the
+            uniform pick pdf).  Both candidates are built and lane-selected
+            BEFORE the single occlusion walk — the walk dominates the cost.
+            Scalar g (one-shot/wavefront) = dynamic scalar SMEM reads;
+            per-lane g (the regeneration engine) = masked accumulation over
+            all lights (per-lane SMEM gathers are unsupported on TPU).
+            MIS is structurally off here (its <= 4 guard)."""
+            total = num_lights + num_tri_lights
+            salt2 = jnp.uint32(2000) + jnp.uint32(37) * i_u
+            u1n = _uniform(seeds, salt2 + jnp.uint32(1))
+            u2n = _uniform(seeds, salt2 + jnp.uint32(2))
+            per_lane = jnp.ndim(g) > 0
+            zero = jnp.zeros(live.shape, jnp.float32)
+            false_ = jnp.zeros(live.shape, dtype=bool)
+
+            if num_lights > 0:
+                if per_lane:
+                    sel = [jnp.zeros(g.shape, jnp.float32) for _ in range(7)]
+                    for l_s in range(num_lights):
+                        m = g == l_s
+                        for k_s in range(7):
+                            sel[k_s] = jnp.where(m, lights_ref[k_s, l_s], sel[k_s])
+                    lcx, lcy, lcz, lrad, sler, sleg, sleb = sel
+                else:
+                    ls = jnp.minimum(g, num_lights - 1)
+                    lcx, lcy, lcz = (lights_ref[0, ls], lights_ref[1, ls],
+                                     lights_ref[2, ls])
+                    lrad = lights_ref[3, ls]
+                    sler, sleg, sleb = (lights_ref[4, ls], lights_ref[5, ls],
+                                        lights_ref[6, ls])
+                s_omx, s_omy, s_omz, s_tl, s_pre, s_w = _sphere_cand(
+                    lcx, lcy, lcz, lrad, u1n, u2n
+                )
+            else:
+                s_omx = s_omy = s_omz = s_tl = s_w = zero
+                s_pre, sler, sleg, sleb = false_, zero, zero, zero
+
+            if per_lane:
+                tp = [jnp.zeros(g.shape, jnp.float32) for _ in range(16)]
+                for j_s in range(num_tri_lights):
+                    m = g == num_lights + j_s
+                    for k_s in range(16):
+                        tp[k_s] = jnp.where(m, tri_lights_ref[k_s, j_s], tp[k_s])
+            else:
+                jt = jnp.clip(g - num_lights, 0, num_tri_lights - 1)
+                tp = _tri_params(jt)
+            tler, tleg, tleb = tp[13], tp[14], tp[15]
+            t_omx, t_omy, t_omz, t_dist, t_pre, t_w = _tri_cand(
+                *tp[:13], u1n, u2n
+            )
+
+            is_sph = g < num_lights
+            omx = jnp.where(is_sph, s_omx, t_omx)
+            omy = jnp.where(is_sph, s_omy, t_omy)
+            omz = jnp.where(is_sph, s_omz, t_omz)
+            maxt = jnp.where(is_sph, jnp.maximum(s_tl, 0.0), t_dist)
+            # Boolean algebra, not where(): Mosaic has no i1 vector selects.
+            prevalid = (is_sph & s_pre) | (~is_sph & t_pre)
+            wgt0 = jnp.where(is_sph, s_w, t_w)
+            ler = jnp.where(is_sph, sler, tler)
+            leg = jnp.where(is_sph, sleg, tleg)
+            leb = jnp.where(is_sph, sleb, tleb)
+            if count_rays:
+                rays_box[0] = rays_box[0] + prevalid.astype(jnp.float32)
+            win = jnp.where(prevalid, maxt * (1.0 - 1e-3), 0.0)
+            blocked = _occluded(
+                scene_ref, n_spheres, t_min, px, py, pz, omx, omy, omz, win,
+                mesh_refs=mesh_refs, sphere_bvh_refs=sphere_bvh_refs,
+            )
+            valid = prevalid & ~blocked
+            wgt = wgt0 * jnp.float32(total)
+            rr = jnp.where(valid, rr + tr * ar * (ler * wgt), rr)
+            rg = jnp.where(valid, rg + tg * ag * (leg * wgt), rg)
+            rb = jnp.where(valid, rb + tb_ * ab * (leb * wgt), rb)
+            return rr, rg, rb
+
+        # total <= 4 (== num_lights <= 4 for sphere-only scenes, so the
+        # stream is unchanged there): deterministic loop over ALL lights,
+        # both kinds.  Above 4, pick one ordinal per (sample, bounce) —
+        # per LANE on the regeneration engine, where pick_seed/i_b vary
+        # per lane.
+        if total_lights <= 4:
             for l_static in range(num_lights):
                 rr, rg, rb = light_contribution(
                     jnp.int32(l_static), 1.0, 7 * l_static, rr, rg, rb,
                     rot_salt=rng_ops._NEE_ROT_SALT_BASE + l_static,
                 )
-        else:
+            for j_static in range(num_tri_lights):
+                rr, rg, rb = tri_light_contribution(j_static, rr, rg, rb)
+        elif num_tri_lights == 0:
             bounce_seed = rng_ops.hash2(pick_seed, jnp.uint32(3000) + i_u)
             li = (rng_ops.hash2(bounce_seed, 0) % jnp.uint32(num_lights)).astype(jnp.int32)
             rr, rg, rb = light_contribution(li, num_lights, 0, rr, rg, rb)
-        for j_static in range(num_tri_lights):
-            rr, rg, rb = tri_light_contribution(j_static, rr, rg, rb)
+        else:
+            bounce_seed = rng_ops.hash2(pick_seed, jnp.uint32(3000) + i_u)
+            g = (rng_ops.hash2(bounce_seed, 0) % jnp.uint32(total_lights)).astype(jnp.int32)
+            rr, rg, rb = combined_pick_contribution(g, rr, rg, rb)
         if count_rays:
             rays_cast = rays_box[0]
 
@@ -1800,13 +1903,6 @@ def render_pallas(
                 "nee=True with EMISSIVE mesh faces needs the triangle "
                 "light list; build the Scene via make_scene (it extracts "
                 "tri_lights)"
-            )
-        if n_tl > 0 and n_sl + n_tl > 4:
-            raise ValueError(
-                f"nee=True supports at most 4 total lights when the mesh "
-                f"is emissive (got {n_sl} sphere + {n_tl} triangle lights; "
-                "the > 4-light picked-light estimator covers sphere "
-                "lights only)"
             )
         if mis and n_sl + n_tl > 4:
             raise ValueError(

@@ -441,13 +441,6 @@ def render_wavefront(
                 "light list; build the Scene via make_scene (it extracts "
                 "tri_lights)"
             )
-        if n_tl > 0 and n_sl + n_tl > 4:
-            raise ValueError(
-                f"nee=True supports at most 4 total lights when the mesh "
-                f"is emissive (got {n_sl} sphere + {n_tl} triangle lights; "
-                "the > 4-light picked-light estimator covers sphere "
-                "lights only)"
-            )
         if mis and n_sl + n_tl > 4:
             raise ValueError(
                 "mis=True supports the <= 4-light deterministic NEE loop "

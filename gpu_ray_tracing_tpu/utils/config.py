@@ -74,8 +74,9 @@ class RenderConfig:
     # every diffuse bounce (massively less noise in scenes lit by small
     # lights; ~2x per-bounce cost).  Emissive SPHERES (cone-sampled) and
     # emissive MESH FACES (area-sampled triangle lights) share one ordinal
-    # space; an emissive mesh caps the total at 4 lights (the > 4-light
-    # picked-light estimator covers spheres only).  Requires a Scene built
+    # space; up to 4 total lights loop deterministically, above that one
+    # ordinal is picked per bounce (weight = total cancels the pick pdf) —
+    # so arbitrarily large emissive meshes work.  Requires a Scene built
     # via make_scene (the static light lists).  Off by default: the
     # reference is a pure BSDF-sampling tracer.
     nee: bool = False

@@ -242,9 +242,9 @@ def test_tri_lights_estimators_agree():
 
 
 def test_tri_lights_guards():
-    """> 4 total lights with an emissive mesh is rejected by every engine;
-    a hand-built Scene that skipped tri-light extraction is rejected too
-    (it would silently drop the mesh lights from NEE)."""
+    """MIS keeps its <= 4-total cap; a hand-built Scene that skipped
+    tri-light extraction is rejected by every engine (it would silently
+    drop the mesh lights from NEE)."""
     from gpu_ray_tracing_tpu.models.mesh import icosphere, transform_mesh
 
     big = transform_mesh(
@@ -256,8 +256,8 @@ def test_tri_lights_guards():
     assert scene.tri_lights.count == 80
     for be in ("jax", "pallas", "wavefront"):
         cfg = RenderConfig(width=32, height=24, spp=1, max_depth=3,
-                           nee=True, backend=be, sky_intensity=0.0)
-        with pytest.raises(ValueError, match="at most 4 total lights"):
+                           nee=True, mis=True, backend=be, sky_intensity=0.0)
+        with pytest.raises(ValueError, match="mis"):
             render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(1))
 
     small = _mixed_scene()
@@ -267,6 +267,80 @@ def test_tri_lights_guards():
                            nee=True, backend=be, sky_intensity=0.0)
         with pytest.raises(ValueError, match="tri_lights"):
             render(stripped, BASE_CAMERA, cfg, frame_seed=jnp.uint32(1))
+
+
+def _many_lights_scene():
+    """81 total ordinals: one sphere light + an 80-face emissive icosphere
+    hovering over the floor — forces the combined pick-one estimator."""
+    from gpu_ray_tracing_tpu.models.mesh import icosphere, transform_mesh
+
+    spheres = make_spheres(
+        [
+            ((0.0, -1000.0, 0.0), 1000.0, LAMBERTIAN, (0.7, 0.7, 0.7), 0.0),
+            ((2.0, 2.2, -2.0), 0.4, EMISSIVE, (1.0, 0.9, 0.7), 4.0),
+        ]
+    )
+    glow = transform_mesh(
+        icosphere(1, albedo=(0.9, 1.0, 0.8), mat_kind=EMISSIVE,
+                  mat_param=3.0),
+        scale=0.5, translate=(-0.8, 1.8, -2.0),
+    )
+    return make_scene(spheres, glow)
+
+
+def test_combined_pick_matches_bsdf_mean():
+    """The > 4-light combined pick-one estimator (sphere + triangle
+    ordinals, weight = total) is unbiased: its high-spp mean must converge
+    to BSDF-only sampling's on an 81-light scene."""
+    scene = _many_lights_scene()
+
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops import rays as rays_ops
+
+    cam = derive_camera(BASE_CAMERA, 32, 24)
+
+    @partial(jax.jit, static_argnames=("nee", "spp"))
+    def go(frame_seed, nee, spp):
+        acc = jnp.zeros((24, 32, 3), jnp.float32)
+
+        def body(s, acc):
+            o, d, seeds = rays_ops.generate_rays_hash(
+                cam, 32, 24, jnp.uint32(s), frame_seed)
+            return acc + trace_path(
+                o, d, scene, 4, 1e-3, 3.4e35, pixel_seeds=seeds,
+                sky_intensity=0.0, nee=nee)
+
+        return jax.lax.fori_loop(0, spp, body, acc) / spp
+
+    nee_mean = float(np.asarray(go(jnp.uint32(9), True, 512)).mean())
+    bsdf_mean = float(np.asarray(go(jnp.uint32(9), False, 2048)).mean())
+    assert abs(nee_mean - bsdf_mean) < 0.05 * bsdf_mean, (nee_mean, bsdf_mean)
+
+
+def test_combined_pick_matches_across_engines():
+    """The combined pick draws the same u1n/u2n salts in every engine;
+    the megakernel/wavefront pick index is frame-uniform while jax picks
+    per lane, so engines agree in MEAN (the documented > 4-light
+    contract, matching the sphere-only pick path)."""
+    scene = _many_lights_scene()
+    imgs = {}
+    for be in ("jax", "pallas", "wavefront"):
+        cfg = RenderConfig(width=32, height=24, spp=32, max_depth=3,
+                           nee=True, sky_intensity=0.0, backend=be)
+        imgs[be] = np.asarray(
+            render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(7))
+        )
+    for img in imgs.values():
+        assert np.isfinite(img).all()
+    assert imgs["pallas"].mean() > 1e-3
+    # The two Pallas engines share the scalar pick stream -> identical.
+    np.testing.assert_allclose(
+        imgs["pallas"], imgs["wavefront"], rtol=1e-5, atol=1e-6
+    )
+    # jax picks per lane: means agree, pixels don't.
+    assert abs(imgs["jax"].mean() - imgs["pallas"].mean()) < 0.1 * (
+        imgs["jax"].mean()
+    )
 
 
 def test_cornell_box_scene():
