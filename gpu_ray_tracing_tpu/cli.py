@@ -46,7 +46,7 @@ def _vec3(text: str):
 def _add_common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--scene", default="one-weekend",
                     choices=["base", "one-weekend", "one-weekend-full", "mesh",
-                             "night"])
+                             "night", "cornell"])
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--spp", type=int, default=16)
@@ -121,6 +121,10 @@ def _build_scene(args):
             ((0.0, 0.5, -1.0), 0.5, LAMBERTIAN, (0.2, 0.4, 0.8), 0.0),
             ((-4.5, 1.2, -4.0), 0.8, EMISSIVE, (0.4, 0.6, 1.0), 6.0),
         ]))
+    if args.scene == "cornell":
+        # Triangle lights end to end (pair with --nee --mis
+        # --sky-intensity 0; the box is closed, all light is the lamp).
+        return rt.cornell_box_scene()
     # mesh scene: ground + mesh object (OBJ or bunny stand-in)
     from gpu_ray_tracing_tpu.models.mesh import bunny_stand_in, load_obj
     from gpu_ray_tracing_tpu.models.spheres import LAMBERTIAN, make_spheres
@@ -149,6 +153,8 @@ def _build_camera(args):
             field_of_view=jnp.float32(50.0),
             defocus_angle=jnp.float32(0.0),
         )
+    if args.scene == "cornell" and args.look_from is None:
+        cam = rt.cornell_camera()
     if args.look_from is not None:
         cam = cam.replace(look_from=args.look_from)
     if args.look_at is not None:
