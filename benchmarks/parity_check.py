@@ -69,6 +69,21 @@ def _nee_scene():
     ]))
 
 
+def _many_lights_scene():
+    """81 light ordinals (1 emissive sphere + an 80-face emissive
+    icosphere): forces the > 4-light combined pick-one estimator."""
+    spheres = make_spheres([
+        ((0.0, -1000.0, 0.0), 1000.0, LAMBERTIAN, (0.7, 0.7, 0.7), 0.0),
+        ((2.0, 2.2, -2.0), 0.4, EMISSIVE, (1.0, 0.9, 0.7), 4.0),
+    ])
+    glow = transform_mesh(
+        icosphere(1, albedo=(0.9, 1.0, 0.8), mat_kind=EMISSIVE,
+                  mat_param=3.0),
+        scale=0.5, translate=(-0.8, 1.8, -2.0),
+    )
+    return make_scene(spheres, glow)
+
+
 def _mesh_scene():
     ground = make_spheres([
         ((0, -1000.0, 0), 1000.0, LAMBERTIAN, (0.5, 0.5, 0.5), 0.0),
@@ -159,6 +174,23 @@ def _cases():
             frame_seed=jnp.uint32(11),
         ),
         all_b,
+    )
+    # > 4-light MIS (late r4): the combined pick-one NEE estimator with
+    # pick-pdf-scaled power-heuristic weights.  The scalar-pick engines
+    # (pallas/wavefront) share one stream that differs per-pixel from the
+    # jax path's per-lane pick, so the golden is pinned from the PALLAS
+    # stream (tests/test_goldens.py::test_golden_many_lights_mis renders
+    # it on CPU via interpret mode) and jax is excluded from this case.
+    yield (
+        "many_mis_48x36.npy",
+        lambda backend: render(
+            _many_lights_scene(), BASE_CAMERA,
+            RenderConfig(width=48, height=36, spp=4, max_depth=4,
+                         sky_intensity=0.0, nee=True, mis=True,
+                         backend=backend),
+            frame_seed=jnp.uint32(17),
+        ),
+        ("pallas", "wavefront"),
     )
     # Cornell box: TRIANGLE lights (area-sampled NEE + the _TLID identity
     # slot under MIS) on an enclosed mesh scene with dielectric + metal

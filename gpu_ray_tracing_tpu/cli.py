@@ -72,8 +72,8 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
                     help="next-event estimation (needs emissive lights)")
     ap.add_argument("--mis", action="store_true",
                     help="multiple importance sampling of NEE vs BSDF rays "
-                         "(requires --nee, <= 4 lights; lower variance for "
-                         "large/close lights)")
+                         "(requires --nee; lower variance for large/close "
+                         "lights; any light count)")
     ap.add_argument("--sky-intensity", type=float, default=1.0)
     ap.add_argument("--russian-roulette", type=int, default=0, metavar="DEPTH",
                     help="RR termination from this bounce (0 = off)")

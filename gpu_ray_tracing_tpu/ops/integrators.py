@@ -202,12 +202,6 @@ def trace_path(
     total_lights = n_slights + n_tlights
     if mis and not nee:
         raise ValueError("mis=True is a weighting of NEE; it requires nee=True")
-    if mis and total_lights > 4:
-        raise ValueError(
-            "mis=True supports the <= 4-light deterministic NEE loop only "
-            "(the > 4-light picked-light estimator keeps the binary "
-            "emission exclusion)"
-        )
     if nee and total_lights == 0:
         raise ValueError(
             "nee=True needs a Scene with emissive lights; build it with "
@@ -382,6 +376,14 @@ def trace_path(
                         ndot * a_l * prev_cos, 1e-12
                     )
                     r_ratio = jnp.where(hit_lid == g, r_tri, r_ratio)
+            if total_lights > 4:
+                # Picked-light NEE (> 4 lights): each light is sampled with
+                # pdf/total, so the BSDF ray's competing NEE density shrinks
+                # by the pick probability.  The NEE side scales its ratio by
+                # total symmetrically (ratio = the full estimator weight),
+                # keeping each light-id pair's power-heuristic weights
+                # summing to 1.
+                r_ratio = r_ratio * jnp.float32(1.0 / total_lights)
             # `matched` is every emissive hit by construction (active
             # emissive spheres ARE the light list); the exclusion branch is
             # a defensive never-double-count fallback, not a tolerance gap.
@@ -513,12 +515,16 @@ def trace_path(
                 if mis:
                     # Counterpart of the BSDF-hit weight above:
                     # w_nee = p_nee^2 / (p_nee^2 + p_b^2)
-                    #       = 1 / (1 + (2 cos_i (1 - cos_max))^2).
+                    #       = 1 / (1 + (p_b/p_nee)^2), and p_b/p_nee is
+                    # exactly the scaled estimator weight: 2 cos_i (1-cos_max)
+                    # in the deterministic loop (weight 1), times the light
+                    # count under the picked-light estimator (weight L
+                    # cancels the 1/L pick pdf in the density too).
                     # The LAST bounce keeps w_nee = 1: its BSDF counterpart
                     # ray is never traced (exhausted rays contribute black),
                     # so down-weighting it would lose that fraction of the
                     # vertex's direct light (depth-truncation bias).
-                    ratio = 2.0 * cos_i * omc
+                    ratio = wgt
                     last = jnp.asarray(i, jnp.int32) == max_depth - 1
                     wgt = jnp.where(last, wgt, wgt / (1.0 + ratio * ratio))
                 wgt = wgt[..., None]
@@ -586,9 +592,10 @@ def trace_path(
                 ordinal, select per lane by its kind, and drive ONE shadow
                 walk with the selected direction — the walk dominates the
                 cost, the duplicated candidate math does not.  Weight =
-                total_lights cancels the uniform pick pdf; MIS is
-                structurally off here (its <= 4 guard), so the binary
-                prev_diffuse exclusion applies as in the sphere pick."""
+                total_lights cancels the uniform pick pdf; under mis=True
+                the power-heuristic ratio is the same scaled weight (the
+                pick pdf shrinks the NEE density by 1/total, growing
+                p_b/p_nee by total), mirroring the BSDF side's 1/total."""
                 is_sph = gi < num_l
                 zero3 = jnp.zeros((*batch_shape, 3), jnp.float32)
                 zero = jnp.zeros(batch_shape, jnp.float32)
@@ -676,6 +683,12 @@ def trace_path(
                     jnp.where(is_sph, wgt_s, wgt_t)
                     * jnp.float32(total_lights)
                 )
+                if mis:
+                    # Same power-heuristic form as _nee_light_term; the
+                    # last bounce keeps weight 1 (no BSDF counterpart).
+                    ratio = wgt
+                    last = jnp.asarray(i, jnp.int32) == max_depth - 1
+                    wgt = jnp.where(last, wgt, wgt / (1.0 + ratio * ratio))
                 le = jnp.where(is_sph[..., None], le_s, le_t)
                 return jnp.where(
                     valid[..., None],

@@ -957,6 +957,12 @@ def _path_bounce(
                 )
                 is_l = jnp.abs(lidp - jnp.float32(g)) < 0.5
                 r_ratio = jnp.where(is_l, r_tri, r_ratio)
+        if total_lights > 4:
+            # Picked-light NEE (> 4 lights): each light is sampled with
+            # pdf/total, so the BSDF ray's competing NEE density shrinks by
+            # the pick probability; the NEE side scales its ratio by total
+            # symmetrically.  Matches trace_path.
+            r_ratio = r_ratio * jnp.float32(1.0 / total_lights)
         # Every emissive hit carries a light id by construction (active
         # emissive spheres and non-degenerate emissive faces ARE the light
         # list); the exclusion branch is a defensive never-double-count
@@ -982,7 +988,7 @@ def _path_bounce(
         # only — not of tile ids — so every engine/sharding draws it
         # identically; samples average the picks back out.  Triangle
         # lights extend the same ordinal/salt space after the sphere
-        # lights (render_pallas caps the total at 4 when any exist).
+        # lights.
         i_u = jnp.asarray(i_b, jnp.uint32)
         is_lam = kp < 0.5
         # Shading points inside any light's radius fall back to BSDF
@@ -1103,13 +1109,16 @@ def _path_bounce(
             valid = prevalid & ~blocked
             wgt = wgt0 * jnp.float32(pick_weight)
             if mis:
-                # w_nee = p_nee^2 / (p_nee^2 + p_b^2)
-                #       = 1 / (1 + (2 cos_i (1 - cos_max))^2); matches the
-                # BSDF-hit weight above so the pair sums to 1 per direction.
-                # The LAST bounce keeps w_nee = 1: its BSDF counterpart is
-                # never traced (depth-truncation bias otherwise); matches
-                # trace_path.
-                ratio = wgt0
+                # w_nee = p_nee^2 / (p_nee^2 + p_b^2) = 1 / (1 + r^2) with
+                # r = p_b/p_nee = the fully-scaled estimator weight:
+                # 2 cos_i (1 - cos_max) in the deterministic loop
+                # (pick_weight 1), times the light count under the picked-
+                # light estimator (the 1/L pick pdf shrinks p_nee too).
+                # Matches the BSDF-hit weight above so the pair sums to 1
+                # per light identity.  The LAST bounce keeps w_nee = 1: its
+                # BSDF counterpart is never traced (depth-truncation bias
+                # otherwise); matches trace_path.
+                ratio = wgt
                 last = jnp.asarray(i_b, jnp.int32) == max_depth - 1
                 wgt = jnp.where(last, wgt, wgt / (1.0 + ratio * ratio))
             rr = jnp.where(valid, rr + tr * ar * (ler * wgt), rr)
@@ -1203,7 +1212,9 @@ def _path_bounce(
             Scalar g (one-shot/wavefront) = dynamic scalar SMEM reads;
             per-lane g (the regeneration engine) = masked accumulation over
             all lights (per-lane SMEM gathers are unsupported on TPU).
-            MIS is structurally off here (its <= 4 guard)."""
+            Under mis=True the power-heuristic ratio is the same scaled
+            weight (the pick pdf shrinks p_nee by 1/total, growing
+            p_b/p_nee by total), mirroring the BSDF side's 1/total."""
             total = num_lights + num_tri_lights
             salt2 = jnp.uint32(2000) + jnp.uint32(37) * i_u
             u1n = _uniform(seeds, salt2 + jnp.uint32(1))
@@ -1268,6 +1279,12 @@ def _path_bounce(
             )
             valid = prevalid & ~blocked
             wgt = wgt0 * jnp.float32(total)
+            if mis:
+                # Same form as light_contribution; last bounce keeps
+                # weight 1 (no BSDF counterpart).  Matches trace_path.
+                ratio = wgt
+                last = jnp.asarray(i_b, jnp.int32) == max_depth - 1
+                wgt = jnp.where(last, wgt, wgt / (1.0 + ratio * ratio))
             rr = jnp.where(valid, rr + tr * ar * (ler * wgt), rr)
             rg = jnp.where(valid, rg + tg * ag * (leg * wgt), rg)
             rb = jnp.where(valid, rb + tb_ * ab * (leb * wgt), rb)
@@ -1903,12 +1920,6 @@ def render_pallas(
                 "nee=True with EMISSIVE mesh faces needs the triangle "
                 "light list; build the Scene via make_scene (it extracts "
                 "tri_lights)"
-            )
-        if mis and n_sl + n_tl > 4:
-            raise ValueError(
-                "mis=True supports the <= 4-light deterministic NEE loop "
-                "only (the > 4-light picked-light estimator keeps the "
-                "binary emission exclusion)"
             )
         num_lights, num_tri_lights = n_sl, n_tl
         if num_lights > 0:

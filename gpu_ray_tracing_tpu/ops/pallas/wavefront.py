@@ -441,12 +441,6 @@ def render_wavefront(
                 "light list; build the Scene via make_scene (it extracts "
                 "tri_lights)"
             )
-        if mis and n_sl + n_tl > 4:
-            raise ValueError(
-                "mis=True supports the <= 4-light deterministic NEE loop "
-                "only (the > 4-light picked-light estimator keeps the "
-                "binary emission exclusion)"
-            )
         num_lights, num_tri_lights = n_sl, n_tl
         if num_lights > 0:
             in_specs += [smem((8, num_lights))]

@@ -81,13 +81,19 @@ class RenderConfig:
     # reference is a pure BSDF-sampling tracer.
     nee: bool = False
 
-    # Multiple importance sampling (requires nee=True, <= 4 lights): instead
-    # of dropping BSDF-ray emission hits after a diffuse vertex, weight them
-    # against the same vertex's NEE cone sample with the power heuristic
-    # (beta=2), and weight the NEE term symmetrically.  Same integral, lower
-    # variance where the light is large/close (the regime where cone
-    # sampling is noisier than cosine BSDF rays); never worse than the
-    # better single strategy.  Costs one extra carried plane per ray.
+    # Multiple importance sampling (requires nee=True): instead of dropping
+    # BSDF-ray emission hits after a diffuse vertex, weight them against the
+    # same vertex's NEE sample of the hit light with the power heuristic
+    # (beta=2), and weight the NEE term symmetrically.  Under the > 4-light
+    # picked-light estimator both ratios carry the pick pdf (x total on the
+    # NEE side, /total on the BSDF side), so any light count works.  Same
+    # integral, lower variance where the light is large/close (the regime
+    # where cone sampling is noisier than cosine BSDF rays); with <= 4
+    # lights never worse than the better single strategy.  Above 4 the
+    # 1/total pick density is what the heuristic weighs, so weight shifts
+    # toward BSDF-ray hits — still unbiased, but scenes of MANY SMALL
+    # lights can see more speckle than plain nee (whose binary exclusion
+    # keeps the full-weight NEE sample).  Costs one extra carried plane.
     mis: bool = False
 
     # Sample-generation strategy for the four stratifiable dimension pairs

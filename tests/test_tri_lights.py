@@ -242,9 +242,10 @@ def test_tri_lights_estimators_agree():
 
 
 def test_tri_lights_guards():
-    """MIS keeps its <= 4-total cap; a hand-built Scene that skipped
-    tri-light extraction is rejected by every engine (it would silently
-    drop the mesh lights from NEE)."""
+    """A hand-built Scene that skipped tri-light extraction is rejected by
+    every engine (it would silently drop the mesh lights from NEE); MIS
+    above 4 lights renders finite (the late-r4 pick-pdf-weighted
+    estimator — the old cap is gone)."""
     from gpu_ray_tracing_tpu.models.mesh import icosphere, transform_mesh
 
     big = transform_mesh(
@@ -257,8 +258,10 @@ def test_tri_lights_guards():
     for be in ("jax", "pallas", "wavefront"):
         cfg = RenderConfig(width=32, height=24, spp=1, max_depth=3,
                            nee=True, mis=True, backend=be, sky_intensity=0.0)
-        with pytest.raises(ValueError, match="mis"):
-            render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(1))
+        img = np.asarray(render(scene, BASE_CAMERA, cfg,
+                                frame_seed=jnp.uint32(1)))
+        assert np.isfinite(img).all()
+        assert img.mean() > 1e-4
 
     small = _mixed_scene()
     stripped = dataclasses.replace(small, tri_lights=None)
@@ -340,6 +343,109 @@ def test_combined_pick_matches_across_engines():
     # jax picks per lane: means agree, pixels don't.
     assert abs(imgs["jax"].mean() - imgs["pallas"].mean()) < 0.1 * (
         imgs["jax"].mean()
+    )
+
+
+def test_combined_pick_mis_unbiased():
+    """mis=True composes with the > 4-light picked-light estimator (late
+    r4): both power-heuristic ratios carry the pick pdf (x total on the NEE
+    side, /total on the BSDF side), so each light-id pair's weights still
+    sum to 1 and the high-spp mean matches plain pick-one NEE."""
+    scene = _many_lights_scene()
+
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops import rays as rays_ops
+
+    cam = derive_camera(BASE_CAMERA, 32, 24)
+
+    @partial(jax.jit, static_argnames=("mis", "spp"))
+    def go(frame_seed, mis, spp):
+        acc = jnp.zeros((24, 32, 3), jnp.float32)
+
+        def body(s, acc):
+            o, d, seeds = rays_ops.generate_rays_hash(
+                cam, 32, 24, jnp.uint32(s), frame_seed)
+            return acc + trace_path(
+                o, d, scene, 4, 1e-3, 3.4e35, pixel_seeds=seeds,
+                sky_intensity=0.0, nee=True, mis=mis)
+
+        return jax.lax.fori_loop(0, spp, body, acc) / spp
+
+    nee_mean = float(np.asarray(go(jnp.uint32(9), False, 512)).mean())
+    mis_mean = float(np.asarray(go(jnp.uint32(9), True, 512)).mean())
+    assert abs(mis_mean - nee_mean) < 0.05 * nee_mean, (mis_mean, nee_mean)
+
+
+def test_combined_pick_mis_across_engines():
+    """> 4-light MIS in every engine: the two scalar-pick Pallas engines
+    stay stream-identical, the regeneration engine's per-lane pick and the
+    jax path's per-lane pick agree in mean (same > 4-light contract as
+    plain NEE)."""
+    scene = _many_lights_scene()
+    imgs = {}
+    for be, regen in (("jax", "off"), ("pallas", "off"),
+                      ("wavefront", "off"), ("wavefront", "on")):
+        cfg = RenderConfig(width=32, height=24, spp=32, max_depth=3,
+                           nee=True, mis=True, sky_intensity=0.0,
+                           backend=be, regenerate=regen)
+        imgs[(be, regen)] = np.asarray(
+            render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(7))
+        )
+    for img in imgs.values():
+        assert np.isfinite(img).all()
+        assert img.mean() > 1e-3
+    np.testing.assert_allclose(
+        imgs[("pallas", "off")], imgs[("wavefront", "off")],
+        rtol=1e-5, atol=1e-6,
+    )
+    base = imgs[("pallas", "off")].mean()
+    assert abs(imgs[("jax", "off")].mean() - base) < 0.1 * base
+    assert abs(imgs[("wavefront", "on")].mean() - base) < 0.15 * base
+
+
+def test_sphere_only_pick_mis():
+    """> 4 SPHERE lights with no triangle lights takes the dedicated
+    sphere-pick branch: MIS stays unbiased there too (ratio carries the
+    pick weight L) and the scalar-pick engines stay stream-identical."""
+    rows = [((0.0, -1000.0, 0.0), 1000.0, LAMBERTIAN, (0.7, 0.7, 0.7), 0.0)]
+    for k in range(6):
+        rows.append(((-2.5 + k, 2.0, -2.0), 0.3, EMISSIVE,
+                     (1.0, 0.9, 0.8), 3.0))
+    scene = make_scene(make_spheres(rows))
+    assert scene.lights.count == 6 and scene.tri_lights is None
+
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops import rays as rays_ops
+
+    cam = derive_camera(BASE_CAMERA, 32, 24)
+
+    @partial(jax.jit, static_argnames=("mis", "spp"))
+    def go(frame_seed, mis, spp):
+        acc = jnp.zeros((24, 32, 3), jnp.float32)
+
+        def body(s, acc):
+            o, d, seeds = rays_ops.generate_rays_hash(
+                cam, 32, 24, jnp.uint32(s), frame_seed)
+            return acc + trace_path(
+                o, d, scene, 4, 1e-3, 3.4e35, pixel_seeds=seeds,
+                sky_intensity=0.0, nee=True, mis=mis)
+
+        return jax.lax.fori_loop(0, spp, body, acc) / spp
+
+    nee_mean = float(np.asarray(go(jnp.uint32(5), False, 512)).mean())
+    mis_mean = float(np.asarray(go(jnp.uint32(5), True, 512)).mean())
+    assert abs(mis_mean - nee_mean) < 0.05 * nee_mean, (mis_mean, nee_mean)
+
+    imgs = {}
+    for be in ("pallas", "wavefront"):
+        cfg = RenderConfig(width=32, height=24, spp=16, max_depth=3,
+                           nee=True, mis=True, sky_intensity=0.0, backend=be)
+        imgs[be] = np.asarray(
+            render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3))
+        )
+        assert np.isfinite(imgs[be]).all()
+    np.testing.assert_allclose(
+        imgs["pallas"], imgs["wavefront"], rtol=1e-5, atol=1e-6
     )
 
 
