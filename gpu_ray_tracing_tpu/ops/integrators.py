@@ -382,8 +382,9 @@ def trace_path(
                 # by the pick probability.  The NEE side scales its ratio by
                 # total symmetrically (ratio = the full estimator weight),
                 # keeping each light-id pair's power-heuristic weights
-                # summing to 1.
-                r_ratio = r_ratio * jnp.float32(1.0 / total_lights)
+                # summing to 1.  Divide by the exact integer total (not a
+                # rounded reciprocal) so the two sides are exact mirrors.
+                r_ratio = r_ratio / jnp.float32(total_lights)
             # `matched` is every emissive hit by construction (active
             # emissive spheres ARE the light list); the exclusion branch is
             # a defensive never-double-count fallback, not a tolerance gap.

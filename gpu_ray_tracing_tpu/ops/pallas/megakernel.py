@@ -961,8 +961,9 @@ def _path_bounce(
             # Picked-light NEE (> 4 lights): each light is sampled with
             # pdf/total, so the BSDF ray's competing NEE density shrinks by
             # the pick probability; the NEE side scales its ratio by total
-            # symmetrically.  Matches trace_path.
-            r_ratio = r_ratio * jnp.float32(1.0 / total_lights)
+            # symmetrically.  Matches trace_path (exact division, not a
+            # rounded reciprocal, so the weight pair sums to 1 exactly).
+            r_ratio = r_ratio / jnp.float32(total_lights)
         # Every emissive hit carries a light id by construction (active
         # emissive spheres and non-degenerate emissive faces ARE the light
         # list); the exclusion branch is a defensive never-double-count

@@ -273,50 +273,54 @@ def test_tri_lights_guards():
 
 
 def _many_lights_scene():
-    """81 total ordinals: one sphere light + an 80-face emissive icosphere
-    hovering over the floor — forces the combined pick-one estimator."""
-    from gpu_ray_tracing_tpu.models.mesh import icosphere, transform_mesh
+    """81 total ordinals (single source of truth: benchmarks/parity_check,
+    whose committed golden pins the same scene — importing it here keeps
+    the statistical tests and the on-chip parity artifact coupled)."""
+    from benchmarks.parity_check import _many_lights_scene as build
 
-    spheres = make_spheres(
-        [
-            ((0.0, -1000.0, 0.0), 1000.0, LAMBERTIAN, (0.7, 0.7, 0.7), 0.0),
-            ((2.0, 2.2, -2.0), 0.4, EMISSIVE, (1.0, 0.9, 0.7), 4.0),
-        ]
-    )
-    glow = transform_mesh(
-        icosphere(1, albedo=(0.9, 1.0, 0.8), mat_kind=EMISSIVE,
-                  mat_param=3.0),
-        scale=0.5, translate=(-0.8, 1.8, -2.0),
-    )
-    return make_scene(spheres, glow)
+    return build()
+
+
+@partial(jax.jit, static_argnames=("nee", "mis", "spp"))
+def _many_lights_mean_render(scene, frame_seed, nee, mis, spp):
+    """Shared 32x24 jax-path render over the many-lights scene (the 512-spp
+    runs dominate this module's wall time, so the plain-NEE baseline is
+    computed once and reused across the unbiasedness assertions)."""
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+    from gpu_ray_tracing_tpu.ops import rays as rays_ops
+
+    cam = derive_camera(BASE_CAMERA, 32, 24)
+    acc = jnp.zeros((24, 32, 3), jnp.float32)
+
+    def body(s, acc):
+        o, d, seeds = rays_ops.generate_rays_hash(
+            cam, 32, 24, jnp.uint32(s), frame_seed)
+        return acc + trace_path(
+            o, d, scene, 4, 1e-3, 3.4e35, pixel_seeds=seeds,
+            sky_intensity=0.0, nee=nee, mis=mis)
+
+    return jax.lax.fori_loop(0, spp, body, acc) / spp
+
+
+_MEAN_CACHE = {}
+
+
+def _many_lights_mean(frame_seed, nee, mis, spp):
+    key = (frame_seed, nee, mis, spp)
+    if key not in _MEAN_CACHE:
+        _MEAN_CACHE[key] = float(np.asarray(
+            _many_lights_mean_render(
+                _many_lights_scene(), jnp.uint32(frame_seed), nee, mis, spp)
+        ).mean())
+    return _MEAN_CACHE[key]
 
 
 def test_combined_pick_matches_bsdf_mean():
     """The > 4-light combined pick-one estimator (sphere + triangle
     ordinals, weight = total) is unbiased: its high-spp mean must converge
     to BSDF-only sampling's on an 81-light scene."""
-    scene = _many_lights_scene()
-
-    from gpu_ray_tracing_tpu.models.camera import derive_camera
-    from gpu_ray_tracing_tpu.ops import rays as rays_ops
-
-    cam = derive_camera(BASE_CAMERA, 32, 24)
-
-    @partial(jax.jit, static_argnames=("nee", "spp"))
-    def go(frame_seed, nee, spp):
-        acc = jnp.zeros((24, 32, 3), jnp.float32)
-
-        def body(s, acc):
-            o, d, seeds = rays_ops.generate_rays_hash(
-                cam, 32, 24, jnp.uint32(s), frame_seed)
-            return acc + trace_path(
-                o, d, scene, 4, 1e-3, 3.4e35, pixel_seeds=seeds,
-                sky_intensity=0.0, nee=nee)
-
-        return jax.lax.fori_loop(0, spp, body, acc) / spp
-
-    nee_mean = float(np.asarray(go(jnp.uint32(9), True, 512)).mean())
-    bsdf_mean = float(np.asarray(go(jnp.uint32(9), False, 2048)).mean())
+    nee_mean = _many_lights_mean(9, True, False, 512)
+    bsdf_mean = _many_lights_mean(9, False, False, 2048)
     assert abs(nee_mean - bsdf_mean) < 0.05 * bsdf_mean, (nee_mean, bsdf_mean)
 
 
@@ -351,28 +355,8 @@ def test_combined_pick_mis_unbiased():
     r4): both power-heuristic ratios carry the pick pdf (x total on the NEE
     side, /total on the BSDF side), so each light-id pair's weights still
     sum to 1 and the high-spp mean matches plain pick-one NEE."""
-    scene = _many_lights_scene()
-
-    from gpu_ray_tracing_tpu.models.camera import derive_camera
-    from gpu_ray_tracing_tpu.ops import rays as rays_ops
-
-    cam = derive_camera(BASE_CAMERA, 32, 24)
-
-    @partial(jax.jit, static_argnames=("mis", "spp"))
-    def go(frame_seed, mis, spp):
-        acc = jnp.zeros((24, 32, 3), jnp.float32)
-
-        def body(s, acc):
-            o, d, seeds = rays_ops.generate_rays_hash(
-                cam, 32, 24, jnp.uint32(s), frame_seed)
-            return acc + trace_path(
-                o, d, scene, 4, 1e-3, 3.4e35, pixel_seeds=seeds,
-                sky_intensity=0.0, nee=True, mis=mis)
-
-        return jax.lax.fori_loop(0, spp, body, acc) / spp
-
-    nee_mean = float(np.asarray(go(jnp.uint32(9), False, 512)).mean())
-    mis_mean = float(np.asarray(go(jnp.uint32(9), True, 512)).mean())
+    nee_mean = _many_lights_mean(9, True, False, 512)  # shared w/ bsdf test
+    mis_mean = _many_lights_mean(9, True, True, 512)
     assert abs(mis_mean - nee_mean) < 0.05 * nee_mean, (mis_mean, nee_mean)
 
 
@@ -432,9 +416,12 @@ def test_sphere_only_pick_mis():
 
         return jax.lax.fori_loop(0, spp, body, acc) / spp
 
-    nee_mean = float(np.asarray(go(jnp.uint32(5), False, 512)).mean())
-    mis_mean = float(np.asarray(go(jnp.uint32(5), True, 512)).mean())
-    assert abs(mis_mean - nee_mean) < 0.05 * nee_mean, (mis_mean, nee_mean)
+    # 256 spp with a proportionally looser bound (suite wall-time budget;
+    # the same-seed draws correlate the two estimates, tightening this
+    # further than an independent-runs analysis would suggest).
+    nee_mean = float(np.asarray(go(jnp.uint32(5), False, 256)).mean())
+    mis_mean = float(np.asarray(go(jnp.uint32(5), True, 256)).mean())
+    assert abs(mis_mean - nee_mean) < 0.07 * nee_mean, (mis_mean, nee_mean)
 
     imgs = {}
     for be in ("pallas", "wavefront"):
