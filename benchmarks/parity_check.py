@@ -215,6 +215,137 @@ def _cases():
     )
 
 
+def _gate(img, ref):
+    d = np.abs(img - ref).max(axis=-1)
+    flips = float((d > 1e-3).mean())
+    mean = float(np.abs(img - ref).mean())
+    return flips, mean, float(d.max())
+
+
+def _kernel_path_checks(device):
+    """Self-consistency checks for the Mosaic programs the golden table
+    never compiles (VERDICT r4 item 3): nonzero `y_offset` / `row_stride`
+    (the row-sharded renderer's per-shard kernels) and the adaptive
+    one-shot vs chunked-resume guarantee.  Interpret mode (the CPU test
+    suite) already validates these functionally, but r4 proved interpret
+    mode hides real-Mosaic layout bugs (`_zeros_unreplicated`,
+    megakernel.py), so the on-chip artifact must compile and execute them
+    on real hardware.
+
+    Gates:
+      - band/interleaved stitches vs the full-frame render: the standard
+        decision-flip contract (identical pixel streams by the counter-RNG
+        contract; only XLA's per-shape rounding outside the kernel body
+        may flip borderline hits)
+      - adaptive chunked resume vs one-shot: BITWISE (the carried-Welford
+        guarantee, tests/test_pallas.py::test_adaptive_progressive_matches_one_shot)
+    """
+    from gpu_ray_tracing_tpu import (
+        adaptive_progressive_step,
+        init_adaptive_accum,
+        one_weekend_scene,
+    )
+    from gpu_ray_tracing_tpu.api import _dispatch_kernel_render
+    from gpu_ray_tracing_tpu.models.camera import derive_camera
+
+    results = []
+    engines = ("pallas", "wavefront") if device.platform == "tpu" else ("pallas",)
+    ow = one_weekend_scene(jax.random.key(0))
+    ow_cam = derive_camera(CameraSettings.default(), 96, 64)
+    nee = _nee_scene()
+    nee_cam = derive_camera(BASE_CAMERA, 96, 64)
+
+    def bands(scene, cam, cfg, n, stride, adaptive=False, frame_seed=21):
+        """Render height//n-row shards exactly as parallel/sharding.py
+        dispatches them (y_offset/row_stride addressing) and stitch."""
+        local_h = cfg.height // n
+        out = np.zeros((cfg.height, cfg.width, 3), np.float32)
+        for xi in range(n):
+            y0, st = (xi, n) if stride > 1 else (xi * local_h, 1)
+            band = np.asarray(
+                _dispatch_kernel_render(
+                    scene, cam, cfg, sample_index=jnp.uint32(0),
+                    frame_seed=jnp.uint32(frame_seed), spp=cfg.spp,
+                    height=local_h, y_offset=y0, total_width=cfg.width,
+                    row_stride=st, adaptive=adaptive,
+                )
+            )
+            if stride > 1:
+                out[xi::n] = band
+            else:
+                out[y0:y0 + local_h] = band
+        return out
+
+    # (1) contiguous 32-row-aligned band stitch, sphere-BVH scene.
+    for be in engines:
+        cfg = RenderConfig(width=96, height=64, spp=2, max_depth=6,
+                           backend=be)
+        full = np.asarray(render(ow, ow_cam, cfg, frame_seed=jnp.uint32(21)))
+        flips, mean, dmax = _gate(bands(ow, ow_cam, cfg, 2, 1), full)
+        results.append({
+            "case": "shard_stitch_contiguous", "backend": be,
+            "device": device.platform, "ref": "device-full-frame",
+            "flipped_pixels": round(flips, 6), "mean_abs_diff": round(mean, 8),
+            "max_abs_diff": round(dmax, 6),
+            "pass": flips < 0.015 and mean < 1e-3,
+        })
+
+    # (2) interleaved stitch (row_stride = n), NEE+MIS brute-scan scene —
+    # exercises the strided-row raygen/shadow-walk program.
+    for be in engines:
+        cfg = RenderConfig(width=96, height=64, spp=2, max_depth=5,
+                           sky_intensity=0.0, nee=True, mis=True, backend=be)
+        full = np.asarray(render(nee, nee_cam, cfg, frame_seed=jnp.uint32(21)))
+        flips, mean, dmax = _gate(bands(nee, nee_cam, cfg, 2, 2), full)
+        results.append({
+            "case": "shard_stitch_interleaved", "backend": be,
+            "device": device.platform, "ref": "device-full-frame",
+            "flipped_pixels": round(flips, 6), "mean_abs_diff": round(mean, 8),
+            "max_abs_diff": round(dmax, 6),
+            "pass": flips < 0.015 and mean < 1e-3,
+        })
+
+    # (3) adaptive: one-shot vs chunked resume, BITWISE (megakernel only).
+    # Same shape/budget as tests/test_pallas.py::
+    # test_adaptive_progressive_matches_one_shot — parameters at which
+    # tiles demonstrably stop early (count_min < count_max).
+    cfg = RenderConfig(width=128, height=96, spp=32, max_depth=6,
+                       backend="pallas", adaptive_tol=0.03,
+                       adaptive_min_spp=4)
+    adp_cam = derive_camera(CameraSettings.default(), 128, 96)
+    one_shot = np.asarray(render(ow, adp_cam, cfg, frame_seed=jnp.uint32(1)))
+    st = init_adaptive_accum(cfg.height, cfg.width)
+    for _ in range(4):
+        st = adaptive_progressive_step(
+            st, ow, adp_cam, cfg, frame_seed=jnp.uint32(1), spp_per_step=8)
+    resumed = np.asarray(st.image)
+    bitwise = bool((resumed == one_shot).all())
+    counts = np.asarray(st.count)
+    adapted = bool(counts.min() < counts.max())  # tiles genuinely stop early
+    results.append({
+        "case": "adaptive_resume_bitwise", "backend": "pallas",
+        "device": device.platform, "ref": "device-one-shot",
+        "max_abs_diff": float(np.abs(resumed - one_shot).max()),
+        "count_min": float(counts.min()), "count_max": float(counts.max()),
+        "pass": bitwise and adapted,
+    })
+
+    # (4) row-sharded adaptive (32-aligned contiguous bands) vs the
+    # unsharded adaptive render — the y_offset + adaptive-state program.
+    flips, mean, dmax = _gate(
+        bands(ow, adp_cam, cfg, 3, 1, adaptive=True, frame_seed=1),
+        one_shot,
+    )
+    results.append({
+        "case": "adaptive_row_sharded", "backend": "pallas",
+        "device": device.platform, "ref": "device-one-shot",
+        "flipped_pixels": round(flips, 6), "mean_abs_diff": round(mean, 8),
+        "max_abs_diff": round(dmax, 6),
+        "pass": flips < 0.015 and mean < 1e-3,
+    })
+    return results
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default=None,
@@ -256,6 +387,10 @@ def main(argv=None) -> int:
             }
             results.append(rec)
             print(json.dumps(rec), flush=True)
+    for rec in _kernel_path_checks(device):
+        ok &= rec["pass"]
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
     if args.out:
         with open(args.out, "w") as f:
             json.dump({
@@ -263,7 +398,9 @@ def main(argv=None) -> int:
                 "device_kind": device.device_kind,
                 "jax_version": jax.__version__,
                 "gate": "flipped_pixels < 1.5% and mean_abs_diff < 1e-3 "
-                        "vs committed CPU goldens",
+                        "vs committed CPU goldens; kernel-path cases are "
+                        "device self-consistency (stitch = flip contract, "
+                        "adaptive resume = bitwise)",
                 "ok": ok,
                 "cases": results,
             }, f, indent=1)
