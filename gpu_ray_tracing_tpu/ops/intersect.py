@@ -265,12 +265,24 @@ def intersect_bvh(
 
     `leaf_size` defaults to the BVH's own build-time value (bvh.leaf_size);
     an explicit smaller value would silently skip triangles in large leaves.
+
+    Differentiability (straight-through): lax.while_loop has no reverse-mode
+    rule, and the traversal's outputs are DISCRETE anyway (which triangle
+    won).  The walk therefore runs on stop_gradient inputs — fixing the hit
+    decision, exactly SURVEY §7 hard part 4's straight-through policy — and
+    the winner's t is recomputed OUTSIDE the loop with one differentiable
+    Moller-Trumbore on the gathered triangle (bitwise the same value: same
+    function of the same inputs), so d(image)/d(vertices, materials) flows
+    through mesh+BVH scenes (tests/test_gradients.py).
     """
     if leaf_size is None:
         leaf_size = bvh.leaf_size
     batch_shape = origins.shape[:-1]
-    o = origins.reshape(-1, 3)
-    d = dirs.reshape(-1, 3)
+    o_diff = origins.reshape(-1, 3)
+    d_diff = dirs.reshape(-1, 3)
+    mesh_diff = mesh
+    sg = jax.lax.stop_gradient
+    o, d, mesh, bvh = sg(o_diff), sg(d_diff), jax.tree.map(sg, mesh), jax.tree.map(sg, bvh)
     p = o.shape[0]
 
     safe_d = jnp.where(jnp.abs(d) < 1e-20, jnp.float32(1e-20), d)
@@ -325,7 +337,17 @@ def intersect_bvh(
 
     any_hit = idx_best >= 0
     idx = jnp.where(any_hit, idx_best, 0)
-    return _mesh_hit_record(o, d, mesh, t_best, idx, any_hit, batch_shape)
+    # Differentiable recompute of the winner's t (the traversal above is
+    # gradient-opaque by construction).  Same triangle, same formula ->
+    # bitwise the same primal value; misses keep t_max.
+    t_re, _ = _moller_trumbore(
+        o_diff, d_diff,
+        mesh_diff.v0[idx], mesh_diff.e1[idx], mesh_diff.e2[idx],
+        t_min, t_max,
+    )
+    t_best = jnp.where(any_hit, t_re, jnp.float32(t_max))
+    return _mesh_hit_record(o_diff, d_diff, mesh_diff, t_best, idx, any_hit,
+                            batch_shape)
 
 
 SENTINEL_NODE = -1
