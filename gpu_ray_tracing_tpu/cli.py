@@ -449,6 +449,14 @@ def cmd_view(args) -> int:
               "progressive accumulation; use `render`", file=sys.stderr)
         return 2
     scene, cam, cfg = _build_scene(args), _build_camera(args), _build_config(args)
+    if args.spp_per_step == 0:
+        # Auto-batch: one dispatch through the tunnel costs ~6-10 ms fixed
+        # (docs/PERFORMANCE.md), so a 1-spp step is dispatch-bound at
+        # viewer resolutions.  Batch device-side samples per repaint —
+        # the key poll runs between batches, so input latency is one
+        # batch, not one accumulation.
+        args.spp_per_step = next(k for k in (8, 6, 5, 4, 3, 2, 1)
+                                 if cfg.spp % k == 0)
     if args.spp_per_step > 1 and cfg.spp % args.spp_per_step != 0:
         print(f"error: --spp-per-step {args.spp_per_step} must divide "
               f"--spp {cfg.spp}", file=sys.stderr)
@@ -487,7 +495,9 @@ def cmd_view(args) -> int:
                                       args.gamma)
                 pos = np.asarray(cam.look_from)
                 status = (
-                    f"{count}/{cfg.spp} spp | {dt * 1e3:6.1f} ms/step | "
+                    f"{count}/{cfg.spp} spp | {dt * 1e3:6.1f} ms/step "
+                    f"({args.spp_per_step} spp/step = "
+                    f"{args.spp_per_step / max(dt, 1e-9):5.1f} spp/s) | "
                     f"cam ({pos[0]:.2f}, {pos[1]:.2f}, {pos[2]:.2f}) "
                     f"fov {float(cam.field_of_view):.0f}"
                 )
@@ -582,8 +592,12 @@ def main(argv=None) -> int:
                    help="frame width in terminal columns (default: fit)")
     p.add_argument("--max-steps", type=int, default=0,
                    help="stop after N steps (0 = run until [x])")
-    p.add_argument("--spp-per-step", type=int, default=1,
-                   help="samples folded per repaint (must divide --spp)")
+    p.add_argument("--spp-per-step", type=int, default=0,
+                   help="samples folded per repaint (must divide --spp); "
+                   "0 = auto: the largest divisor of --spp up to 8, so the "
+                   "~6-10 ms fixed dispatch cost of the tunnel amortizes "
+                   "over device-side samples instead of bounding the "
+                   "interactive rate (keys are polled between batches)")
     p.add_argument("--no-input", action="store_true",
                    help="disable keyboard handling (non-tty/CI runs)")
     p.add_argument("--out", default=None,

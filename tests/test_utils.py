@@ -446,7 +446,7 @@ def test_cli_view_progressive_and_reset(tmp_path, capsys):
     rc = main([
         "view", "--scene", "base", "--width", "48", "--height", "36",
         "--spp", "8", "--depth", "3", "--max-steps", "4", "--no-input",
-        "--cols", "24", "--out", out,
+        "--cols", "24", "--out", out, "--spp-per-step", "1",
         # step 1 poll: dolly forward (resets count); step 3 poll: quit.
         "--inject-keys", "w,,x",
     ])
@@ -459,6 +459,26 @@ def test_cli_view_progressive_and_reset(tmp_path, capsys):
     assert "1/8 spp" in captured
     assert "2/8 spp" in captured
     assert "3/8 spp" not in captured
+
+
+def test_cli_view_auto_batches_steps(capsys):
+    """Default --spp-per-step 0 auto-batches device-side samples per
+    repaint (the largest divisor of --spp up to 8), so the viewer's
+    interactive rate is render-, not tunnel-dispatch-, bound (VERDICT r4
+    item 5); the status line reports honest spp/s."""
+    from gpu_ray_tracing_tpu.cli import main
+
+    rc = main([
+        "view", "--scene", "base", "--width", "48", "--height", "36",
+        "--spp", "12", "--depth", "3", "--max-steps", "2", "--no-input",
+        "--cols", "24",
+    ])
+    captured = capsys.readouterr().out
+    assert rc == 0
+    # 12 spp -> auto batch 6: repaints land on 6/12 then 12/12.
+    assert "6/12 spp" in captured
+    assert "12/12 spp" in captured
+    assert "6 spp/step" in captured and "spp/s" in captured
 
 
 def test_rawkeys_keeps_escape_sequences_whole(monkeypatch):
