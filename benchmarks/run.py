@@ -83,8 +83,35 @@ BASE_CAMERA = CameraSettings(
 )
 
 
+def _vpu_model():
+    """benchmarks/vpu_roofline.json, if the roofline has been measured."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "vpu_roofline.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        data = json.load(f)
+    if "peak" not in data or not data.get("configs"):
+        return None
+    return data
+
+
 def _emit(name: str, stats, extra=None) -> dict:
     rec = {"config": name, **stats.to_dict(), **(extra or {})}
+    # Compute-roofline utilization (VERDICT r4 item 1): modeled useful
+    # vector ops for this config (benchmarks/vpu_roofline.py --price)
+    # against the measured slab-mix VPU peak and THIS record's measured
+    # time.  The HBM proxy stays alongside; this is the figure that means
+    # something on the compute-bound path configs.
+    vpu = _vpu_model()
+    if vpu and name in vpu["configs"]:
+        m = vpu["configs"][name]
+        peak = vpu["peak"]["slab"]["ops_per_sec"]
+        ms = m.get("ms_override", rec.get("ms_per_frame"))
+        if ms:
+            rec["vpu_utilization"] = round(
+                m["ops_per_frame"] / (ms * 1e-3) / peak, 4)
+            rec["vpu_model"] = m["model"]
     print(json.dumps(rec), flush=True)
     return rec
 

@@ -1,0 +1,374 @@
+"""Compute-roofline (VPU-issue) utilization per benchmark config.
+
+VERDICT r4 item 1: the published `hbm_utilization` reads ~0% on the
+compute-bound path workloads (configs 2-5 keep all state in VMEM/registers),
+so "is it actually fast?" needs a COMPUTE roofline: useful elementwise f32
+vector ops issued per frame vs what the v5e VPU demonstrably sustains on
+this op mix.
+
+Three parts:
+
+  --peak   (real chip) measure the achievable VPU rate with a Pallas
+           microkernel issuing exactly counted slab-test-shaped op bundles
+           (mul/sub/min/max/cmp/select — the traversal mix) in a
+           dependency-chained fori loop, timed with the differential
+           device-loop harness.  This is the denominator: an EMPIRICAL
+           speed-of-light for the shape of code the renderer runs, not a
+           spec-sheet MXU number (the kernels deliberately avoid the MXU).
+           A second FMA-shaped mix bounds the range.
+
+  --price  (CPU) model each config's useful vector ops per frame:
+           config 1  static per-pixel op count (raygen + 3-sphere brute
+                     closest-hit + normal shade)
+           config 2  numpy path re-simulation of the fly-through scene
+                     (benchmarks/walk_model.path_states): tile-bounce
+                     iterations x (N_spheres brute tests + shade) + raygen
+           config 3  traversal lane-work from sphere_wall_r5.json
+                     (benchmarks/sphere_wall_analysis.py, the exact
+                     config-3 scene) + shade per tile-bounce + raygen;
+                     the simulated-depth tail (b >= cap) is extrapolated
+                     geometrically and labeled
+           config 4  bounce-1 wall pricing from mesh_wall_analysis's
+                     committed baseline (entries/leaf-rows per tile on the
+                     true bounce-1 set) against the r3 measured +122 ms
+                     marginal for that bounce
+           config 5  same machinery as config 3 at 1080p, depth 20, RR@5
+           Op weights are counted from the kernel source (walk_model.py:
+           SLAB_OPS 26, SPHERE_OPS 30; TRI_OPS 47 per Moller-Trumbore;
+           SHADE_OPS ~230 and RAYGEN_OPS ~130 are ESTIMATES, stated with
+           their share of each config so the error bar is visible).
+
+  --sweep  (real chip) cross-check: measure config 3 at several max_depth
+           values and correlate the marginal per-depth cost against the
+           model's per-bounce lane-work — if the model prices the work the
+           chip actually executes, the two profiles agree in shape.
+
+Writes benchmarks/vpu_roofline.json; benchmarks/run.py reads it (when
+present) to stamp `vpu_utilization` = ops_per_frame / (ms * peak) into
+every config record next to the HBM proxy.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+JSON_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "vpu_roofline.json")
+
+# Op weights counted from kernel source (see walk_model.py for slab/sphere).
+SLAB_OPS = 26.0
+SPHERE_OPS = 30.0
+TRI_OPS = 47.0          # Moller-Trumbore per triangle (megakernel._tri_intersect)
+TRI_ROW_OPS = 4 * TRI_OPS
+SHADE_OPS = 230.0       # per tile-bounce iteration per lane: scatter (~120)
+#                         + RNG draws (~65) + RR/bookkeeping (~45) — ESTIMATE
+RAYGEN_OPS = 130.0      # per pixel-sample: hash seeds + pixel/lens math — ESTIMATE
+NORMAL_SHADE_OPS = 40.0
+LANES = 32 * 128
+
+
+def _load():
+    if os.path.exists(JSON_PATH):
+        with open(JSON_PATH) as f:
+            return json.load(f)
+    return {"configs": {}}
+
+
+def _save(data):
+    with open(JSON_PATH, "w") as f:
+        json.dump(data, f, indent=1, default=float)
+        f.write("\n")
+    print(f"wrote {JSON_PATH}")
+
+
+# ---------------------------------------------------------------- peak ----
+
+def _peak_kernel_factory(rounds, mix, bundles=2):
+    from jax.experimental import pallas as pl
+
+    if mix == "slab":
+        # 19 ops/bundle: the traversal mix (sub/mul, min/max tree, compare,
+        # selects); loop-carried dependencies so nothing folds away.
+        def bundle(a, b, c):
+            t0 = (a - c) * b
+            t1 = (b - c) * a
+            t2 = (a - b) * c
+            tn = jnp.maximum(jnp.minimum(t0, t1), jnp.minimum(t1, t2))
+            tf = jnp.minimum(jnp.maximum(t0, t1), jnp.maximum(t1, t2))
+            m = (tf >= tn).astype(jnp.float32)
+            a = m * tn + (1.0 - m) * a + 1e-6
+            b = m * tf + (1.0 - m) * b
+            c = c + a * 1e-7
+            return a, b, c
+        ops_per_bundle = 19
+    else:
+        # 12 ops/bundle of pure mul/add chains (the FMA-friendly bound).
+        def bundle(a, b, c):
+            a = a * 1.000001 + b
+            b = b * 0.999999 + c
+            c = c * 1.000002 + a * 1e-8
+            return a, b, c
+        ops_per_bundle = 12
+
+    # `bundles` independent chains per round: exposes instruction-level
+    # parallelism (real kernels have many live planes) without letting one
+    # serial dependency chain throttle the measurement; both 1 and 2 are
+    # measured and the best taken as the speed-of-light.
+    def body(i, carry):
+        out = []
+        for g in range(bundles):
+            out.extend(bundle(*carry[3 * g:3 * g + 3]))
+        return tuple(out)
+
+    ops = bundles * ops_per_bundle
+
+    def kernel(x_ref, o_ref):
+        a = x_ref[...]
+        carry = []
+        for g in range(bundles):
+            carry.extend((a + 0.1 * g, a * 0.5 + 0.25 + 0.05 * g,
+                          a * 0.25 + 0.5))
+        carry = jax.lax.fori_loop(0, rounds, body, tuple(carry))
+        acc = carry[0]
+        for v in carry[1:]:
+            acc = acc + v
+        o_ref[...] = acc
+
+    return kernel, (lambda shape: ops * rounds * shape[0] * shape[1])
+
+
+def measure_peak(rounds=4096, rows=256, repeats=5):
+    from jax.experimental import pallas as pl
+
+    from gpu_ray_tracing_tpu.utils.profiling import time_device_loop
+
+    out = {}
+    for mix in ("slab", "fma"):
+        best = None
+        for bundles in (1, 2):
+            kernel, ops_of = _peak_kernel_factory(rounds, mix, bundles)
+            shape = (rows, 128)
+
+            @jax.jit
+            def run(seed, kernel=kernel):
+                x = jnp.full(shape, 1.0, jnp.float32) + (
+                    seed.astype(jnp.float32) * 1e-9
+                )
+                return pl.pallas_call(
+                    kernel,
+                    out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+                )(x)
+
+            stats = time_device_loop(run, width=shape[1], height=shape[0],
+                                     spp=1, frames=50, repeats=repeats)
+            ops = ops_of(shape)
+            rate = ops / (stats.ms_per_frame * 1e-3)
+            print(f"peak[{mix} x{bundles}]: {stats.ms_per_frame:.4f} "
+                  f"ms/frame, {ops:.3g} ops -> {rate/1e12:.3f} Tops/s")
+            rec = {"ops_per_frame": ops, "ms_per_frame": stats.ms_per_frame,
+                   "ops_per_sec": rate, "bundles": bundles}
+            if best is None or rate > best["ops_per_sec"]:
+                best = rec
+        out[mix] = best
+    return out
+
+
+# --------------------------------------------------------------- price ----
+
+def _states_cost(scene_model, cam, W, H, bounces, rr_depth, n_spheres_brute=None):
+    """Tile-iteration + traversal pricing for one 1-spp pass."""
+    from benchmarks.walk_model import (SphereWalker, frame_cost, path_states,
+                                       tiles)
+
+    states = path_states(scene_model, cam, W, H, bounces, rr_depth=rr_depth)
+    if n_spheres_brute is not None:
+        # no BVH: every active tile brute-scans all spheres
+        tot_tiles = 0
+        for (_, _, live) in states:
+            tot_tiles += sum(1 for sl in tiles(W, H) if live[sl].any())
+        ops = tot_tiles * LANES * (
+            n_spheres_brute * SPHERE_OPS + SHADE_OPS)
+        return ops, tot_tiles, None
+    walker = SphereWalker(scene_model)
+    cost = frame_cost(states, walker, W, H, sample=60)
+    tot_tiles = sum(r["active_tiles"] for r in cost["per_bounce"])
+    ops = cost["lane_work"] + tot_tiles * LANES * SHADE_OPS
+    return ops, tot_tiles, cost
+
+
+def price_configs(bounces3=16, bounces5=20):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from gpu_ray_tracing_tpu import base_scene, make_scene, one_weekend_scene
+    from gpu_ray_tracing_tpu.models.camera import CameraSettings, derive_camera
+
+    from benchmarks.run import BASE_CAMERA
+    from benchmarks.walk_model import SceneModel
+
+    cfgs = {}
+
+    # config 1: 800x600 normal shading, 3-sphere brute scan, 1 spp
+    n1 = int(np.asarray(base_scene().radii > 0).sum())
+    px = 800 * 600
+    ops1 = px * (RAYGEN_OPS + n1 * SPHERE_OPS + NORMAL_SHADE_OPS)
+    cfgs["1_base_normal_800x600"] = {
+        "ops_per_frame": ops1,
+        "model": f"static per-pixel: raygen {RAYGEN_OPS:.0f} + {n1} brute "
+                 f"sphere tests x {SPHERE_OPS:.0f} + normal shade "
+                 f"{NORMAL_SHADE_OPS:.0f}",
+        "estimate_share": 1.0,  # fully estimate-based (no traversal term)
+    }
+    print(f"config 1: {ops1:.3g} ops/frame ({n1} spheres)")
+
+    # config 2: 640x480, 16 spp, d16, base scene brute scan, 6-camera track.
+    sc2 = make_scene(base_scene(), sphere_bvh=False)
+    sm2 = SceneModel(sc2)
+    n2 = sm2.n
+    cam2 = derive_camera(BASE_CAMERA, 640, 480)
+    ops_1spp, tiles2, _ = _states_cost(sm2, cam2, 640, 480, 16, 0,
+                                       n_spheres_brute=n2)
+    ops2 = (ops_1spp + 640 * 480 * RAYGEN_OPS) * 16  # x spp, per track frame
+    cfgs["2_flythrough_16spp"] = {
+        "ops_per_frame": ops2,
+        "model": f"numpy path sim, 16 spp per track frame; "
+                 f"{tiles2} tile-bounce iterations x ({n2} brute tests x "
+                 f"{SPHERE_OPS:.0f} + shade {SHADE_OPS:.0f}) + raygen",
+        "estimate_share": round(SHADE_OPS / (n2 * SPHERE_OPS + SHADE_OPS), 3),
+        "unit": "per track frame (the config-2 record's ms_per_frame unit)",
+    }
+    print(f"config 2: {ops2:.3g} ops/track-frame ({n2} spheres, "
+          f"{tiles2} tile-iters/spp)")
+
+    # config 3: from the committed ceiling analysis (exact 487-sphere scene)
+    sw_path = os.path.join(os.path.dirname(JSON_PATH), "..",
+                           "sphere_wall_r5.json")
+    sw_path = os.path.normpath(sw_path)
+    with open(sw_path) as f:
+        sw = json.load(f)
+    per_b = sw["shipped_leaf16"]["per_bounce"]
+    trav = sum(r["lane_work"] for r in per_b)
+    tiles3 = sum(r["active_tiles"] for r in per_b)
+    # geometric tail extrapolation b>=cap (config 3 runs to d50; the last
+    # simulated bounces decay ~ratio per bounce)
+    tail_ratio = per_b[-1]["lane_work"] / per_b[-2]["lane_work"]
+    tail_ratio = min(tail_ratio, 0.97)
+    tail = per_b[-1]["lane_work"] * tail_ratio / (1 - tail_ratio)
+    tail_tiles = per_b[-1]["active_tiles"] * tail_ratio / (1 - tail_ratio)
+    ops3 = (trav + tail) + (tiles3 + tail_tiles) * LANES * SHADE_OPS \
+        + 1280 * 720 * RAYGEN_OPS
+    shade_share = ((tiles3 + tail_tiles) * LANES * SHADE_OPS) / ops3
+    cfgs["3_one_weekend_480sph_d50"] = {
+        "ops_per_frame": ops3,
+        "model": f"sphere_wall_r5.json traversal lane-work "
+                 f"({len(per_b)} simulated bounces + geometric tail "
+                 f"x{1/(1-tail_ratio):.1f} of last bounce) + shade "
+                 f"{SHADE_OPS:.0f}/lane/tile-bounce + raygen",
+        "estimate_share": round(shade_share, 3),
+    }
+    print(f"config 3: {ops3:.3g} ops/frame (traversal {trav:.3g} + "
+          f"tail {tail:.3g}, shade share {shade_share:.2f})")
+
+    # config 4: the bounce-1 wall (mesh_wall_analysis committed baseline:
+    # 808 entries + 1804 leaf rows per 32x128 tile on the true bounce-1
+    # set; 75 tiles at 640x480).  Priced against the r3 on-chip marginal
+    # for that bounce (+122 ms) rather than the whole frame, because the
+    # instrument prices exactly that bounce.
+    entries4, rows4, tiles4 = 808.0, 1804.0, 75
+    ops4 = tiles4 * LANES * (entries4 * SLAB_OPS + rows4 * TRI_ROW_OPS)
+    cfgs["4_mesh_bvh"] = {
+        "ops_per_frame": ops4,
+        "model": "bounce-1 wall only: mesh_wall_analysis baseline "
+                 "(808 entries + 1804 tri-rows per tile x 75 tiles); "
+                 "compare against the r3-measured +122 ms marginal for "
+                 "that bounce, not the whole frame",
+        "ms_override": 122.0,
+        "estimate_share": 0.0,
+    }
+    print(f"config 4: {ops4:.3g} ops in the bounce-1 wall")
+
+    # config 5: 1080p, d20, RR@5, default One-Weekend scene, per 1-spp step
+    sc5 = make_scene(one_weekend_scene(jax.random.key(0)))
+    sm5 = SceneModel(sc5)
+    cam5 = derive_camera(CameraSettings.default(), 1920, 1080)
+    ops5, tiles5, cost5 = _states_cost(sm5, cam5, 1920, 1080, bounces5, 5)
+    ops5 = ops5 + 1920 * 1080 * RAYGEN_OPS
+    shade_share5 = tiles5 * LANES * SHADE_OPS / ops5
+    cfgs["5_progressive_1080p"] = {
+        "ops_per_frame": ops5,
+        "model": f"numpy path sim d{bounces5} RR@5 ({sm5.n} spheres, "
+                 f"{sm5.num_nodes}-node BVH): traversal lane-work + shade "
+                 f"+ raygen, per 1-spp step",
+        "estimate_share": round(shade_share5, 3),
+    }
+    print(f"config 5: {ops5:.3g} ops/step ({tiles5} tile-iters, "
+          f"shade share {shade_share5:.2f})")
+    return cfgs
+
+
+# --------------------------------------------------------------- sweep ----
+
+def depth_sweep(depths=(2, 4, 8, 16)):
+    """On-chip config-3 max_depth sweep for the model cross-check."""
+    from gpu_ray_tracing_tpu import (RenderConfig, make_scene,
+                                     one_weekend_scene, render)
+    from gpu_ray_tracing_tpu.models.camera import CameraSettings
+    from gpu_ray_tracing_tpu.utils.profiling import time_device_loop
+
+    scene = jax.device_put(make_scene(
+        one_weekend_scene(jax.random.key(0), grid_min=-11, grid_max=11)))
+    cam = CameraSettings.default()
+    rows = []
+    for depth in depths:
+        cfg = RenderConfig(width=1280, height=720, spp=1, max_depth=depth,
+                           backend="pallas")
+        fn = lambda s: render(scene, cam, cfg, frame_seed=s)
+        stats = time_device_loop(fn, width=1280, height=720, spp=1,
+                                 frames=5, repeats=5)
+        rows.append({"max_depth": depth, "ms_per_frame": stats.ms_per_frame})
+        print(f"depth {depth:3d}: {stats.ms_per_frame:.2f} ms/frame")
+    return rows
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--peak", action="store_true")
+    ap.add_argument("--price", action="store_true")
+    ap.add_argument("--sweep", action="store_true")
+    args = ap.parse_args(argv)
+    data = _load()
+
+    if args.price:
+        data["configs"] = price_configs()
+        data["op_weights"] = {
+            "SLAB_OPS": SLAB_OPS, "SPHERE_OPS": SPHERE_OPS,
+            "TRI_OPS": TRI_OPS, "SHADE_OPS": SHADE_OPS,
+            "RAYGEN_OPS": RAYGEN_OPS,
+            "note": "slab/sphere/tri counted from kernel source; "
+                    "shade/raygen are estimates — each config records its "
+                    "estimate share",
+        }
+        _save(data)
+    if args.peak:
+        assert jax.devices()[0].platform == "tpu", "peak needs the chip"
+        data["peak"] = measure_peak()
+        data["peak"]["device"] = jax.devices()[0].device_kind
+        _save(data)
+    if args.sweep:
+        assert jax.devices()[0].platform == "tpu", "sweep needs the chip"
+        data["depth_sweep"] = depth_sweep()
+        _save(data)
+    if not (args.peak or args.price or args.sweep):
+        ap.print_help()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,7 @@
 """Tests for the integrators (wgsl:261-297) and sky shader (wgsl:293-296)."""
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -135,13 +137,18 @@ def test_metal_mirror_reflects_to_sky():
 def test_glass_sphere_mostly_transmits_head_on():
     """Head-on through a glass sphere: exits parallel, hits sky behind."""
     scene = make_spheres([((0, 0, -3.0), 1.0, DIELECTRIC, (1, 1, 1), 1.5)])
+
     # u_reflect draws come from the key; average over many keys to wash out
-    # the stochastic reflect/refract choice.
-    outs = [
-        _trace([[0, 0, 0]], [[0, 0, -1]], scene, depth=8, key=jax.random.key(k))
-        for k in range(32)
-    ]
-    mean = np.mean(outs, axis=0)[0]
+    # the stochastic reflect/refract choice (vmapped in one jitted call).
+    @jax.jit
+    def many(keys):
+        return jax.vmap(lambda k: trace_path(
+            jnp.asarray([[0, 0, 0]], jnp.float32),
+            jnp.asarray([[0, 0, -1]], jnp.float32),
+            scene, 8, TMIN, TMAX, key=k,
+        )[0])(keys)
+
+    mean = np.asarray(many(jax.random.split(jax.random.key(7), 32))).mean(axis=0)
     horiz_sky = np.asarray(sky_color(jnp.asarray([[0.0, 0.0, -1.0]])))[0]
     np.testing.assert_allclose(mean, horiz_sky, atol=0.05)
 
@@ -206,15 +213,17 @@ def test_emissive_sphere_radiates():
         scene, 6, TMIN, TMAX, key=jax.random.key(1), sky_intensity=0.0,
     )
     # Statistically: average many keys; some paths bounce into the light.
-    outs = [
-        np.asarray(trace_path(
+    # (vmapped over keys in ONE jitted call — 64 eager calls cost ~90 s.)
+    @jax.jit
+    def many(keys):
+        return jax.vmap(lambda k: trace_path(
             jnp.asarray([[0.0, 3.0, -3.0]], jnp.float32),
             jnp.asarray([[0.3, -1.0, 0.0]], jnp.float32),
-            scene, 6, TMIN, TMAX, key=jax.random.key(k), sky_intensity=0.0,
-        ))[0]
-        for k in range(64)
-    ]
-    mean = np.mean(outs, axis=0)
+            scene, 6, TMIN, TMAX, key=k, sky_intensity=0.0,
+        )[0])(keys)
+
+    mean = np.asarray(many(jax.random.split(jax.random.key(0), 64))).mean(
+        axis=0)
     assert mean.max() > 0.01  # some illumination reaches the floor
     # A ray pointing away from everything in a skyless scene is black.
     out3 = np.asarray(trace_path(
@@ -358,25 +367,28 @@ def _mis_scene_and_cam(light):
     return scene, cam
 
 
-def _render_estimator(scene, cam, frame_seed, nee, mis, spp):
-    from functools import partial
-
+@partial(jax.jit, static_argnames=("nee", "mis", "spp"))
+def _render_estimator_jit(scene, cam, frame_seed, nee, mis, spp):
+    # module-level jit: a per-call inner closure retraced on EVERY
+    # invocation (the old shape cost ~2 min of suite wall time in
+    # recompiles across the estimator tests)
     from gpu_ray_tracing_tpu.ops import rays as rays_ops
 
-    @partial(jax.jit, static_argnames=("nee", "mis", "spp"))
-    def go(frame_seed, nee, mis, spp):
-        acc = jnp.zeros((32, 48, 3), jnp.float32)
+    acc = jnp.zeros((32, 48, 3), jnp.float32)
 
-        def body(s, acc):
-            o, d, seeds = rays_ops.generate_rays_hash(
-                cam, 48, 32, jnp.uint32(s), frame_seed)
-            return acc + trace_path(
-                o, d, scene, 5, 1e-3, 3.4e35, pixel_seeds=seeds,
-                sky_intensity=0.0, nee=nee, mis=mis)
+    def body(s, acc):
+        o, d, seeds = rays_ops.generate_rays_hash(
+            cam, 48, 32, jnp.uint32(s), frame_seed)
+        return acc + trace_path(
+            o, d, scene, 5, 1e-3, 3.4e35, pixel_seeds=seeds,
+            sky_intensity=0.0, nee=nee, mis=mis)
 
-        return jax.lax.fori_loop(0, spp, body, acc) / spp
+    return jax.lax.fori_loop(0, spp, body, acc) / spp
 
-    return np.asarray(go(jnp.uint32(frame_seed), nee, mis, spp))
+
+def _render_estimator(scene, cam, frame_seed, nee, mis, spp):
+    return np.asarray(_render_estimator_jit(
+        scene, cam, jnp.uint32(frame_seed), nee, mis, spp))
 
 
 def test_mis_unbiased_and_reduces_variance_large_light():
@@ -389,20 +401,21 @@ def test_mis_unbiased_and_reduces_variance_large_light():
 
     scene, cam = _mis_scene_and_cam(
         ((0.0, 3.1, -2.0), 3.0, EMISSIVE, (1.0, 0.9, 0.7), 1.0))
-    ref = _render_estimator(scene, cam, 0, True, True, 2048)
+    ref = _render_estimator(scene, cam, 0, True, True, 1024)
     means = {}
     mses = {}
     for name, (nee, mis) in {
         "bsdf": (False, False), "nee": (True, False), "mis": (True, True)
     }.items():
-        means[name] = _render_estimator(scene, cam, 9, nee, mis, 2048).mean()
+        means[name] = _render_estimator(scene, cam, 9, nee, mis, 1024).mean()
         mses[name] = np.mean([
             float(np.mean((_render_estimator(scene, cam, fs, nee, mis, 8) - ref) ** 2))
             for fs in range(1, 7)
         ])
-    # Unbiasedness: all three estimators agree at high spp.
-    assert abs(means["mis"] - means["bsdf"]) < 0.01 * means["bsdf"], means
-    assert abs(means["mis"] - means["nee"]) < 0.01 * means["nee"], means
+    # Unbiasedness: all three estimators agree at high spp (1024 spp;
+    # tolerance sized to the 1/sqrt(spp) noise of the same-seed pairs).
+    assert abs(means["mis"] - means["bsdf"]) < 0.015 * means["bsdf"], means
+    assert abs(means["mis"] - means["nee"]) < 0.015 * means["nee"], means
     # Variance: MIS beats both single strategies on this scene.
     assert mses["mis"] < 0.95 * mses["nee"], mses
     assert mses["mis"] < 0.5 * mses["bsdf"], mses
@@ -448,18 +461,21 @@ def test_mis_no_depth_truncation_bias():
     scene, cam = _mis_scene_and_cam(
         ((0.0, 3.1, -2.0), 3.0, EMISSIVE, (1.0, 0.9, 0.7), 1.0))
 
+    @partial(jax.jit, static_argnames=("mis",))
     def mean_at_depth2(mis):
-        acc = 0.0
-        for s in range(64):
+        # one jitted device loop (64 eager trace_path calls took ~6 min
+        # of the suite; the fori_loop form is the production shape)
+        def body(s, acc):
             o, d, seeds = rays_ops.generate_rays_hash(
                 cam, 48, 32, jnp.uint32(s), jnp.uint32(0))
-            acc += float(np.asarray(trace_path(
+            return acc + trace_path(
                 o, d, scene, 2, 1e-3, 3.4e35, pixel_seeds=seeds,
-                sky_intensity=0.0, nee=True, mis=mis)).mean())
-        return acc / 64
+                sky_intensity=0.0, nee=True, mis=mis).mean()
 
-    m_nee = mean_at_depth2(False)
-    m_mis = mean_at_depth2(True)
+        return jax.lax.fori_loop(0, 64, body, jnp.float32(0.0)) / 64
+
+    m_nee = float(mean_at_depth2(False))
+    m_mis = float(mean_at_depth2(True))
     assert abs(m_mis - m_nee) < 0.02 * m_nee, (m_mis, m_nee)
 
 
