@@ -42,6 +42,18 @@ def _clear_jax_caches_between_modules():
     crash is cumulative in-process compiler state, not that program.
     Cross-module cache hits are rare (different shapes/configs), so the
     cost is a few extra compiles per module.
+
+    GRT_KEEP_JAX_CACHES=1 disables the clearing — the A/B knob for
+    re-testing whether the segfault still reproduces on a newer jax;
+    leave it unset in CI.  Round-5 re-test on jax 0.9.0 (2026-08): still
+    reproduces — SIGSEGV (exit 139) inside `backend_compile_and_load`
+    at ~80% of the suite (~250 cumulatively compiled programs, during
+    test_tri_lights), while the same suite with clearing passes 313/313.
+    The crash point drifts with the test population (r4: ~98%, in
+    test_wavefront) — consistent with cumulative compiler state, not any
+    one program; no smaller deterministic repro exists because the
+    trigger IS the accumulation.
     """
     yield
-    jax.clear_caches()
+    if not os.environ.get("GRT_KEEP_JAX_CACHES"):
+        jax.clear_caches()
