@@ -345,6 +345,15 @@ def _traverse_bvh(bvhf_ref, bvhi_ref, t_min, ox, oy, oz, dx, dy, dz, carry, leaf
 # coherent mesh workloads.  See docs/PERFORMANCE.md mesh A/B table.
 MESH_GROUP_ROWS = int(_os.environ.get("GRT_MESH_GROUP_ROWS", "0"))
 
+# Brute-scan unroll bound: scenes with at most this many spheres (and no
+# sphere BVH) trace the closest-hit/occlusion scan as a Python loop —
+# straight-line vector code with STATIC SMEM column indices — instead of a
+# Mosaic scf.for whose per-iteration scalar control dominates a ~22-op
+# sphere test (config 2 sat at 12.6% VPU utilization; the roofline ranked
+# this gap first).  Identical op order per sphere, so results are bitwise
+# unchanged.  0 disables (always fori_loop) for A/B sweeps.
+BRUTE_UNROLL_MAX = int(_os.environ.get("GRT_BRUTE_UNROLL", "8"))
+
 
 def _row_grouped(group_rows, rays, carry, run):
     """Run `run(rays, carry)` independently over row groups of a lane tile.
@@ -538,7 +547,12 @@ def _occluded(
         return jnp.where(better, jnp.float32(0.0), tb)
 
     if sphere_bvh_refs is None:
-        tb = jax.lax.fori_loop(0, n_spheres, sphere_body, window)
+        if 0 < n_spheres <= BRUTE_UNROLL_MAX:
+            tb = window
+            for j in range(n_spheres):
+                tb = sphere_body(j, tb)
+        else:
+            tb = jax.lax.fori_loop(0, n_spheres, sphere_body, window)
     else:
         def leaf_scan_s(ls, trip, carry):
             tb = jax.lax.fori_loop(0, trip, lambda k, t: sphere_body(ls + k, t), carry[0])
@@ -643,7 +657,12 @@ def _closest_hit(
     if want_light_id:
         init = init + (jnp.full(ox.shape, -1.0, jnp.float32),)
     if sphere_bvh_refs is None:
-        carry10 = jax.lax.fori_loop(0, n_spheres, body, init)
+        if 0 < n_spheres <= BRUTE_UNROLL_MAX:
+            carry10 = init
+            for j in range(n_spheres):
+                carry10 = body(j, carry10)
+        else:
+            carry10 = jax.lax.fori_loop(0, n_spheres, body, init)
     else:
         # Sphere BVH: same tile-coherent traversal, leaf scan = the sphere
         # body over the leaf's contiguous range.
