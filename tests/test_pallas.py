@@ -767,3 +767,24 @@ def test_aov_modes_match_across_engines():
         a[24, 32], np.asarray(scene.albedo)[
             int(np.argmin(np.abs(np.asarray(scene.centers)[:, 2] + 1.0)))
         ], atol=1e-5)
+
+
+def test_brute_scan_unroll_is_bitwise_invisible(monkeypatch):
+    """Small-scene scans unroll to straight-line code (GRT_BRUTE_UNROLL);
+    the unrolled and fori_loop forms run the same ops in the same order, so
+    a path render must be BITWISE identical either way.  clear_caches
+    between renders: the bound is a module constant consumed at trace time,
+    not part of any jit cache key."""
+    from gpu_ray_tracing_tpu.ops.pallas import megakernel as mk
+
+    scene = base_scene()
+    cfg = _cfg(spp=2, max_depth=8, backend="pallas", nee=False)
+    imgs = {}
+    for bound in (0, 8):
+        monkeypatch.setattr(mk, "BRUTE_UNROLL_MAX", bound)
+        jax.clear_caches()
+        imgs[bound] = np.asarray(
+            render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3))
+        )
+    jax.clear_caches()
+    np.testing.assert_array_equal(imgs[0], imgs[8])
