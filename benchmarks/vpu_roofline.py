@@ -295,18 +295,27 @@ def price_configs(bounces3=16, bounces5=20):
     }
     print(f"config 4: {ops4:.3g} ops in the bounce-1 wall")
 
-    # config 5: 1080p, d20, RR@5, default One-Weekend scene, per 1-spp step
+    # config 5: 1080p, d20, RR@5, default One-Weekend scene, per 1-spp step.
+    # The pricing follows the scene's ACTUAL engine path: since the
+    # post-unroll SPHERE_BVH_THRESHOLD move (128 -> 256) the default
+    # 197-sphere scene takes the unrolled brute scan, so price every
+    # active tile as a full n-sphere scan instead of a BVH walk.
     sc5 = make_scene(one_weekend_scene(jax.random.key(0)))
     sm5 = SceneModel(sc5)
     cam5 = derive_camera(CameraSettings.default(), 1920, 1080)
-    ops5, tiles5, cost5 = _states_cost(sm5, cam5, 1920, 1080, bounces5, 5)
+    if sc5.sphere_bvh is None:
+        ops5, tiles5, _ = _states_cost(sm5, cam5, 1920, 1080, bounces5, 5,
+                                       n_spheres_brute=sm5.n)
+        geom5 = f"{sm5.n} spheres, unrolled brute scan"
+    else:
+        ops5, tiles5, _ = _states_cost(sm5, cam5, 1920, 1080, bounces5, 5)
+        geom5 = f"{sm5.n} spheres, {sm5.num_nodes}-node BVH"
     ops5 = ops5 + 1920 * 1080 * RAYGEN_OPS
     shade_share5 = tiles5 * LANES * SHADE_OPS / ops5
     cfgs["5_progressive_1080p"] = {
         "ops_per_frame": ops5,
-        "model": f"numpy path sim d{bounces5} RR@5 ({sm5.n} spheres, "
-                 f"{sm5.num_nodes}-node BVH): traversal lane-work + shade "
-                 f"+ raygen, per 1-spp step",
+        "model": f"numpy path sim d{bounces5} RR@5 ({geom5}): traversal "
+                 f"lane-work + shade + raygen, per 1-spp step",
         "estimate_share": round(shade_share5, 3),
     }
     print(f"config 5: {ops5:.3g} ops/step ({tiles5} tile-iters, "

@@ -208,7 +208,14 @@ class Scene:
 
 
 #: Sphere count above which make_scene builds a sphere BVH by default.
-SPHERE_BVH_THRESHOLD = 128
+#: 256 is the measured post-unroll crossover region: with the brute scan
+#: unrolled (megakernel.BRUTE_UNROLL_MAX) the straight-line scan beats the
+#: sphere-BVH walk 1.53x/1.50x/1.29x at 145/196/326 spheres (640x480 8 spp
+#: depth-16, on chip, identical checksums both arms) — the BVH's win only
+#: reappears toward ~500 spheres / very deep paths (config 3, 487 spheres
+#: d50, keeps its BVH: benchmarks/sphere_wall_analysis.py).  Force with
+#: make_scene(sphere_bvh=True/False) for atypical workloads.
+SPHERE_BVH_THRESHOLD = 256
 
 
 def make_scene(

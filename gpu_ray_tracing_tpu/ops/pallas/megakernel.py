@@ -352,7 +352,33 @@ MESH_GROUP_ROWS = int(_os.environ.get("GRT_MESH_GROUP_ROWS", "0"))
 # sphere test (config 2 sat at 12.6% VPU utilization; the roofline ranked
 # this gap first).  Identical op order per sphere, so results are bitwise
 # unchanged.  0 disables (always fori_loop) for A/B sweeps.
-BRUTE_UNROLL_MAX = int(_os.environ.get("GRT_BRUTE_UNROLL", "8"))
+#
+# The default covers the ENTIRE default brute-scan regime
+# (scene.SPHERE_BVH_THRESHOLD = 256): the on-chip sweep (640x480 8 spp
+# d16 one-weekend scenes) shows the win GROWS with sphere count — 1.62x
+# at 20, 1.85x at 67, 1.94x at 145 spheres — and the unrolled scan beats
+# even the sphere BVH through at least 326 spheres (1.29-1.53x), which is
+# why the threshold moved 128 -> 256.  Mosaic compile stays under ~30 s
+# at 326 (docs/PERFORMANCE.md round-5 section).  Larger explicit-brute
+# scenes (sphere_bvh=False above the bound) fall back to the loop rather
+# than risk unbounded program growth.
+BRUTE_UNROLL_MAX = int(_os.environ.get("GRT_BRUTE_UNROLL", "256"))
+
+
+def _brute_unroll_bound():
+    """Effective unroll bound for the CURRENT lowering target.
+
+    The full bound pays off only on real Mosaic (scalar loop control
+    removed, cross-sphere CSE).  Interpret mode lowers the kernel through
+    XLA:CPU, whose compile time explodes superlinearly on large
+    straight-line programs — a 197-sphere unrolled render sat >25 min and
+    >17 GB inside the CPU test suite — so off-TPU tracing keeps the loop
+    form beyond the small-scene bound.  Images are bitwise identical
+    either way (test_brute_scan_unroll_is_bitwise_invisible), so this
+    platform split can never change results, only compile cost."""
+    if default_platform() == "tpu":
+        return BRUTE_UNROLL_MAX
+    return min(BRUTE_UNROLL_MAX, 8)
 
 
 def _row_grouped(group_rows, rays, carry, run):
@@ -547,7 +573,7 @@ def _occluded(
         return jnp.where(better, jnp.float32(0.0), tb)
 
     if sphere_bvh_refs is None:
-        if 0 < n_spheres <= BRUTE_UNROLL_MAX:
+        if 0 < n_spheres <= _brute_unroll_bound():
             tb = window
             for j in range(n_spheres):
                 tb = sphere_body(j, tb)
@@ -657,7 +683,7 @@ def _closest_hit(
     if want_light_id:
         init = init + (jnp.full(ox.shape, -1.0, jnp.float32),)
     if sphere_bvh_refs is None:
-        if 0 < n_spheres <= BRUTE_UNROLL_MAX:
+        if 0 < n_spheres <= _brute_unroll_bound():
             carry10 = init
             for j in range(n_spheres):
                 carry10 = body(j, carry10)

@@ -203,13 +203,14 @@ def test_pallas_mesh_requires_bvh():
 
 
 def test_pallas_sphere_bvh_matches_bruteforce():
-    """make_scene auto-builds a sphere BVH above the threshold; the culled
-    kernel must match the brute-force scan."""
+    """The culled sphere-BVH kernel must match the brute-force scan.
+    sphere_bvh=True forces the BVH (197 spheres sits below the post-unroll
+    default threshold of 256, where the unrolled scan measures faster)."""
     from gpu_ray_tracing_tpu import make_scene
 
     spheres = one_weekend_scene(jax.random.key(0))
-    scene = make_scene(spheres)
-    assert scene.sphere_bvh is not None  # 197 > threshold
+    scene = make_scene(spheres, sphere_bvh=True)
+    assert scene.sphere_bvh is not None
     cam = CameraSettings.default()
     cfg = _cfg(width=64, height=40, max_depth=6, backend="pallas")
     a = np.asarray(render(scene, cam, cfg, frame_seed=jnp.uint32(2)))

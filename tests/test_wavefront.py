@@ -51,7 +51,7 @@ def test_wavefront_one_weekend_with_sphere_bvh_and_rr():
     tiles can flip a few hit decisions vs the megakernel's image tiles (the
     same contract as pallas-vs-jax).  Mesh scans have no far-root fallback
     and stay bitwise equal (test_wavefront_mesh_scene)."""
-    scene = make_scene(one_weekend_scene(jax.random.key(0)))
+    scene = make_scene(one_weekend_scene(jax.random.key(0)), sphere_bvh=True)
     assert scene.sphere_bvh is not None
     cam = CameraSettings.default()
     kw = dict(width=64, height=40, max_depth=8, russian_roulette_depth=3)
@@ -212,7 +212,7 @@ def test_wavefront_sort_modes_are_invisible():
     from gpu_ray_tracing_tpu.models.camera import derive_camera
     from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
 
-    scene = make_scene(one_weekend_scene(jax.random.key(0)))
+    scene = make_scene(one_weekend_scene(jax.random.key(0)), sphere_bvh=True)
     w, h = 64, 36
     cam = derive_camera(CameraSettings.default(), w, h)
     kw = dict(width=w, height=h, max_depth=8, t_min=1e-3, spp=2,
@@ -254,7 +254,7 @@ def test_wavefront_regen_matches_plain_spp4():
     from gpu_ray_tracing_tpu.models.camera import derive_camera
     from gpu_ray_tracing_tpu.ops.pallas.wavefront import render_wavefront
 
-    scene = make_scene(one_weekend_scene(jax.random.key(0)))
+    scene = make_scene(one_weekend_scene(jax.random.key(0)), sphere_bvh=True)
     assert scene.sphere_bvh is not None
     w, h = 64, 48
     cam = derive_camera(CameraSettings.default(), w, h)
