@@ -365,6 +365,19 @@ MESH_GROUP_ROWS = int(_os.environ.get("GRT_MESH_GROUP_ROWS", "0"))
 BRUTE_UNROLL_MAX = int(_os.environ.get("GRT_BRUTE_UNROLL", "256"))
 
 
+# Bounce-loop unroll factor: >=2 traces that many _path_bounce
+# applications per while_loop iteration, halving (etc.) the scalar-core
+# loop-control/sync points the path configs' roofline gap is made of.
+# Later applications in a pair are depth-gated by MASK ALGEBRA on the
+# alive plane (never a scalar-pred plane select — not Mosaic-safe): a
+# bounce whose lanes are all dead is a no-op on every post-loop
+# observable (masked rgb accumulation, zero ray-count delta), so images
+# and in-kernel counters are BITWISE identical to factor 1; the cost is
+# early-exit granularity (a tile that dies mid-pair wastes one all-dead
+# bounce body).  Default measured on chip; 1 restores per-bounce exit.
+BOUNCE_UNROLL = int(_os.environ.get("GRT_BOUNCE_UNROLL", "1"))
+
+
 def _brute_unroll_bound():
     """Effective unroll bound for the CURRENT lowering target.
 
@@ -1604,13 +1617,28 @@ def _kernel(
             # The last carry plane accumulates each bounce's rays-cast
             # delta (the bounce's own last output plane); the bounce state
             # proper excludes it.
-            def while_body(c):
+            def one_step(c):
                 out = body(c[0], c[1:-1])
                 return (c[0] + jnp.int32(1),) + out[:-1] + (c[-1] + out[-1],)
         else:
-            def while_body(c):
+            def one_step(c):
                 out = body(c[0], c[1:])
                 return (c[0] + jnp.int32(1),) + out
+
+        if BOUNCE_UNROLL >= 2:
+            def while_body(c):
+                c = one_step(c)
+                for _ in range(BOUNCE_UNROLL - 1):
+                    # Depth-gate the extra application through the alive
+                    # plane (see BOUNCE_UNROLL): alive*1.0 is bitwise for
+                    # any value, alive*0.0 makes the bounce a no-op on
+                    # every post-loop observable.
+                    gate = (c[0] < jnp.int32(max_depth)).astype(jnp.float32)
+                    c = c[:13] + (c[13] * gate,) + c[14:]
+                    c = one_step(c)
+                return c
+        else:
+            while_body = one_step
 
         carry = jax.lax.while_loop(cond, while_body, carry)
         # Exhausted rays contribute black (the fixed semantics; the reference's

@@ -789,3 +789,24 @@ def test_brute_scan_unroll_is_bitwise_invisible(monkeypatch):
         )
     jax.clear_caches()
     np.testing.assert_array_equal(imgs[0], imgs[8])
+
+
+def test_bounce_unroll_is_bitwise_invisible(monkeypatch):
+    """Pair-unrolled bounce stepping (GRT_BOUNCE_UNROLL) gates the extra
+    applications through the alive plane, so a path render — including an
+    ODD max_depth, where the final pair overshoots and must be a no-op —
+    is BITWISE identical at any factor, with identical ray counters."""
+    from gpu_ray_tracing_tpu.ops.pallas import megakernel as mk
+
+    scene = base_scene()
+    cfg = _cfg(spp=2, max_depth=7, backend="pallas", nee=False)
+    imgs = {}
+    for factor in (1, 2, 3):
+        monkeypatch.setattr(mk, "BOUNCE_UNROLL", factor)
+        jax.clear_caches()
+        imgs[factor] = np.asarray(
+            render(scene, BASE_CAMERA, cfg, frame_seed=jnp.uint32(3))
+        )
+    jax.clear_caches()
+    np.testing.assert_array_equal(imgs[1], imgs[2])
+    np.testing.assert_array_equal(imgs[1], imgs[3])
